@@ -1,0 +1,294 @@
+"""Vectorized geometry kernels + minimal WKB codec (pure numpy).
+
+The reference delegates every spatial predicate to PostGIS
+(`ST_Intersects`, `ST_Buffer`, `ST_Angle`, distance-within — see
+/root/reference/src/service/interface/interfaces.ts:278-279 and
+/root/reference/test/unit/spatial-query.test.ts:19,111,135). Shapely is
+unavailable in this environment, so the exact-refine phase of the
+two-phase join uses these numpy kernels, batch-evaluated inside
+Arrow-backed pandas UDFs (no per-row Python).
+
+Geometries are stored as standard little-endian 2D WKB in BinaryType
+columns (Point=1, LineString=2, Polygon=3). Ragged batches are held as a
+flat ``coords`` array + ``offsets`` (CSR-style), so every kernel is a
+pure array computation:
+
+* ``point_polyline_dist``   — min distance from paired points to polylines
+  (drives `ST_Intersects(ST_Buffer(line, d), point)`, kNN tagging)
+* ``point_in_polygon``      — ray-casting PIP for paired points/polygons
+* ``polyline_orientation``  — first->last vertex bearing (drives
+  `degrees(ST_Angle(a, b)) < t` style predicates)
+* ``bbox_intersects``       — envelope test for bbox extraction of
+  line/polygon layers
+
+Metric distances use an equirectangular local projection (meters), which
+matches the reference's "predicates on pre-projected EPSG:3857 columns"
+semantics near the equator (SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .cells import M_PER_DEG_LAT, M_PER_DEG_LON_EQ
+
+WKB_POINT = 1
+WKB_LINESTRING = 2
+WKB_POLYGON = 3
+
+
+# ---------------------------------------------------------------------------
+# WKB codec (little-endian, 2D only — all this engine writes or reads)
+# ---------------------------------------------------------------------------
+
+
+def wkb_point(lon: float, lat: float) -> bytes:
+    return struct.pack("<BIdd", 1, WKB_POINT, lon, lat)
+
+
+def wkb_linestring(coords) -> bytes:
+    coords = np.asarray(coords, dtype=np.float64)
+    return struct.pack("<BII", 1, WKB_LINESTRING, len(coords)) + coords.tobytes()
+
+
+def wkb_polygon(ring) -> bytes:
+    """Single exterior ring; caller must close it (first == last)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    return struct.pack("<BIII", 1, WKB_POLYGON, 1, len(ring)) + ring.tobytes()
+
+
+class RaggedGeoms:
+    """CSR batch of parsed geometries: coords (N,2) + offsets (M+1,).
+
+    ``kinds[i]`` is the WKB geometry type. Polygons keep only the exterior
+    ring (the engine never generates holes; a hole-bearing WKB raises).
+    """
+
+    __slots__ = ("coords", "offsets", "kinds")
+
+    def __init__(self, coords: np.ndarray, offsets: np.ndarray, kinds: np.ndarray):
+        self.coords = coords
+        self.offsets = offsets
+        self.kinds = kinds
+
+    def __len__(self) -> int:
+        return len(self.kinds)
+
+    def n_points(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+
+def parse_wkb_batch(blobs) -> RaggedGeoms:
+    """Parse an iterable of WKB byte strings into one ragged batch."""
+    coords_parts: list[np.ndarray] = []
+    offsets = [0]
+    kinds = []
+    total = 0
+    for b in blobs:
+        if b is None:
+            kinds.append(0)
+            offsets.append(total)
+            continue
+        b = bytes(b)
+        if b[0] != 1:
+            raise ValueError("only little-endian WKB supported")
+        gtype = struct.unpack_from("<I", b, 1)[0] & 0xFF
+        if gtype == WKB_POINT:
+            c = np.frombuffer(b, dtype="<f8", count=2, offset=5).reshape(1, 2)
+        elif gtype == WKB_LINESTRING:
+            n = struct.unpack_from("<I", b, 5)[0]
+            c = np.frombuffer(b, dtype="<f8", count=2 * n, offset=9).reshape(n, 2)
+        elif gtype == WKB_POLYGON:
+            nrings = struct.unpack_from("<I", b, 5)[0]
+            if nrings != 1:
+                raise ValueError("polygons with holes not supported")
+            n = struct.unpack_from("<I", b, 9)[0]
+            c = np.frombuffer(b, dtype="<f8", count=2 * n, offset=13).reshape(n, 2)
+        else:
+            raise ValueError(f"unsupported WKB geometry type {gtype}")
+        coords_parts.append(c)
+        total += len(c)
+        kinds.append(gtype)
+        offsets.append(total)
+    coords = np.concatenate(coords_parts) if coords_parts else np.zeros((0, 2))
+    return RaggedGeoms(coords.astype(np.float64, copy=False),
+                       np.asarray(offsets, dtype=np.int64),
+                       np.asarray(kinds, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# Local metric projection
+# ---------------------------------------------------------------------------
+
+
+def to_local_m(lon: np.ndarray, lat: np.ndarray, lat0: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """Equirectangular meters relative to (0, 0) with cos(lat0) x-scale."""
+    scale = M_PER_DEG_LON_EQ * np.cos(np.radians(lat0))
+    return np.asarray(lon) * scale, np.asarray(lat) * M_PER_DEG_LAT
+
+
+# ---------------------------------------------------------------------------
+# Pair kernels (one point paired with one geometry per row)
+# ---------------------------------------------------------------------------
+
+
+def _pair_segments(geom_idx: np.ndarray, geoms: RaggedGeoms):
+    """Expand (pair -> geometry) into (pair -> each segment of that geometry).
+
+    Returns (pair_of_seg, a, b): per segment its owning pair row and the
+    segment endpoints (n,2). Fully vectorized via repeat/cumsum.
+    """
+    npts = geoms.n_points()[geom_idx]
+    nsegs = np.maximum(npts - 1, 0)
+    pair_of_seg = np.repeat(np.arange(geom_idx.size, dtype=np.int64), nsegs)
+    # index of each segment's first vertex in geoms.coords
+    starts = geoms.offsets[:-1][geom_idx]
+    seg_base = np.repeat(starts, nsegs)
+    local = np.arange(nsegs.sum(), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(nsegs)[:-1]]), nsegs)
+    first = seg_base + local
+    a = geoms.coords[first]
+    b = geoms.coords[first + 1]
+    return pair_of_seg, a, b
+
+
+def point_polyline_dist(px: np.ndarray, py: np.ndarray, geom_idx: np.ndarray,
+                        geoms: RaggedGeoms, lat0: float = 0.0) -> np.ndarray:
+    """Per pair (point i, geometry geom_idx[i]): min point-to-segment
+    distance in meters. Works for LineString and Polygon boundaries;
+    a Point geometry (1 vertex, 0 segments) yields point-point distance.
+    """
+    n = px.size
+    out = np.full(n, np.inf, dtype=np.float64)
+    sx = M_PER_DEG_LON_EQ * np.cos(np.radians(lat0))
+    sy = M_PER_DEG_LAT
+
+    pair_of_seg, a, b = _pair_segments(geom_idx, geoms)
+    if pair_of_seg.size:
+        apx = (px[pair_of_seg] - a[:, 0]) * sx
+        apy = (py[pair_of_seg] - a[:, 1]) * sy
+        abx = (b[:, 0] - a[:, 0]) * sx
+        aby = (b[:, 1] - a[:, 1]) * sy
+        ab2 = abx * abx + aby * aby
+        t = np.clip(np.divide(apx * abx + apy * aby, ab2,
+                              out=np.zeros_like(ab2), where=ab2 > 0), 0.0, 1.0)
+        dx = apx - t * abx
+        dy = apy - t * aby
+        d = np.sqrt(dx * dx + dy * dy)
+        np.minimum.at(out, pair_of_seg, d)
+
+    # degenerate geometries (single vertex => no segments): point distance
+    npts = geoms.n_points()[geom_idx]
+    lone = np.flatnonzero(npts == 1)
+    if lone.size:
+        v = geoms.coords[geoms.offsets[:-1][geom_idx[lone]]]
+        dx = (px[lone] - v[:, 0]) * sx
+        dy = (py[lone] - v[:, 1]) * sy
+        out[lone] = np.sqrt(dx * dx + dy * dy)
+    return out
+
+
+def point_in_polygon(px: np.ndarray, py: np.ndarray, geom_idx: np.ndarray,
+                     geoms: RaggedGeoms) -> np.ndarray:
+    """Per pair: ray-casting point-in-polygon (boundary counts as inside is
+    NOT guaranteed — callers needing closed semantics combine with a
+    distance-0 test). Polygons must be closed rings.
+    """
+    pair_of_seg, a, b = _pair_segments(geom_idx, geoms)
+    inside = np.zeros(px.size, dtype=bool)
+    if not pair_of_seg.size:
+        return inside
+    x = px[pair_of_seg]
+    y = py[pair_of_seg]
+    ay, by = a[:, 1], b[:, 1]
+    ax, bx = a[:, 0], b[:, 0]
+    cond = (ay > y) != (by > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = ax + (y - ay) / (by - ay) * (bx - ax)
+    crosses = cond & (x < xin)
+    # XOR-accumulate crossings per pair
+    flips = np.zeros(px.size, dtype=np.int64)
+    np.add.at(flips, pair_of_seg[crosses], 1)
+    return (flips % 2) == 1
+
+
+def polyline_orientation(geoms: RaggedGeoms) -> np.ndarray:
+    """Bearing (degrees in [0, 180)) of each geometry's first->last vertex
+    chord — the segment-orientation notion behind the reference's
+    `degrees(ST_Angle(a, b)) < 30` predicate (angle *between* two lines is
+    the difference of orientations, folded to [0, 90])."""
+    first = geoms.coords[geoms.offsets[:-1].clip(max=len(geoms.coords) - 1)]
+    last_idx = np.maximum(geoms.offsets[1:] - 1, geoms.offsets[:-1])
+    last = geoms.coords[last_idx.clip(max=len(geoms.coords) - 1)]
+    ang = np.degrees(np.arctan2(last[:, 1] - first[:, 1], last[:, 0] - first[:, 0]))
+    return np.mod(ang, 180.0)
+
+
+def angle_between_deg(orient_a: np.ndarray, orient_b: np.ndarray) -> np.ndarray:
+    """Acute angle between two line orientations, in [0, 90]."""
+    d = np.abs(orient_a - orient_b) % 180.0
+    return np.minimum(d, 180.0 - d)
+
+
+def geom_bbox(geoms: RaggedGeoms) -> np.ndarray:
+    """(M,4) min_lon,min_lat,max_lon,max_lat per geometry (empty -> nan)."""
+    m = len(geoms)
+    out = np.full((m, 4), np.nan)
+    npts = geoms.n_points()
+    ok = npts > 0
+    if not np.any(ok):
+        return out
+    idx = np.repeat(np.arange(m), npts)
+    for j, (col, fn) in enumerate([(0, np.minimum), (1, np.minimum), (0, np.maximum), (1, np.maximum)]):
+        acc = np.full(m, np.inf if fn is np.minimum else -np.inf)
+        fn.at(acc, idx, geoms.coords[:, col])
+        out[:, j] = acc
+    out[~ok] = np.nan
+    return out
+
+
+def bbox_intersects(gbox: np.ndarray, min_lon: float, min_lat: float,
+                    max_lon: float, max_lat: float) -> np.ndarray:
+    """Envelope-overlap test: geometry bbox vs query bbox (closed)."""
+    return ((gbox[:, 0] <= max_lon) & (gbox[:, 2] >= min_lon)
+            & (gbox[:, 1] <= max_lat) & (gbox[:, 3] >= min_lat))
+
+
+def segments_intersect_bbox(geom_idx: np.ndarray, geoms: RaggedGeoms,
+                            min_lon: float, min_lat: float,
+                            max_lon: float, max_lat: float) -> np.ndarray:
+    """Per listed geometry: does any segment (or vertex) truly intersect the
+    closed bbox? Exact for LineStrings; for Polygons this is boundary
+    intersection — callers OR it with point_in_polygon(bbox corner) to get
+    full area-intersection semantics.
+    """
+    # Liang-Barsky style clip test per segment, vectorized.
+    pair_of_seg, a, b = _pair_segments(geom_idx, geoms)
+    res = np.zeros(geom_idx.size, dtype=bool)
+    if pair_of_seg.size:
+        dx = b[:, 0] - a[:, 0]
+        dy = b[:, 1] - a[:, 1]
+        t0 = np.zeros(len(a))
+        t1 = np.ones(len(a))
+        ok = np.ones(len(a), dtype=bool)
+        for pj, qj in ((-dx, a[:, 0] - min_lon), (dx, max_lon - a[:, 0]),
+                       (-dy, a[:, 1] - min_lat), (dy, max_lat - a[:, 1])):
+            par = pj == 0
+            ok &= ~(par & (qj < 0))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = np.where(par, 0.0, qj / np.where(pj == 0, 1.0, pj))
+            t0 = np.where(~par & (pj < 0), np.maximum(t0, r), t0)
+            t1 = np.where(~par & (pj > 0), np.minimum(t1, r), t1)
+        ok &= t0 <= t1
+        np.logical_or.at(res, pair_of_seg, ok)
+
+    # single-vertex geometries: point-in-bbox
+    npts = geoms.n_points()[geom_idx]
+    lone = np.flatnonzero(npts == 1)
+    if lone.size:
+        v = geoms.coords[geoms.offsets[:-1][geom_idx[lone]]]
+        res[lone] = ((v[:, 0] >= min_lon) & (v[:, 0] <= max_lon)
+                     & (v[:, 1] >= min_lat) & (v[:, 1] <= max_lat))
+    return res

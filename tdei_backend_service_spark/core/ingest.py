@@ -1,0 +1,125 @@
+"""Write-time enrichment: cell/tile encoding for points, bbox + cell
+covers for vector geometries.
+
+The reference pre-materializes an EPSG:3857 copy of every geometry so
+queries never transform at read time
+(/root/reference/src/service/interface/interfaces.ts:192-198). The
+engine's analogue: encode H3-ladder cell IDs, slippy tile IDs, and
+geometry envelopes once at ingest. All encodes are Arrow-batched pandas
+UDFs wrapping the numpy kernels in core/cells.py — one UDF call computes
+every derived column (single Arrow round-trip per batch).
+
+At 100 TB these columns are what make queries cheap: ``cell_p5`` is the
+partition key (partition pruning replaces the reference's index scan),
+per-geometry envelopes are min/max parquet stats (range-filter pushdown),
+and the r7-r10 ladder gives the join resolution choices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from . import cells, geom
+
+CELL_LADDER = {"cell_r7": 7, "cell_r8": 8, "cell_r9": 9, "cell_r10": 10}
+DEFAULT_TILE_Z = 15
+
+
+def encode_cells(df: DataFrame, tile_z: int = DEFAULT_TILE_Z,
+                 lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Add cell_r7..r10, cell_p5 (partition prefix), tile_z/x/y, tile_key."""
+
+    fields = [T.StructField(c, T.LongType()) for c in CELL_LADDER] + [
+        T.StructField("cell_p5", T.LongType()),
+        T.StructField("tile_x", T.LongType()),
+        T.StructField("tile_y", T.LongType()),
+        T.StructField("tile_key", T.LongType()),
+    ]
+
+    @F.pandas_udf(T.StructType(fields))
+    def _encode(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        lo = lon.to_numpy(dtype=np.float64)
+        la = lat.to_numpy(dtype=np.float64)
+        out = {name: cells.encode(lo, la, cells.RES_GRID[res])
+               for name, res in CELL_LADDER.items()}
+        out["cell_p5"] = cells.encode(lo, la, cells.RES_GRID[5])
+        tx, ty = cells.lonlat_to_tile(lo, la, tile_z)
+        out["tile_x"] = tx
+        out["tile_y"] = ty
+        out["tile_key"] = cells.tile_key(tile_z, tx, ty)
+        return pd.DataFrame(out)
+
+    s = _encode(F.col(lon_col), F.col(lat_col))
+    df = df.withColumn("_enc", s)
+    for name in CELL_LADDER:
+        df = df.withColumn(name, F.col(f"_enc.{name}"))
+    return (df.withColumn("cell_p5", F.col("_enc.cell_p5"))
+              .withColumn("tile_z", F.lit(tile_z).cast("int"))
+              .withColumn("tile_x", F.col("_enc.tile_x").cast("int"))
+              .withColumn("tile_y", F.col("_enc.tile_y").cast("int"))
+              .withColumn("tile_key", F.col("_enc.tile_key"))
+              .drop("_enc"))
+
+
+def encode_geom_meta(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """Add per-geometry envelope columns (gmin_lon..gmax_lat).
+
+    Envelopes land in parquet min/max stats, so a bbox query's range
+    filter prunes row groups without parsing any WKB.
+    """
+
+    fields = [T.StructField(c, T.DoubleType())
+              for c in ("gmin_lon", "gmin_lat", "gmax_lon", "gmax_lat")]
+
+    @F.pandas_udf(T.StructType(fields))
+    def _env(blob: pd.Series) -> pd.DataFrame:
+        g = geom.parse_wkb_batch(blob)
+        box = geom.geom_bbox(g)
+        return pd.DataFrame({
+            "gmin_lon": box[:, 0], "gmin_lat": box[:, 1],
+            "gmax_lon": box[:, 2], "gmax_lat": box[:, 3],
+        })
+
+    df = df.withColumn("_env", _env(F.col(geometry_col)))
+    for c in ("gmin_lon", "gmin_lat", "gmax_lon", "gmax_lat"):
+        df = df.withColumn(c, F.col(f"_env.{c}"))
+    return df.drop("_env")
+
+
+def cover_geometry(df: DataFrame, depth: int, pad_m: float = 0.0,
+                   geometry_col: str = "geometry",
+                   out_col: str = "cover_cells") -> DataFrame:
+    """Add ``out_col``: array<long> of grid cells (superset cover) each
+    geometry touches at ``depth``, padded by ``pad_m`` meters.
+
+    Lines: per-segment bbox walk (cells.cover_segments). Polygons: bbox
+    cover (interior included — required for point-in-polygon joins).
+    Superset covers trade false-positive candidates (cheap, removed by
+    refine) for guaranteed zero false negatives.
+    """
+    pad_deg = max(cells.meters_to_deg_lat(pad_m), cells.meters_to_deg_lon(pad_m)) if pad_m else 0.0
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _cover(blob: pd.Series) -> pd.Series:
+        g = geom.parse_wkb_batch(blob)
+        out: list[list[int]] = []
+        box = geom.geom_bbox(g)
+        npts = g.n_points()
+        for i in range(len(g)):
+            if npts[i] == 0:
+                out.append([])
+                continue
+            if g.kinds[i] == geom.WKB_POLYGON or npts[i] == 1:
+                cs = cells.cover_bbox(box[i, 0] - pad_deg, box[i, 1] - pad_deg,
+                                      box[i, 2] + pad_deg, box[i, 3] + pad_deg, depth)
+            else:
+                c = g.coords[g.offsets[i]:g.offsets[i + 1]]
+                _, cs = cells.cover_segments(c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1],
+                                             depth, pad_deg)
+                cs = np.unique(cs)
+            out.append([int(v) for v in cs])
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _cover(F.col(geometry_col)))

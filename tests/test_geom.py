@@ -1,0 +1,97 @@
+import numpy as np
+
+from tdei_backend_service_spark.core import geom
+
+
+def _batch(*blobs):
+    return geom.parse_wkb_batch(list(blobs))
+
+
+def test_wkb_roundtrip():
+    g = _batch(
+        geom.wkb_point(-122.3, 47.6),
+        geom.wkb_linestring([(-1, 0), (1, 0), (1, 1)]),
+        geom.wkb_polygon([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]),
+    )
+    assert list(g.kinds) == [geom.WKB_POINT, geom.WKB_LINESTRING, geom.WKB_POLYGON]
+    assert list(g.n_points()) == [1, 3, 5]
+    assert np.allclose(g.coords[0], [-122.3, 47.6])
+
+
+def test_point_segment_distance():
+    # horizontal line at lat 0 from lon 0 to 0.01; point 0.001 deg north
+    g = _batch(geom.wkb_linestring([(0, 0), (0.01, 0)]))
+    px = np.array([0.005, -0.001, 0.005])
+    py = np.array([0.001, 0.0, 0.0])
+    d = geom.point_polyline_dist(px, py, np.zeros(3, dtype=np.int64), g)
+    assert abs(d[0] - 0.001 * geom.M_PER_DEG_LAT) < 0.01      # perpendicular
+    assert abs(d[1] - 0.001 * geom.M_PER_DEG_LON_EQ) < 0.01   # beyond endpoint
+    assert d[2] < 1e-9                                        # on the line
+
+
+def test_point_point_distance_degenerate():
+    g = _batch(geom.wkb_point(0.0, 0.0))
+    d = geom.point_polyline_dist(np.array([0.0]), np.array([0.001]),
+                                 np.zeros(1, dtype=np.int64), g)
+    assert abs(d[0] - 0.001 * geom.M_PER_DEG_LAT) < 0.01
+
+
+def test_point_in_polygon():
+    g = _batch(geom.wkb_polygon([(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]),
+               geom.wkb_polygon([(5, 5), (6, 5), (6, 6), (5, 6), (5, 5)]))
+    px = np.array([1.0, 3.0, 5.5, 1.0])
+    py = np.array([1.0, 1.0, 5.5, 1.0])
+    gi = np.array([0, 0, 1, 1], dtype=np.int64)
+    got = geom.point_in_polygon(px, py, gi, g)
+    assert list(got) == [True, False, True, False]
+
+
+def test_pip_brute_force_property():
+    # random convex quads vs random points, compared to matplotlib-free
+    # brute force via the same ray-cast logic written scalar
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        cx, cy = rng.uniform(-10, 10, 2)
+        w, h = rng.uniform(0.5, 3, 2)
+        ring = [(cx - w, cy - h), (cx + w, cy - h), (cx + w, cy + h), (cx - w, cy + h), (cx - w, cy - h)]
+        g = _batch(geom.wkb_polygon(ring))
+        px = rng.uniform(-12, 12, 200)
+        py = rng.uniform(-12, 12, 200)
+        got = geom.point_in_polygon(px, py, np.zeros(200, dtype=np.int64), g)
+        expect = (np.abs(px - cx) < w) & (np.abs(py - cy) < h)
+        # exclude points within eps of the boundary (open/closed boundary)
+        interior = (np.abs(np.abs(px - cx) - w) > 1e-9) & (np.abs(np.abs(py - cy) - h) > 1e-9)
+        assert np.array_equal(got[interior], expect[interior])
+
+
+def test_orientation_and_angle():
+    g = _batch(geom.wkb_linestring([(0, 0), (1, 0)]),      # east: 0 deg
+               geom.wkb_linestring([(0, 0), (0, 1)]),      # north: 90
+               geom.wkb_linestring([(0, 0), (1, 1)]),      # 45
+               geom.wkb_linestring([(1, 1), (0, 0)]))      # 225 -> folds to 45
+    o = geom.polyline_orientation(g)
+    assert np.allclose(o, [0, 90, 45, 45])
+    assert np.allclose(geom.angle_between_deg(o[:2], o[1:3]), [90, 45])
+    assert geom.angle_between_deg(np.array([10.0]), np.array([170.0]))[0] == 20.0
+
+
+def test_geom_bbox_and_intersects():
+    g = _batch(geom.wkb_linestring([(0, 0), (2, 1)]),
+               geom.wkb_polygon([(5, 5), (6, 5), (6, 6), (5, 6), (5, 5)]))
+    box = geom.geom_bbox(g)
+    assert np.allclose(box[0], [0, 0, 2, 1])
+    hits = geom.bbox_intersects(box, 1.5, 0.5, 7, 7)
+    assert list(hits) == [True, True]
+    hits2 = geom.bbox_intersects(box, 3, 3, 4, 4)
+    assert list(hits2) == [False, False]
+
+
+def test_segments_intersect_bbox_exact():
+    # diagonal line whose bbox overlaps the query box but the line misses it
+    g = _batch(geom.wkb_linestring([(0, 0), (10, 10)]),
+               geom.wkb_linestring([(0, 9), (1, 10)]))
+    idx = np.array([0, 1], dtype=np.int64)
+    got = geom.segments_intersect_bbox(idx, g, 8.0, 0.0, 10.0, 2.0)
+    assert list(got) == [False, False]
+    got2 = geom.segments_intersect_bbox(idx, g, 4.0, 4.0, 6.0, 6.0)
+    assert list(got2) == [True, False]
