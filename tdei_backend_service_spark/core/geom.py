@@ -232,6 +232,111 @@ def angle_between_deg(orient_a: np.ndarray, orient_b: np.ndarray) -> np.ndarray:
     return np.minimum(d, 180.0 - d)
 
 
+def _seg_seg_dist(a0, a1, b0, b1, sx: float, sy: float) -> np.ndarray:
+    """Min distance between segment pairs (n,2 arrays each), in meters.
+    Zero if they properly intersect; else min of the 4 endpoint-to-segment
+    distances. Fully vectorized."""
+    scale = np.array([sx, sy])
+    p, q = a0 * scale, a1 * scale
+    r, s = b0 * scale, b1 * scale
+
+    def cross(o, a, b):
+        return (a[:, 0] - o[:, 0]) * (b[:, 1] - o[:, 1]) - (a[:, 1] - o[:, 1]) * (b[:, 0] - o[:, 0])
+
+    d1 = cross(r, s, p)
+    d2 = cross(r, s, q)
+    d3 = cross(p, q, r)
+    d4 = cross(p, q, s)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0)
+
+    def pt_seg(pt, s0, s1):
+        d = s1 - s0
+        l2 = (d * d).sum(axis=1)
+        t = np.clip(np.divide(((pt - s0) * d).sum(axis=1), l2,
+                              out=np.zeros_like(l2), where=l2 > 0), 0, 1)
+        proj = s0 + t[:, None] * d
+        return np.sqrt(((pt - proj) ** 2).sum(axis=1))
+
+    dist = np.minimum.reduce([pt_seg(p, r, s), pt_seg(q, r, s),
+                              pt_seg(r, p, q), pt_seg(s, p, q)])
+    dist[proper] = 0.0
+    return dist
+
+
+def pair_min_dist(idx_a: np.ndarray, geoms_a: RaggedGeoms,
+                  idx_b: np.ndarray, geoms_b: RaggedGeoms,
+                  lat0: float = 0.0) -> np.ndarray:
+    """Per pair (geoms_a[idx_a[i]], geoms_b[idx_b[i]]): min distance in
+    meters between the two geometries, any kind combination. Polygon
+    interiors count (a point/geometry inside a polygon has distance 0).
+
+    Vectorized via a full (segments_a x segments_b) expansion per pair —
+    fine for street-scale geometries (2-5 vertices); candidate pruning
+    keeps pair counts bounded.
+    """
+    sx = M_PER_DEG_LON_EQ * np.cos(np.radians(lat0))
+    sy = M_PER_DEG_LAT
+    n = idx_a.size
+    out = np.full(n, np.inf)
+    npts_a = geoms_a.n_points()[idx_a]
+    npts_b = geoms_b.n_points()[idx_b]
+
+    a_is_pt = npts_a == 1
+    b_is_pt = npts_b == 1
+
+    # point-point
+    m = a_is_pt & b_is_pt
+    if m.any():
+        pa = geoms_a.coords[geoms_a.offsets[:-1][idx_a[m]]]
+        pb = geoms_b.coords[geoms_b.offsets[:-1][idx_b[m]]]
+        out[m] = np.sqrt(((pa[:, 0] - pb[:, 0]) * sx) ** 2 + ((pa[:, 1] - pb[:, 1]) * sy) ** 2)
+
+    # point vs poly(line)
+    m = a_is_pt & ~b_is_pt
+    if m.any():
+        pa = geoms_a.coords[geoms_a.offsets[:-1][idx_a[m]]]
+        out[m] = point_polyline_dist(pa[:, 0], pa[:, 1], idx_b[m], geoms_b, lat0)
+    m = ~a_is_pt & b_is_pt
+    if m.any():
+        pb = geoms_b.coords[geoms_b.offsets[:-1][idx_b[m]]]
+        out[m] = point_polyline_dist(pb[:, 0], pb[:, 1], idx_a[m], geoms_a, lat0)
+
+    # poly(line) vs poly(line): expand all segment pairs
+    m = ~a_is_pt & ~b_is_pt
+    if m.any():
+        rows = np.flatnonzero(m)
+        na = (npts_a[rows] - 1).astype(np.int64)
+        nb = (npts_b[rows] - 1).astype(np.int64)
+        combos = na * nb
+        pair_of = np.repeat(rows, combos)
+        local = np.arange(combos.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(combos)[:-1]]), combos)
+        nb_rep = np.repeat(nb, combos)
+        a_loc = local // nb_rep
+        b_loc = local % nb_rep
+        a_first = np.repeat(geoms_a.offsets[:-1][idx_a[rows]], combos) + a_loc
+        b_first = np.repeat(geoms_b.offsets[:-1][idx_b[rows]], combos) + b_loc
+        d = _seg_seg_dist(geoms_a.coords[a_first], geoms_a.coords[a_first + 1],
+                          geoms_b.coords[b_first], geoms_b.coords[b_first + 1], sx, sy)
+        np.minimum.at(out, pair_of, d)
+
+    # polygon interior: anything whose representative vertex lies inside
+    # the other side's polygon is at distance 0
+    a_is_poly = geoms_a.kinds[idx_a] == WKB_POLYGON
+    b_is_poly = geoms_b.kinds[idx_b] == WKB_POLYGON
+    if b_is_poly.any():
+        rows = np.flatnonzero(b_is_poly)
+        pa = geoms_a.coords[geoms_a.offsets[:-1][idx_a[rows]]]
+        inside = point_in_polygon(pa[:, 0], pa[:, 1], idx_b[rows], geoms_b)
+        out[rows[inside]] = 0.0
+    if a_is_poly.any():
+        rows = np.flatnonzero(a_is_poly)
+        pb = geoms_b.coords[geoms_b.offsets[:-1][idx_b[rows]]]
+        inside = point_in_polygon(pb[:, 0], pb[:, 1], idx_a[rows], geoms_a)
+        out[rows[inside]] = 0.0
+    return out
+
+
 def geom_bbox(geoms: RaggedGeoms) -> np.ndarray:
     """(M,4) min_lon,min_lat,max_lon,max_lat per geometry (empty -> nan)."""
     m = len(geoms)

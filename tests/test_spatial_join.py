@@ -1,0 +1,214 @@
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tdei_backend_service_spark.core import geom
+from tdei_backend_service_spark.core.compiler import InputException
+from tdei_backend_service_spark.core.schema import EDGES_SCHEMA, IMAGES_SCHEMA
+from tdei_backend_service_spark.operators.spatial_join import spatial_join
+
+M_LAT = geom.M_PER_DEG_LAT
+
+# three horizontal edges at lat 47.65/47.66/47.67, lon -122.33..-122.31
+EDGE_LATS = [47.65, 47.66, 47.67]
+LON0, LON1 = -122.33, -122.31
+
+
+def _edges_pdf():
+    rows = []
+    for i, la in enumerate(EDGE_LATS):
+        rows.append({
+            "edge_id": i, "orig_node_id": 2 * i, "dest_node_id": 2 * i + 1,
+            "geometry": geom.wkb_linestring([(LON0, la), (LON1, la)]),
+            "props": {"highway": "footway"},
+            "dataset_id": "ds-target",
+        })
+    return pd.DataFrame(rows)
+
+
+def _images_pdf():
+    """Images at exact perpendicular offsets (1 m / 3 m / 10 m) north of
+    each edge's midpoint (FIXTURES.md T4 spatial-join fixture). Edge 2
+    gets no nearby images (left-join passthrough check)."""
+    rows = []
+    mid = (LON0 + LON1) / 2
+    k = 0
+    for i, la in enumerate(EDGE_LATS[:2]):
+        for off_m, hw in [(1.0, "street_lamp"), (3.0, "street_lamp"), (10.0, "bench")]:
+            rows.append({
+                "image_id": f"img-{k:04d}", "bytes": None, "w": 8, "h": 8,
+                "fmt": "png", "caption": f"cap {k}", "phash": k,
+                "lon": mid + i * 1e-4, "lat": la + off_m / M_LAT,
+                "props": {"highway": hw, "ada_compliant": "true"},
+                "dataset_id": "ds-source",
+            })
+            k += 1
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    edges = spark.createDataFrame(_edges_pdf(), schema=EDGES_SCHEMA).cache()
+    images = spark.createDataFrame(_images_pdf(), schema=IMAGES_SCHEMA).cache()
+    return edges, images
+
+
+BUF2 = "ST_Intersects(ST_Buffer(geometry_target, 2), geometry_source)"
+BUF5 = "ST_Intersects(ST_Buffer(geometry_target, 5), geometry_source)"
+
+
+def _run(edges, images, cond, aggs, **kw):
+    out = spatial_join(edges, "edge", "ds-target", images, "point", "ds-source",
+                       cond, aggs, **kw)
+    return {r["edge_id"]: r["props"] for r in out.collect()}
+
+
+def test_buffer2_only_1m_matches(tables):
+    edges, images = tables
+    props = _run(edges, images, BUF2, ["ARRAY_AGG(image_id) as imgs"])
+    assert len(props) == 3  # one row per target feature (O2e)
+    assert json.loads(props[0]["ext:imgs"]) == ["img-0000"]
+    assert json.loads(props[1]["ext:imgs"]) == ["img-0003"]
+    # zero-match target passes through untouched (O2d invariant)
+    assert props[2] == {"highway": "footway"}
+
+
+def test_buffer5_includes_3m(tables):
+    edges, images = tables
+    props = _run(edges, images, BUF5, ["ARRAY_AGG(image_id) as imgs"])
+    assert sorted(json.loads(props[0]["ext:imgs"])) == ["img-0000", "img-0001"]
+    assert sorted(json.loads(props[1]["ext:imgs"])) == ["img-0003", "img-0004"]
+    assert "ext:imgs" not in props[2]
+
+
+def test_source_filter_in_on_clause(tables):
+    # filter restricts matches, not target rows (interfaces.ts:318-323);
+    # example filter from spatial-query.test.ts:136-137
+    edges, images = tables
+    props = _run(edges, images, BUF5, ["ARRAY_AGG(image_id) as lamps"],
+                 join_filter_source="highway = 'street_lamp'")
+    assert len(props) == 3
+    assert sorted(json.loads(props[0]["ext:lamps"])) == ["img-0000", "img-0001"]
+
+
+def test_target_filter_keeps_all_targets(tables):
+    edges, images = tables
+    props = _run(edges, images, BUF5, ["count(image_id) as n"],
+                 join_filter_target="highway = 'residential'")
+    # no edge is residential -> no matches anywhere, but all 3 rows remain
+    assert len(props) == 3
+    assert all(p.get("ext:n") == "0" for p in props.values())
+
+
+def test_count_zero_for_unmatched(tables):
+    edges, images = tables
+    props = _run(edges, images, BUF2, ["count(image_id) as n"])
+    assert props[0]["ext:n"] == "1"
+    assert props[2]["ext:n"] == "0"  # COUNT over null-padded row is 0, grafted
+
+
+def test_multiple_aggregates(tables):
+    edges, images = tables
+    props = _run(edges, images, BUF5,
+                 ["ARRAY_AGG(image_id) as imgs", "count(*) as n",
+                  "min(caption) as first_cap"])
+    assert props[0]["ext:n"] == "2"
+    assert props[0]["ext:first_cap"] == "cap 0"
+    assert "ext:imgs" in props[0]
+
+
+def test_no_aggregates_passthrough(tables):
+    edges, images = tables
+    out = spatial_join(edges, "edge", "ds-target", images, "point", "ds-source",
+                       BUF2, [])
+    assert out.count() == 3
+    assert out.columns == edges.columns
+
+
+def test_invalid_dimension_errors(tables):
+    edges, images = tables
+    with pytest.raises(InputException):
+        spatial_join(edges, "nope", "ds-target", images, "point", "ds-source", BUF2, [])
+    with pytest.raises(InputException):
+        # point is source-only (interfaces.ts:189-207)
+        spatial_join(images, "point", "ds-source", edges, "line", "ds-target", BUF2, [])
+
+
+def test_angle_predicate_cross_join(spark):
+    # target: horizontal edges; source: one parallel, one perpendicular
+    t = spark.createDataFrame(_edges_pdf(), schema=EDGES_SCHEMA)
+    rows = [
+        {"edge_id": 100, "orig_node_id": 0, "dest_node_id": 1,
+         "geometry": geom.wkb_linestring([(LON0, 47.9), (LON1, 47.9)]),  # parallel
+         "props": {"highway": "residential"}, "dataset_id": "ds-source"},
+        {"edge_id": 101, "orig_node_id": 2, "dest_node_id": 3,
+         "geometry": geom.wkb_linestring([(LON0, 47.9), (LON0, 47.99)]),  # perpendicular
+         "props": {"highway": "residential"}, "dataset_id": "ds-source"},
+    ]
+    s = spark.createDataFrame(pd.DataFrame(rows), schema=EDGES_SCHEMA)
+    out = spatial_join(t, "edge", "ds-target", s, "line", "ds-source",
+                       "degrees(ST_Angle(geometry_target, geometry_source)) < 30",
+                       ["ARRAY_AGG(_id) as near_edges"])
+    props = {r["edge_id"]: r["props"] for r in out.collect()}
+    # every target matches ONLY the parallel source edge, despite distance
+    for i in range(3):
+        assert json.loads(props[i]["ext:near_edges"]) == [100]
+
+
+def test_virtual_columns_u_v(tables):
+    edges, images = tables
+    out = spatial_join(images.withColumnRenamed("dataset_id", "dsid")
+                       .withColumn("dataset_id", F.lit("ds-x")).drop("dsid"),
+                       "node", "ds-x",
+                       edges.withColumn("dataset_id", F.lit("ds-y")),
+                       "line", "ds-y", BUF5,
+                       ["ARRAY_AGG(_u_id) as us", "ARRAY_AGG(_v_id) as vs"])
+    props = {r["image_id"]: r["props"] for r in out.collect()}
+    # img-0000 is 1 m from edge 0 -> orig/dest node ids 0/1
+    assert json.loads(props["img-0000"]["ext:us"]) == [0]
+    assert json.loads(props["img-0000"]["ext:vs"]) == [1]
+
+
+def test_property_random_vs_bruteforce(spark):
+    """Randomized parity: two-phase join == brute-force O(n^2) refine."""
+    rng = np.random.default_rng(123)
+    n_img, n_edge = 300, 25
+    lon = rng.uniform(-122.35, -122.25, n_img)
+    lat = rng.uniform(47.6, 47.7, n_img)
+    img = pd.DataFrame({
+        "image_id": [f"i{k}" for k in range(n_img)],
+        "bytes": None, "w": 8, "h": 8, "fmt": "png",
+        "caption": "", "phash": 0, "lon": lon, "lat": lat,
+        "props": [{} for _ in range(n_img)], "dataset_id": "A",
+    })
+    eg = []
+    for e in range(n_edge):
+        x0 = rng.uniform(-122.35, -122.25)
+        y0 = rng.uniform(47.6, 47.7)
+        pts = [(x0, y0)]
+        for _ in range(rng.integers(1, 4)):
+            pts.append((pts[-1][0] + rng.uniform(-0.005, 0.005),
+                        pts[-1][1] + rng.uniform(-0.005, 0.005)))
+        eg.append({"edge_id": e, "orig_node_id": 0, "dest_node_id": 1,
+                   "geometry": geom.wkb_linestring(pts), "props": {},
+                   "dataset_id": "B"})
+    edges = spark.createDataFrame(pd.DataFrame(eg), schema=EDGES_SCHEMA)
+    images = spark.createDataFrame(img, schema=IMAGES_SCHEMA)
+
+    R = 150.0
+    out = spatial_join(edges, "edge", "B", images, "point", "A",
+                       f"ST_DWithin(geometry_target, geometry_source, {R})",
+                       ["ARRAY_AGG(image_id) as imgs"])
+    got = {r["edge_id"]: sorted(json.loads(r["props"].get("ext:imgs", "[]")))
+           for r in out.collect()}
+
+    # brute force
+    g = geom.parse_wkb_batch([e["geometry"] for e in eg])
+    exp: dict[int, list[str]] = {e: [] for e in range(n_edge)}
+    for e in range(n_edge):
+        d = geom.point_polyline_dist(lon, lat, np.full(n_img, e, dtype=np.int64), g)
+        exp[e] = sorted(f"i{k}" for k in np.flatnonzero(d <= R + 1e-9))
+    assert got == exp
