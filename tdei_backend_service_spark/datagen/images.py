@@ -186,6 +186,19 @@ def synth_edges_pandas(n_edges: int, seed: int = 42, dataset_id: str = "ds-a") -
                     "dataset_id": dataset_id,
                 })
                 eid += 1
+    # top up to exactly n_edges with short diagonal filler segments
+    while eid < n_edges:
+        f = (eid + 0.5) / n_edges
+        x = lon0 + f * (lon1 - lon0)
+        y = lat0 + f * (lat1 - lat0)
+        rows.append({
+            "edge_id": eid, "orig_node_id": eid * 2, "dest_node_id": eid * 2 + 1,
+            "geometry": geom.wkb_linestring([(x, y), (x + 1e-3, y + 1e-3)]),
+            "props": {"highway": "footway" if eid % 2 == 0 else "residential",
+                      "surface": "asphalt"},
+            "dataset_id": dataset_id,
+        })
+        eid += 1
     return pd.DataFrame(rows)
 
 

@@ -1,0 +1,177 @@
+"""O3 dataset_tag_road — nearest-edge attribute transfer (kNN tagging).
+
+Reference: ``content.dataset_tag_road(target_dataset_id,
+source_dataset_id)`` — an in-place UPDATE tagging every target feature
+with road information from the source dataset's edges, then a full
+re-extract (/root/reference/src/service/services/dataset-road-tag-service.ts:28-40;
+params /root/reference/src/services.json:17-31). The PL/pgSQL body lives
+in the DB; semantics reconstructed: per target feature, find the nearest
+source edge within a cutoff and graft its road attributes.
+
+Spark plan — batched ring expansion, no per-row Python loops
+(SURVEY.md §7 hard part #3):
+
+  round k: remaining targets explode their disk(k) cell cover ->
+  equi-join against the (cached) edge cell cover -> vectorized
+  point-to-edge distance -> per-target argmin via
+  ``min(struct(dist, edge_id))`` (deterministic tie-break: lowest
+  edge_id, FIXTURES.md T4) -> accept targets whose nearest candidate is
+  provably global: dist <= the target's guaranteed radius (exact
+  per-point distance to the searched square's boundary — beyond it
+  nothing closer can exist) -> anti-join the rest into round k*2.
+
+Each round is pure DataFrame ops; the loop runs on the driver a bounded
+number of times (doubling k until the cutoff is covered). Targets with
+no edge within ``cutoff_m`` stay untagged (FIXTURES.md T4). The result
+is a NEW DataFrame — the reference's in-place UPDATE becomes a new
+snapshot write (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..core import cells, geom
+from ..core.ingest import cover_geometry
+
+
+def _disk_cells_udf(depth: int, k: int):
+    offsets = cells.disk_offsets(k)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _disk(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        c = cells.encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), depth)
+        nb = cells.neighbors(c, offsets)
+        return pd.Series([[int(v) for v in row[row >= 0]] for row in nb])
+
+    return _disk
+
+
+def _guaranteed_radius_udf(depth: int, k: int):
+    """Exact distance (m) from each point to the boundary of its searched
+    disk(k) square — any edge outside the square is farther than this."""
+    size = cells.cell_size_deg(depth)
+
+    @F.pandas_udf(T.DoubleType())
+    def _gr(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        lo = lon.to_numpy(np.float64)
+        la = lat.to_numpy(np.float64)
+        x, y = cells.lonlat_to_xy(lo, la, depth)
+        west = (lo + 180.0) - (x - k) * size
+        east = (x + k + 1) * size - (lo + 180.0)
+        south = (la + 90.0) - (y - k) * (size / 2)
+        north = (y + k + 1) * (size / 2) - (la + 90.0)
+        gx = np.minimum(west, east) * cells.M_PER_DEG_LON_EQ
+        gy = np.minimum(south, north) * cells.M_PER_DEG_LAT
+        return pd.Series(np.minimum(gx, gy))
+
+    return _gr
+
+
+_DIST_SCHEMA = T.DoubleType()
+
+
+def _dist_udf():
+    @F.pandas_udf(_DIST_SCHEMA)
+    def _dist(lon: pd.Series, lat: pd.Series, wkb: pd.Series) -> pd.Series:
+        g = geom.parse_wkb_batch(wkb)
+        idx = np.arange(len(g), dtype=np.int64)
+        return pd.Series(geom.point_polyline_dist(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), idx, g))
+    return _dist
+
+
+def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
+                     source_df: DataFrame, source_dataset_id: str,
+                     attrs: list[str] | None = None,
+                     cutoff_m: float = 50.0,
+                     depth: int | None = None,
+                     pk: str = "image_id") -> DataFrame:
+    """Tag every target point feature with its nearest source edge.
+
+    Returns the full target dataset with ``props`` extended by
+    ``tag:<attr>`` keys plus ``nearest_edge_id`` / ``nearest_dist_m``
+    columns (null when nothing lies within ``cutoff_m``).
+    """
+    attrs = attrs if attrs is not None else ["highway"]
+    if depth is None:
+        # cell edge ~= cutoff: disk(1) usually resolves round one
+        depth = int(np.clip(cells.depth_for_radius_m(max(cutoff_m, 1.0)),
+                            cells.RES_GRID[7], cells.RES_GRID[10]))
+    cell_m = cells.cell_size_deg(depth) * cells.M_PER_DEG_LAT / 2  # lat-side meters (the tighter axis)
+
+    targets = target_df.filter(F.col("dataset_id") == target_dataset_id)
+    edges = source_df.filter(F.col("dataset_id") == source_dataset_id)
+
+    # per-attr value columns resolved on the source before the join
+    attr_cols = []
+    for a in attrs:
+        name = f"_attr_{a}"
+        col = F.col(a) if a in edges.columns else F.col("props").getItem(a)
+        edges = edges.withColumn(name, col.cast("string"))
+        attr_cols.append(name)
+
+    edge_cells = (cover_geometry(edges, depth, 0.0, out_col="_cov")
+                  .withColumn("cell", F.explode("_cov"))
+                  .select("cell", "edge_id", "geometry", *attr_cols))
+    edge_cells = edge_cells.persist()
+
+    remaining = targets.select(pk, "lon", "lat")
+    best_parts: list[DataFrame] = []
+    k = 1
+    kmax = max(int(math.ceil(cutoff_m / cell_m)) + 1, 1)
+    while True:
+        disk = _disk_cells_udf(depth, k)
+        cand = (remaining
+                .withColumn("cell", F.explode(disk(F.col("lon"), F.col("lat"))))
+                .join(edge_cells, "cell")
+                .drop("cell"))
+        dist = _dist_udf()
+        cand = (cand.withColumn("dist", dist(F.col("lon"), F.col("lat"), F.col("geometry")))
+                    .filter(F.col("dist") <= cutoff_m))
+        # argmin with deterministic tie-break by lowest edge_id
+        best = (cand.groupBy(pk)
+                .agg(F.min(F.struct(F.col("dist"), F.col("edge_id"),
+                                    *[F.col(c) for c in attr_cols])).alias("b"))
+                .select(pk, F.col("b.dist").alias("nearest_dist_m"),
+                        F.col("b.edge_id").alias("nearest_edge_id"),
+                        *[F.col(f"b.{c}").alias(c) for c in attr_cols]))
+        if k >= kmax:
+            # searched square already covers the cutoff: everything found
+            # is global-nearest within the cutoff; the rest stay untagged
+            best_parts.append(best)
+            break
+        gr = _guaranteed_radius_udf(depth, k)
+        best = best.join(remaining.select(pk, "lon", "lat"), pk)
+        best = best.withColumn("_gr", gr(F.col("lon"), F.col("lat")))
+        settled = (best.filter((F.col("nearest_dist_m") <= F.col("_gr"))
+                               | (F.lit(k * cell_m) >= cutoff_m))
+                   .drop("_gr", "lon", "lat"))
+        settled = settled.persist()
+        best_parts.append(settled)
+        remaining = remaining.join(settled.select(pk), pk, "left_anti").persist()
+        if remaining.isEmpty():
+            break
+        k *= 2
+
+    tags = best_parts[0]
+    for p in best_parts[1:]:
+        tags = tags.unionByName(p)
+
+    out = targets.join(tags, pk, "left")
+    graft = F.create_map().cast("map<string,string>")
+    for a, c in zip(attrs, attr_cols):
+        graft = F.map_concat(
+            graft,
+            F.when(F.col(c).isNotNull(), F.create_map(F.lit(f"tag:{a}"), F.col(c)))
+             .otherwise(F.create_map().cast("map<string,string>")))
+    out = out.withColumn(
+        "props",
+        F.map_concat(F.coalesce(F.col("props"), F.create_map().cast("map<string,string>")),
+                     graft))
+    edge_cells.unpersist()
+    return out.drop(*attr_cols)

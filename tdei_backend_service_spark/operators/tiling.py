@@ -1,0 +1,63 @@
+"""Raster<->vector tiling: deterministic tile assignment + per-tile stats.
+
+Part of the benchmark metric (BASELINE.json: "spatial-join +
+tile-assignment rows/sec"). Every image is assigned the slippy-map tile
+(z/x/y, Web-Mercator) containing it, with the deterministic half-open
+convention (west/north edges inclusive — FIXTURES.md T4 tiling fixture).
+Tile keys pack (z, x, y) into one int64 (Morton), so downstream
+aggregation/joins run on a single long column.
+
+The reference has no tiling operator (tiles are this engine's output
+layout for the image payload, per BASELINE.json north_star); cell math
+lives in core/cells.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..core import cells
+
+
+def assign_tiles(df: DataFrame, z: int, lon_col: str = "lon",
+                 lat_col: str = "lat") -> DataFrame:
+    """Add tile_z/tile_x/tile_y/tile_key at zoom ``z`` (recomputing even if
+    ingest already encoded a different zoom)."""
+
+    fields = T.StructType([
+        T.StructField("x", T.LongType()), T.StructField("y", T.LongType()),
+        T.StructField("k", T.LongType()),
+    ])
+
+    @F.pandas_udf(fields)
+    def _tiles(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        lo = lon.to_numpy(np.float64)
+        la = lat.to_numpy(np.float64)
+        tx, ty = cells.lonlat_to_tile(lo, la, z)
+        return pd.DataFrame({"x": tx, "y": ty, "k": cells.tile_key(z, tx, ty)})
+
+    return (df.withColumn("_t", _tiles(F.col(lon_col), F.col(lat_col)))
+              .withColumn("tile_z", F.lit(z).cast("int"))
+              .withColumn("tile_x", F.col("_t.x").cast("int"))
+              .withColumn("tile_y", F.col("_t.y").cast("int"))
+              .withColumn("tile_key", F.col("_t.k"))
+              .drop("_t"))
+
+
+def tile_stats(df: DataFrame, z: int | None = None) -> DataFrame:
+    """Rows/bytes per tile — the per-partition metrics feed for the
+    lineage manifest and the skew histogram (hot tiles -> salting input).
+    Map-side partial aggregation makes this one narrow shuffle."""
+    d = assign_tiles(df, z) if z is not None else df
+    size_col = (F.sum(F.length(F.col("bytes"))) if "bytes" in d.columns
+                else F.lit(None).cast("long"))
+    return (d.groupBy("tile_z", "tile_x", "tile_y", "tile_key")
+             .agg(F.count(F.lit(1)).alias("n_rows"),
+                  size_col.alias("n_bytes")))
+
+
+def hot_tiles(df: DataFrame, top_k: int = 20) -> DataFrame:
+    """Densest tiles (skew histogram) — input to salting decisions."""
+    return tile_stats(df).orderBy(F.desc("n_rows")).limit(top_k)

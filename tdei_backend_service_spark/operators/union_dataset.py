@@ -1,0 +1,105 @@
+"""O4 union_dataset — concatenate two datasets, merging near-duplicates.
+
+Reference: ``content.tdei_union_dataset(tdei_dataset_id_one,
+tdei_dataset_id_two, proximity)`` with proximity defaulting to **0.5**
+(/root/reference/src/service/services/union-query-service.ts:32-37,
+default at :34; numeric type check at :27-30; params
+/root/reference/src/services.json:77-96). The merge rule for the image
+payload follows BASELINE.json: two records merge when they lie within
+``proximity`` meters AND carry the same pixels — phash equality plus
+caption equality (input_hint per-row invariants).
+
+Spark plan:
+  A.unionByName(B) -> self-pair candidates via an equi-join on
+  (phash, cell) where one side's cell cover is padded by ``proximity``
+  (neighbor cells included, so boundary-straddling duplicates are never
+  missed) -> exact distance refine -> survivor selection: a row is
+  dropped iff it matches a strictly "smaller" row (dataset one preferred,
+  then lowest image_id — deterministic). phash in the join key keeps the
+  candidate explosion tiny: only true duplicate groups ever pair up.
+
+The min-winner rule collapses duplicate chains in one pass without an
+iterative connected-components job — at 10^12 rows an iterative CC over
+near-duplicate clusters would dominate the query; duplicate clusters are
+tiny (bounded by upload multiplicity), and within ``proximity`` of each
+other the min-winner and CC answers agree on cluster survivors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..core import cells
+from ..core.compiler import InputException
+
+DEFAULT_PROXIMITY_M = 0.5
+
+
+def union_dataset(df_one: DataFrame, dataset_id_one: str,
+                  df_two: DataFrame, dataset_id_two: str,
+                  proximity: float | None = None,
+                  pk: str = "image_id") -> DataFrame:
+    if proximity is None:
+        proximity = DEFAULT_PROXIMITY_M
+    if isinstance(proximity, str) or not isinstance(proximity, (int, float)):
+        # mirrors union-query-service.ts:27-30 (non-numeric proximity)
+        raise InputException("proximity must be a number")
+    proximity = float(proximity)
+
+    a = df_one.filter(F.col("dataset_id") == dataset_id_one)
+    b = df_two.filter(F.col("dataset_id") == dataset_id_two)
+    both = a.unionByName(b)
+
+    # rank: dataset one wins, then lowest pk — a single deterministic sort key
+    both = both.withColumn(
+        "_rank", F.concat(F.when(F.col("dataset_id") == dataset_id_one, F.lit("0"))
+                          .otherwise(F.lit("1")), F.col(pk)))
+
+    depth = int(np.clip(cells.depth_for_radius_m(max(proximity, 0.5)),
+                        cells.RES_GRID[5], 23))
+    pad_deg = max(cells.meters_to_deg_lat(proximity), cells.meters_to_deg_lon(proximity))
+
+    @F.pandas_udf(T.LongType())
+    def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cells.encode(lon.to_numpy(np.float64),
+                                      lat.to_numpy(np.float64), depth))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _cover(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        lo = lon.to_numpy(np.float64)
+        la = lat.to_numpy(np.float64)
+        out = []
+        for i in range(lo.size):
+            out.append([int(v) for v in cells.cover_bbox(
+                lo[i] - pad_deg, la[i] - pad_deg,
+                lo[i] + pad_deg, la[i] + pad_deg, depth)])
+        return pd.Series(out)
+
+    narrow = both.select(pk, "phash", "caption", "lon", "lat", "_rank")
+    left = (narrow.withColumn("cell", F.explode(_cover(F.col("lon"), F.col("lat"))))
+            .select(F.col(pk).alias("l_pk"), F.col("phash").alias("l_phash"),
+                    F.col("caption").alias("l_cap"), F.col("lon").alias("l_lon"),
+                    F.col("lat").alias("l_lat"), F.col("_rank").alias("l_rank"),
+                    "cell"))
+    right = (narrow.withColumn("cell", _cell(F.col("lon"), F.col("lat")))
+             .select(F.col(pk).alias("r_pk"), F.col("phash").alias("r_phash"),
+                     F.col("caption").alias("r_cap"), F.col("lon").alias("r_lon"),
+                     F.col("lat").alias("r_lat"), F.col("_rank").alias("r_rank"),
+                     "cell"))
+
+    sx = cells.M_PER_DEG_LON_EQ
+    sy = cells.M_PER_DEG_LAT
+    pairs = (left.join(right, (left.cell == right.cell)
+                       & (left.l_phash == right.r_phash)
+                       & (left.l_cap == right.r_cap)
+                       & (left.l_rank > right.r_rank))  # only "a smaller twin exists"
+             .filter(
+                 F.sqrt(F.pow((F.col("l_lon") - F.col("r_lon")) * sx, 2)
+                        + F.pow((F.col("l_lat") - F.col("r_lat")) * sy, 2))
+                 <= proximity))
+    losers = pairs.select(F.col("l_pk").alias(pk), F.col("l_rank").alias("_rank")).distinct()
+
+    out = both.join(losers, [pk, "_rank"], "left_anti").drop("_rank")
+    return out

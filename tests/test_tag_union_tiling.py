@@ -1,0 +1,209 @@
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tdei_backend_service_spark.core import cells, geom
+from tdei_backend_service_spark.core.compiler import InputException
+from tdei_backend_service_spark.core.schema import EDGES_SCHEMA, IMAGES_SCHEMA
+from tdei_backend_service_spark.datagen import synth_images_df
+from tdei_backend_service_spark.operators.tag_road import dataset_tag_road
+from tdei_backend_service_spark.operators.tiling import assign_tiles, tile_stats
+from tdei_backend_service_spark.operators.union_dataset import union_dataset
+
+M_LAT = geom.M_PER_DEG_LAT
+
+
+def _img_row(i, lon, lat, dataset_id="ds-a", phash=None, caption=None):
+    return {"image_id": f"img-{i:04d}", "bytes": None, "w": 8, "h": 8,
+            "fmt": "png", "caption": caption or f"cap {i}",
+            "phash": phash if phash is not None else i,
+            "lon": lon, "lat": lat, "props": {}, "dataset_id": dataset_id}
+
+
+# ---------------------------------------------------------------------------
+# O3 kNN tagging
+# ---------------------------------------------------------------------------
+
+def test_tag_road_known_nearest(spark):
+    """FIXTURES.md T4 kNN fixture: unique known nearest edges, one tie
+    broken by lowest edge_id, and an image beyond the cutoff."""
+    edges = pd.DataFrame([
+        {"edge_id": 0, "orig_node_id": 0, "dest_node_id": 1,
+         "geometry": geom.wkb_linestring([(-122.33, 47.65), (-122.31, 47.65)]),
+         "props": {"highway": "footway"}, "dataset_id": "ds-e"},
+        {"edge_id": 1, "orig_node_id": 2, "dest_node_id": 3,
+         "geometry": geom.wkb_linestring([(-122.33, 47.66), (-122.31, 47.66)]),
+         "props": {"highway": "residential"}, "dataset_id": "ds-e"},
+        # edge 2 is coincident with edge 1: a bit-exact distance tie for
+        # any image near it -> winner must be the lower edge_id (1)
+        {"edge_id": 2, "orig_node_id": 4, "dest_node_id": 5,
+         "geometry": geom.wkb_linestring([(-122.33, 47.66), (-122.31, 47.66)]),
+         "props": {"highway": "steps"}, "dataset_id": "ds-e"},
+    ])
+    mid = -122.32
+    imgs = pd.DataFrame([
+        _img_row(0, mid, 47.65 + 5 / M_LAT),          # 5 m from edge 0
+        _img_row(1, mid, 47.66 - 3 / M_LAT),          # 3 m from edge 1
+        _img_row(2, mid, 47.66 + 2 / M_LAT),          # 2 m from coincident edges 1&2 -> tie -> edge 1
+        _img_row(3, mid, 47.69),                      # ~3.3 km, beyond cutoff
+    ])
+    e = spark.createDataFrame(edges, schema=EDGES_SCHEMA)
+    im = spark.createDataFrame(imgs, schema=IMAGES_SCHEMA)
+    out = dataset_tag_road(im, "ds-a", e, "ds-e", attrs=["highway"], cutoff_m=600.0)
+    rows = {r.image_id: r for r in out.collect()}
+    assert rows["img-0000"].nearest_edge_id == 0
+    assert abs(rows["img-0000"].nearest_dist_m - 5.0) < 0.05
+    assert rows["img-0000"].props["tag:highway"] == "footway"
+    assert rows["img-0001"].nearest_edge_id == 1
+    assert rows["img-0001"].props["tag:highway"] == "residential"
+    assert rows["img-0002"].nearest_edge_id == 1  # exact tie -> lowest edge_id
+    assert rows["img-0002"].props["tag:highway"] == "residential"
+    assert rows["img-0003"].nearest_edge_id is None  # untagged beyond cutoff
+    assert "tag:highway" not in rows["img-0003"].props
+    assert len(rows) == 4  # every target row present exactly once
+
+
+def test_tag_road_matches_bruteforce(spark):
+    """Randomized parity: ring-expansion kNN == brute force argmin."""
+    rng = np.random.default_rng(5)
+    n_img, n_edge = 200, 15
+    imgs = pd.DataFrame([
+        _img_row(i, rng.uniform(-122.35, -122.25), rng.uniform(47.6, 47.7))
+        for i in range(n_img)])
+    eg = []
+    for e in range(n_edge):
+        x0 = rng.uniform(-122.35, -122.25)
+        y0 = rng.uniform(47.6, 47.7)
+        eg.append({"edge_id": e, "orig_node_id": 0, "dest_node_id": 1,
+                   "geometry": geom.wkb_linestring(
+                       [(x0, y0), (x0 + rng.uniform(-0.01, 0.01),
+                                   y0 + rng.uniform(-0.01, 0.01))]),
+                   "props": {}, "dataset_id": "ds-e"})
+    e_df = spark.createDataFrame(pd.DataFrame(eg), schema=EDGES_SCHEMA)
+    i_df = spark.createDataFrame(imgs, schema=IMAGES_SCHEMA)
+    cutoff = 800.0
+    out = dataset_tag_road(i_df, "ds-a", e_df, "ds-e", cutoff_m=cutoff)
+    got = {r.image_id: (r.nearest_edge_id, r.nearest_dist_m) for r in out.collect()}
+
+    g = geom.parse_wkb_batch([r["geometry"] for r in eg])
+    lon = imgs.lon.to_numpy()
+    lat = imgs.lat.to_numpy()
+    dists = np.stack([geom.point_polyline_dist(lon, lat, np.full(n_img, e, dtype=np.int64), g)
+                      for e in range(n_edge)])  # (n_edge, n_img)
+    assert len(got) == n_img
+    n_checked = 0
+    for i in range(n_img):
+        d = dists[:, i]
+        jbest = int(np.argmin(d))
+        iid = f"img-{i:04d}"
+        if d[jbest] > cutoff:
+            assert got[iid][0] is None
+        else:
+            assert got[iid][0] == jbest, (iid, got[iid], jbest, d[jbest])
+            assert abs(got[iid][1] - d[jbest]) < 1e-6
+            n_checked += 1
+    assert n_checked > 50  # fixture actually exercises matches
+
+
+# ---------------------------------------------------------------------------
+# O4 union + proximity dedup
+# ---------------------------------------------------------------------------
+
+def test_union_dedup_expected_cardinality(spark):
+    """FIXTURES.md T4 union fixture: |A| + |B| - D at default proximity,
+    near-misses at 1.5x proximity survive."""
+    nA, nB, D = 40, 30, 10
+    A = spark.createDataFrame(
+        pd.DataFrame([_img_row(i, -122.3 + i * 1e-3, 47.65, "ds-A") for i in range(nA)]),
+        schema=IMAGES_SCHEMA)
+    # first D rows of B duplicate A rows (same phash+caption, jitter < prox/2);
+    # next 5 are near-misses at 1.5x proximity; rest unique
+    rows = []
+    prox = 0.5
+    for j in range(nB):
+        if j < D:
+            rows.append(_img_row(1000 + j, -122.3 + j * 1e-3,
+                                 47.65 + (prox / 2) / M_LAT, "ds-B",
+                                 phash=j, caption=f"cap {j}"))
+        elif j < D + 5:
+            src = j - D + D  # duplicate content of A row j
+            rows.append(_img_row(1000 + j, -122.3 + src * 1e-3,
+                                 47.65 + (prox * 1.5) / M_LAT, "ds-B",
+                                 phash=src, caption=f"cap {src}"))
+        else:
+            rows.append(_img_row(1000 + j, -122.2 + j * 1e-3, 47.68, "ds-B"))
+    B = spark.createDataFrame(pd.DataFrame(rows), schema=IMAGES_SCHEMA)
+    out = union_dataset(A, "ds-A", B, "ds-B")
+    got = out.collect()
+    assert len(got) == nA + nB - D
+    # survivors of duplicate pairs are the dataset-one copies
+    surviving_ids = {r.image_id for r in got}
+    for i in range(D):
+        assert f"img-{i:04d}" in surviving_ids
+        assert f"img-{1000 + i:04d}" not in surviving_ids
+
+
+def test_union_dedup_same_spot_different_pixels_survive(spark):
+    A = spark.createDataFrame(pd.DataFrame([_img_row(0, -122.3, 47.65, "ds-A", phash=1)]),
+                              schema=IMAGES_SCHEMA)
+    B = spark.createDataFrame(pd.DataFrame([_img_row(1, -122.3, 47.65, "ds-B", phash=2)]),
+                              schema=IMAGES_SCHEMA)
+    assert union_dataset(A, "ds-A", B, "ds-B").count() == 2
+
+
+def test_union_proximity_type_check(spark):
+    A = spark.createDataFrame(pd.DataFrame([_img_row(0, -122.3, 47.65, "ds-A")]),
+                              schema=IMAGES_SCHEMA)
+    with pytest.raises(InputException):
+        union_dataset(A, "ds-A", A, "ds-A", proximity="abc")
+
+
+def test_union_chain_collapse(spark):
+    # a~b, b~c within proximity: only the smallest survives the chain
+    prox = 0.5
+    step = (prox * 0.8) / M_LAT
+    A = spark.createDataFrame(pd.DataFrame([
+        _img_row(0, -122.3, 47.65, "ds-A", phash=7, caption="x")]),
+        schema=IMAGES_SCHEMA)
+    B = spark.createDataFrame(pd.DataFrame([
+        _img_row(1, -122.3, 47.65 + step, "ds-B", phash=7, caption="x"),
+        _img_row(2, -122.3, 47.65 + 2 * step, "ds-B", phash=7, caption="x")]),
+        schema=IMAGES_SCHEMA)
+    out = union_dataset(A, "ds-A", B, "ds-B")
+    ids = sorted(r.image_id for r in out.collect())
+    assert ids == ["img-0000"]
+
+
+# ---------------------------------------------------------------------------
+# tiling
+# ---------------------------------------------------------------------------
+
+def test_tile_assignment_matches_kernel(spark):
+    df = synth_images_df(spark, 500, with_bytes=False)
+    out = assign_tiles(df, 14).select("lon", "lat", "tile_x", "tile_y", "tile_key").collect()
+    lon = np.array([r.lon for r in out])
+    lat = np.array([r.lat for r in out])
+    tx, ty = cells.lonlat_to_tile(lon, lat, 14)
+    assert np.array_equal(tx, np.array([r.tile_x for r in out]))
+    assert np.array_equal(ty, np.array([r.tile_y for r in out]))
+    assert np.array_equal(cells.tile_key(14, tx, ty),
+                          np.array([r.tile_key for r in out]))
+
+
+def test_tile_boundary_half_open(spark):
+    z = 10
+    n = 1 << z
+    lon_edge = -180.0 + 360.0 / n
+    df = spark.createDataFrame(
+        pd.DataFrame([_img_row(0, lon_edge, 0.0)]), schema=IMAGES_SCHEMA)
+    r = assign_tiles(df, z).select("tile_x").first()
+    assert r.tile_x == 1  # west edge belongs to the eastern tile
+
+
+def test_tile_stats_counts(spark):
+    df = synth_images_df(spark, 1000, with_bytes=False)
+    stats = tile_stats(df, z=12)
+    total = stats.agg(F.sum("n_rows")).first()[0]
+    assert total == 1000
+    assert stats.filter(F.col("n_rows") <= 0).count() == 0
