@@ -1,38 +1,403 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 (plus the training-data pipeline ops); ``oracle_sql()``
+gives the DuckDB-equivalent SQL. Spatial inputs are derived from TPC-H
+keys with exact integer arithmetic (tdei_backend_service_spark/
+fixtures_tpch.py) so spatial answers are SQL-expressible; the Spark side
+runs the REAL operators (two-phase cell join, ring-expansion kNN,
+union-dedup, tiling) — the SQL uses the closed-form fixture geometry.
+
+Float columns are either bit-identically derived in both engines
+(verified: same IEEE op sequences) or avoided in favor of ints/strings.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tdei_backend_service_spark import fixtures_tpch as FX
+from tdei_backend_service_spark.operators.bbox import bbox_filter_points
+from tdei_backend_service_spark.operators.pagination import dynamic_query
+from tdei_backend_service_spark.operators.spatial_join import spatial_join
+from tdei_backend_service_spark.operators.tag_road import dataset_tag_road
+from tdei_backend_service_spark.operators.tiling import assign_tiles
+from tdei_backend_service_spark.operators.union_dataset import union_dataset
+from tdei_backend_service_spark.pipeline import dedup as DD
+from tdei_backend_service_spark.pipeline import similarity as SIM
+from tdei_backend_service_spark.pipeline import text as TX
+
+BBOX = (-122.33, 47.62, -122.29, 47.66)
+CELL_DEPTH = 16
+TILE_Z = 15
+KNN_CUTOFF_M = 300.0
+
+_LON = FX.SQL_LON.format(k="o_orderkey")
+_LAT = FX.SQL_LAT.format(k="o_orderkey")
+_PTS = f"(SELECT o_orderkey, {_LON} AS lon, {_LAT} AS lat FROM orders)"
+# nearest grid edge: k = clamp(round((lat-47.605)/0.01), 0..9)
+_PTS_K = ("(SELECT o_orderkey, lon, lat, "
+          " CAST(LEAST(GREATEST(ROUND((lat - 47.605) / 0.01), 0), 9) AS BIGINT) AS k,"
+          " ABS(lat - (47.605 + CAST(LEAST(GREATEST(ROUND((lat - 47.605) / 0.01), 0), 9) AS BIGINT) * 0.01)) * 110540.0 AS dist_m"
+          f" FROM {_PTS})")
+
+_NORM_TEXT = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_WORDS = "list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))"
+
+
+def _sw_sql(code: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.STOPWORDS[code])
+    return f"len(list_intersect({_WORDS}, [{words}]))"
+
+
+# ---------------------------------------------------------------------------
+# query implementations (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+
+def _q_bbox(spark: SparkSession, sf: str) -> DataFrame:
+    pts = FX.orders_points(spark, sf)
+    return (bbox_filter_points(pts, BBOX, "tpch")
+            .select("o_orderkey", "lon", "lat"))
+
+
+def _q_cell_grid(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from tdei_backend_service_spark.core import cells
+
+    @F.pandas_udf(T.StructType([T.StructField("cell_x", T.LongType()),
+                                T.StructField("cell_y", T.LongType())]))
+    def _xy(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        # full encode->morton->decode roundtrip (exercises the index)
+        c = cells.encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64),
+                         CELL_DEPTH)
+        x, y = cells.cell_xy(c)
+        return pd.DataFrame({"cell_x": x, "cell_y": y})
+
+    pts = FX.orders_points(spark, sf)
+    return (pts.withColumn("_xy", _xy(F.col("lon"), F.col("lat")))
+            .groupBy(F.col("_xy.cell_x").alias("cell_x"),
+                     F.col("_xy.cell_y").alias("cell_y"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _q_tiles(spark: SparkSession, sf: str) -> DataFrame:
+    pts = FX.orders_points(spark, sf)
+    return (assign_tiles(pts, TILE_Z)
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _q_knn_tag(spark: SparkSession, sf: str) -> DataFrame:
+    pts = FX.orders_points(spark, sf)
+    edges = FX.grid_edges(spark)
+    out = dataset_tag_road(pts, "tpch", edges, "tpch-edges",
+                           attrs=["highway"], cutoff_m=KNN_CUTOFF_M,
+                           pk="o_orderkey")
+    return out.select("o_orderkey", "nearest_edge_id")
+
+
+def _q_join_count(spark: SparkSession, sf: str) -> DataFrame:
+    pts = FX.orders_points(spark, sf)
+    edges = FX.grid_edges(spark)
+    out = spatial_join(edges, "edge", "tpch-edges", pts, "point", "tpch",
+                       f"ST_DWithin(geometry_target, geometry_source, {KNN_CUTOFF_M})",
+                       ["count(*) as n"])
+    return out.select("edge_id",
+                      F.col("props").getItem("ext:n").cast("bigint").alias("n"))
+
+
+def _q_union(spark: SparkSession, sf: str) -> DataFrame:
+    a = FX.customer_images(spark, sf, "A")
+    b = FX.customer_images(spark, sf, "B")
+    return union_dataset(a, "ds-A", b, "ds-B").select("image_id")
+
+
+def _q_pagination(spark: SparkSession, sf: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return dynamic_query(orders, select=["o_orderkey"],
+                         order_by=("o_orderkey", "DESC"),
+                         page_no=3, page_size=20)
+
+
+def _q_proj_join(spark: SparkSession, sf: str) -> DataFrame:
+    customer = spark.read.parquet(f"{sf}/customer.parquet")
+    nation = (spark.read.parquet(f"{sf}/nation.parquet")
+              .withColumnRenamed("n_nationkey", "c_nationkey"))
+    return dynamic_query(customer, select=["c_custkey", "n_name"],
+                         join=(nation, "c_nationkey"),
+                         where=[("c_mktsegment", "BUILDING")],
+                         order_by=("c_custkey", "ASC"), page_size=50)
+
+
+def _q_groupby(spark: SparkSession, sf: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                 .alias("sum_price_cents"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def _q_topk(spark: SparkSession, sf: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return (orders.groupBy("o_custkey")
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                 .alias("total_cents"))
+            .orderBy(F.desc("total_cents"), F.asc("o_custkey"))
+            .limit(10))
+
+
+def _q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return TX.with_token_counts(docs).select("doc_id", "n_tokens_ws", "n_tokens_bpe")
+
+
+def _q_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (TX.with_quality(docs)
+            .select("doc_id", "n_chars_m", "stopword_hits", "quality_score"))
+
+
+def _q_langid(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (TX.with_langid(docs).groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return DD.exact_dedup(docs).select("doc_id")
+
+
+def _q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return TX.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def _q_embed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return (SIM.brute_force_topk(emb, queries, k=5)
+            .select("q_id", "vec_id", "rank"))
+
+
+# --- rows-only entries (non-SQL-expressible; driver records row check) ---
+
+
+def _q_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return DD.minhash_dedup(docs, threshold=0.8).select("doc_id")
+
+
+def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return DD.simhash_dedup(docs, max_hamming=3).select("doc_id")
+
+
+def _q_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return DD.embedding_dedup(emb, threshold=0.98).select("vec_id")
+
+
+def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return (SIM.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4)
+            .select("q_id", "vec_id", "rank"))
+
+
+def _q_payload_invariants(spark: SparkSession, sf: str) -> DataFrame:
+    from tdei_backend_service_spark.datagen import synth_images_df
+    from tdei_backend_service_spark.pipeline.multimodal import \
+        verify_payload_invariants
+    imgs = synth_images_df(spark, 200, with_bytes=True, img_px=8)
+    return (verify_payload_invariants(imgs)
+            .filter(F.col("invariant_ok"))
+            .select("image_id", "fmt"))
+
+
+def _q_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return TX.with_winnow_fingerprint(docs).select("doc_id", "winnow_fp")
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: two-phase spatial join (edge x derived points) at sf0.001."""
+    return _q_join_count(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bbox_points": _q_bbox,
+        "cell_grid_agg": _q_cell_grid,
+        "tile_assign": _q_tiles,
+        "knn_tag": _q_knn_tag,
+        "spatial_join_count": _q_join_count,
+        "union_dedup": _q_union,
+        "pagination": _q_pagination,
+        "proj_filter_join": _q_proj_join,
+        "groupby_pricing": _q_groupby,
+        "topk_customers": _q_topk,
+        "token_count": _q_token_count,
+        "text_quality": _q_quality,
+        "langid": _q_langid,
+        "exact_dedup": _q_exact_dedup,
+        "fingerprint": _q_fingerprint,
+        "embedding_topk": _q_embed_topk,
+        # rows-only (no SQL oracle): LSH/banding internals are not
+        # SQL-expressible; pytest brute-force oracles cover them
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash,
+        "embedding_neardup": _q_embed_neardup,
+        "ivf_topk": _q_ivf_topk,
+        "payload_invariants": _q_payload_invariants,
+        "winnow_fingerprint": _q_winnow,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sw_cases = " ".join(
+        f"WHEN h_{c} = best THEN '{c}'" for c in sorted(TX.STOPWORDS))
+    hits_exprs_named = "GREATEST(" + ", ".join(
+        f"h_{c}" for c in sorted(TX.STOPWORDS)) + ")"
+    n_tile = 1 << TILE_Z
+    n_cell = 1 << CELL_DEPTH
+    return {
+        "bbox_points": f"""
+            SELECT o_orderkey, lon, lat FROM {_PTS}
+            WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]}
+              AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}
+        """,
+        "cell_grid_agg": f"""
+            SELECT CAST(FLOOR((lon + 180.0) / 360.0 * {n_cell}) AS BIGINT) AS cell_x,
+                   CAST(FLOOR((lat + 90.0) / 180.0 * {n_cell}) AS BIGINT) AS cell_y,
+                   COUNT(*) AS n
+            FROM {_PTS} GROUP BY 1, 2
+        """,
+        "tile_assign": f"""
+            SELECT CAST(FLOOR((lon + 180.0) / 360.0 * {n_tile}) AS INT) AS tile_x,
+                   CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * {n_tile}) AS INT) AS tile_y,
+                   COUNT(*) AS n
+            FROM {_PTS} GROUP BY 1, 2
+        """,
+        "knn_tag": f"""
+            SELECT o_orderkey,
+                   CASE WHEN dist_m <= {KNN_CUTOFF_M} THEN k END AS nearest_edge_id
+            FROM {_PTS_K}
+        """,
+        "spatial_join_count": f"""
+            SELECT r.range AS edge_id, COALESCE(c.n, 0) AS n
+            FROM range(10) r LEFT JOIN (
+              SELECT k, COUNT(*) AS n FROM {_PTS_K}
+              WHERE dist_m <= {KNN_CUTOFF_M} GROUP BY k) c
+            ON r.range = c.k
+        """,
+        "union_dedup": """
+            SELECT 'A-' || c_custkey AS image_id FROM customer
+            UNION ALL
+            SELECT 'B-' || c_custkey AS image_id FROM customer
+            WHERE c_custkey >= 300
+        """,
+        "pagination": """
+            SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC
+            LIMIT 20 OFFSET 40
+        """,
+        "proj_filter_join": """
+            SELECT c_custkey, n_name FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_mktsegment = 'BUILDING'
+            ORDER BY c_custkey LIMIT 50
+        """,
+        "groupby_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "topk_customers": """
+            SELECT o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+            FROM orders GROUP BY o_custkey
+            ORDER BY total_cents DESC, o_custkey LIMIT 10
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')) AS n_tokens_ws,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe
+            FROM documents
+        """,
+        "text_quality": _quality_sql(),
+        "langid": f"""
+            WITH hits AS (
+              SELECT doc_id,
+                     {", ".join(f"{_sw_sql(c)} AS h_{c}" for c in sorted(TX.STOPWORDS))}
+              FROM documents),
+            scored AS (
+              SELECT doc_id, {hits_exprs_named} AS best,
+                     {", ".join(f"h_{c}" for c in sorted(TX.STOPWORDS))}
+              FROM hits)
+            SELECT lang_pred, COUNT(*) AS n FROM (
+              SELECT CASE WHEN best = 0 THEN 'und' {sw_cases} END AS lang_pred
+              FROM scored) GROUP BY lang_pred
+        """,
+        "exact_dedup": f"""
+            SELECT MIN(doc_id) AS doc_id FROM documents
+            GROUP BY md5({_NORM_TEXT})
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            s AS (SELECT q.q_id, e.vec_id,
+                    list_sum(list_transform(list_zip(e.embedding, q.qe),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(e.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(q.qe,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+                  FROM embeddings e, q)
+            SELECT q_id, vec_id, rank FROM (
+              SELECT q_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, vec_id) AS rank
+              FROM s) WHERE rank <= 5
+        """,
+    }
+
+
+def _quality_sql() -> str:
+    sw = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+    return rf"""
+        SELECT doc_id, n_chars_m, stopword_hits,
+               ROUND(LEAST(n_chars_m / 200.0, 1.0) * 0.3
+                   + GREATEST(0.0, 1.0 - punct_ratio * 4) * 0.25
+                   + GREATEST(0.0, 1.0 - digit_ratio * 4) * 0.25
+                   + LEAST(CAST(stopword_hits AS DOUBLE) / 3.0, 1.0) * 0.2,
+                 6) AS quality_score
+        FROM (
+          SELECT doc_id, length(text) AS n_chars_m,
+            (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+              / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
+            (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+              / CAST(GREATEST(length(text), 1) AS DOUBLE) AS digit_ratio,
+            len(list_intersect({_WORDS}, [{sw}])) AS stopword_hits
+          FROM documents)
     """
-    return {}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline spatial-join + tile-assignment suite.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "rows_per_sec": ...}
+
+Each query materializes fully via a noop write (no driver collect).
+The suite mirrors BASELINE.json's metric: bbox / spatial join / kNN
+tagging / union-dedup / tile assignment over the geotagged fixture,
+plus the dedup/text pipeline stages.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from tdei_backend_service_spark.session import get_spark
+
+    spark = get_spark("tdei-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    headline = [
+        "bbox_points", "cell_grid_agg", "tile_assign", "spatial_join_count",
+        "knn_tag", "union_dedup", "groupby_pricing", "topk_customers",
+        "token_count", "exact_dedup", "minhash_dedup", "embedding_topk",
+    ]
+
+    # input size for throughput: rows entering the spatial suite
+    n_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = qs[name]
+        # warm the input file listing cache, then time the full pipeline
+        t0 = time.time()
+        _materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    spatial_rows = n_orders * 4 + n_cust * 2  # rows processed by the spatial suite
+    spatial_secs = sum(timings[q] for q in
+                       ("bbox_points", "cell_grid_agg", "tile_assign",
+                        "spatial_join_count", "knn_tag", "union_dedup"))
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "spatial-join + tile-assignment suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows_per_sec": round(spatial_rows / max(spatial_secs, 1e-9), 1),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

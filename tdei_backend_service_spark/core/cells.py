@@ -66,14 +66,18 @@ def cell_size_deg(depth: int) -> float:
     return 360.0 / (1 << depth)
 
 
-def depth_for_radius_m(radius_m: float, lat: float = 0.0) -> int:
-    """Deepest grid depth whose cell edge is >= ``radius_m`` meters.
+def cell_lat_m(depth: int) -> float:
+    """Meters of a cell's LAT extent (the tighter axis: lat spans 180 deg
+    over 2^depth cells, half the lon extent in degrees)."""
+    return (180.0 / (1 << depth)) * M_PER_DEG_LAT
 
-    Used to pick the join resolution so one neighbor ring always covers a
-    distance predicate of ``radius_m`` (no false-negative candidates).
-    """
-    deg = max(meters_to_deg_lon(radius_m, lat), meters_to_deg_lat(radius_m))
-    depth = int(np.floor(np.log2(360.0 / max(deg, 1e-12))))
+
+def depth_for_radius_m(radius_m: float, lat: float = 0.0) -> int:
+    """Deepest grid depth whose cell extent is >= ``radius_m`` meters on
+    BOTH axes (the lat axis is the tighter one at the equator), so one
+    neighbor ring always covers a distance predicate of ``radius_m``
+    (no false-negative candidates)."""
+    depth = int(np.floor(np.log2(180.0 * M_PER_DEG_LAT / max(radius_m, 1e-9))))
     return int(np.clip(depth, 1, MAX_DEPTH))
 
 

@@ -95,11 +95,15 @@ def synth_images_pandas(ids: np.ndarray, seed: int = 42, dataset_id: str = "ds-a
     ws = np.full(n, img_px, dtype=np.int32)
     hs = np.full(n, img_px, dtype=np.int32)
     if with_bytes:
+        from ..codecs.image import decode_image
         for k in range(n):
             rng = np.random.Generator(np.random.Philox(key=[seed, int(content_ids[k])]))
             img = rng.integers(0, 256, size=(img_px, img_px, 3), dtype=np.uint8)
-            blobs.append(encode_image(img, str(fmt[k])))
-            phash[k] = ahash64(img)
+            blob = encode_image(img, str(fmt[k]))
+            blobs.append(blob)
+            # phash describes the STORED image: hash the decoded payload so
+            # lossy quantization can never desync phash from bytes
+            phash[k] = ahash64(decode_image(blob, str(fmt[k])))
     else:
         blobs = [None] * n
         phash = (hsh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)

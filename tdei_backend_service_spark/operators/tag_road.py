@@ -102,7 +102,7 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
         # cell edge ~= cutoff: disk(1) usually resolves round one
         depth = int(np.clip(cells.depth_for_radius_m(max(cutoff_m, 1.0)),
                             cells.RES_GRID[7], cells.RES_GRID[10]))
-    cell_m = cells.cell_size_deg(depth) * cells.M_PER_DEG_LAT / 2  # lat-side meters (the tighter axis)
+    cell_m = cells.cell_lat_m(depth)  # tighter axis (lat) in meters
 
     targets = target_df.filter(F.col("dataset_id") == target_dataset_id)
     edges = source_df.filter(F.col("dataset_id") == source_dataset_id)
@@ -118,49 +118,57 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
     edge_cells = (cover_geometry(edges, depth, 0.0, out_col="_cov")
                   .withColumn("cell", F.explode("_cov"))
                   .select("cell", "edge_id", "geometry", *attr_cols))
-    edge_cells = edge_cells.persist()
 
-    remaining = targets.select(pk, "lon", "lat")
-    best_parts: list[DataFrame] = []
-    k = 1
-    kmax = max(int(math.ceil(cutoff_m / cell_m)) + 1, 1)
-    while True:
+    def _search(pts: DataFrame, k: int, dist_cap) -> DataFrame:
+        """disk(k) candidate join -> exact distance -> per-target argmin
+        (deterministic tie-break: lowest edge_id rides in the min struct)."""
         disk = _disk_cells_udf(depth, k)
-        cand = (remaining
-                .withColumn("cell", F.explode(disk(F.col("lon"), F.col("lat"))))
-                .join(edge_cells, "cell")
-                .drop("cell"))
         dist = _dist_udf()
-        cand = (cand.withColumn("dist", dist(F.col("lon"), F.col("lat"), F.col("geometry")))
-                    .filter(F.col("dist") <= cutoff_m))
-        # argmin with deterministic tie-break by lowest edge_id
-        best = (cand.groupBy(pk)
+        cand = (pts.withColumn("cell", F.explode(disk(F.col("lon"), F.col("lat"))))
+                .join(edge_cells, "cell").drop("cell")
+                .withColumn("dist", dist(F.col("lon"), F.col("lat"), F.col("geometry")))
+                .filter(F.col("dist") <= dist_cap))
+        return (cand.groupBy(pk)
                 .agg(F.min(F.struct(F.col("dist"), F.col("edge_id"),
                                     *[F.col(c) for c in attr_cols])).alias("b"))
                 .select(pk, F.col("b.dist").alias("nearest_dist_m"),
                         F.col("b.edge_id").alias("nearest_edge_id"),
                         *[F.col(f"b.{c}").alias(c) for c in attr_cols]))
-        if k >= kmax:
-            # searched square already covers the cutoff: everything found
-            # is global-nearest within the cutoff; the rest stay untagged
-            best_parts.append(best)
-            break
-        gr = _guaranteed_radius_udf(depth, k)
-        best = best.join(remaining.select(pk, "lon", "lat"), pk)
-        best = best.withColumn("_gr", gr(F.col("lon"), F.col("lat")))
-        settled = (best.filter((F.col("nearest_dist_m") <= F.col("_gr"))
-                               | (F.lit(k * cell_m) >= cutoff_m))
-                   .drop("_gr", "lon", "lat"))
-        settled = settled.persist()
-        best_parts.append(settled)
-        remaining = remaining.join(settled.select(pk), pk, "left_anti").persist()
-        if remaining.isEmpty():
-            break
-        k *= 2
 
-    tags = best_parts[0]
-    for p in best_parts[1:]:
-        tags = tags.unionByName(p)
+    k_cover = max(int(math.ceil(cutoff_m / cell_m)), 1)
+    points = targets.select(pk, "lon", "lat")
+
+    if k_cover <= 2:
+        # common case: the cutoff fits a small disk -> ONE candidate join,
+        # no driver iteration, no intermediate persists. disk(k_cover)
+        # provably covers cutoff_m from anywhere in the center cell.
+        tags = _search(points, k_cover, F.lit(cutoff_m))
+    else:
+        # large cutoff: expand rings, settling targets whose best found
+        # distance is within the per-point guaranteed radius (exact
+        # distance to the searched square's boundary)
+        edge_cells = edge_cells.persist()
+        remaining = points
+        best_parts: list[DataFrame] = []
+        k = 1
+        while True:
+            best = _search(remaining, k, F.lit(cutoff_m))
+            if k >= k_cover:
+                best_parts.append(best)
+                break
+            gr = _guaranteed_radius_udf(depth, k)
+            best = (best.join(remaining, pk)
+                    .withColumn("_gr", gr(F.col("lon"), F.col("lat"))))
+            settled = (best.filter(F.col("nearest_dist_m") <= F.col("_gr"))
+                       .drop("_gr", "lon", "lat").persist())
+            best_parts.append(settled)
+            remaining = remaining.join(settled.select(pk), pk, "left_anti").persist()
+            if remaining.isEmpty():
+                break
+            k = min(k * 2, k_cover)
+        tags = best_parts[0]
+        for p in best_parts[1:]:
+            tags = tags.unionByName(p)
 
     out = targets.join(tags, pk, "left")
     graft = F.create_map().cast("map<string,string>")
@@ -173,5 +181,4 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
         "props",
         F.map_concat(F.coalesce(F.col("props"), F.create_map().cast("map<string,string>")),
                      graft))
-    edge_cells.unpersist()
     return out.drop(*attr_cols)

@@ -51,6 +51,10 @@ def union_dataset(df_one: DataFrame, dataset_id_one: str,
     a = df_one.filter(F.col("dataset_id") == dataset_id_one)
     b = df_two.filter(F.col("dataset_id") == dataset_id_two)
     both = a.unionByName(b)
+    # unioning a dataset with itself (or overlapping inputs) duplicates
+    # identical rows outright; collapse them before proximity dedup
+    if dataset_id_one == dataset_id_two:
+        both = both.dropDuplicates([pk, "dataset_id"])
 
     # rank: dataset one wins, then lowest pk — a single deterministic sort key
     both = both.withColumn(

@@ -89,8 +89,9 @@ def test_cover_segments_pad():
 
 def test_depth_for_radius():
     d = cells.depth_for_radius_m(100.0)
-    assert cells.cell_size_deg(d) * cells.M_PER_DEG_LAT >= 100.0
-    assert cells.cell_size_deg(d + 1) * cells.M_PER_DEG_LAT < 110.0
+    # the LAT extent (tighter axis) must cover the radius at d, not at d+1
+    assert cells.cell_lat_m(d) >= 100.0
+    assert cells.cell_lat_m(d + 1) < 100.0
 
 
 def test_tiles_deterministic_boundary():

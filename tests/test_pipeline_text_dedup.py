@@ -1,0 +1,127 @@
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tdei_backend_service_spark.pipeline import dedup as D
+from tdei_backend_service_spark.pipeline import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog and it is happy."),
+        (1, "the   quick brown fox jumps over the lazy dog and it is happy."),  # ws/case dup of 0
+        (2, "Der Hund ist ein Tier und die Katze ist mit dem Haus."),
+        (3, "El perro es un animal y la casa de los gatos se ve por aqui."),
+        (4, "zzz qqq 123 456 789 000 111 !!! ??? ..."),
+        (5, "xyzzy plugh"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])).cache()
+
+
+def test_token_counts(spark, docs):
+    out = {r.doc_id: (r.n_tokens_ws, r.n_tokens_bpe)
+           for r in X.with_token_counts(docs).collect()}
+    assert out[0][0] == 13  # whitespace tokens
+    assert out[0][1] == 14  # trailing '.' splits as its own symbol token
+    assert out[5] == (2, 2)
+
+
+def test_quality_score(spark, docs):
+    out = {r.doc_id: r for r in X.with_quality(docs).collect()}
+    assert 0.0 <= out[4].quality_score <= 1.0
+    # clean English prose beats symbol soup
+    assert out[0].quality_score > out[4].quality_score
+    assert out[0].stopword_hits >= 3
+    assert out[4].digit_ratio > 0.3
+
+
+def test_langid(spark, docs):
+    out = {r.doc_id: r.lang_pred for r in X.with_langid(docs).collect()}
+    assert out[0] == "en"
+    assert out[2] == "de"
+    assert out[3] == "es"
+    assert out[4] == "und"
+
+
+def test_fingerprint_normalizes_ws_and_case(spark, docs):
+    out = {r.doc_id: r.fingerprint for r in X.with_fingerprint(docs).collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+
+
+def test_winnow_fingerprint_deterministic(spark, docs):
+    a = {r.doc_id: r.winnow_fp for r in X.with_winnow_fingerprint(docs).collect()}
+    b = {r.doc_id: r.winnow_fp for r in X.with_winnow_fingerprint(docs).collect()}
+    assert a == b
+    assert a[0] != a[2]
+
+
+def test_exact_dedup(spark, docs):
+    out = D.exact_dedup(docs)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 2, 3, 4, 5]  # doc 1 collapsed into doc 0 (min id wins)
+
+
+BASE = ("spark dataframes shuffle partitions broadcast joins adaptive "
+        "query execution catalyst optimizer tungsten codegen arrow pandas "
+        "udf vectorized columnar parquet predicate pushdown statistics ") * 3
+
+
+@pytest.fixture(scope="module")
+def near_dups(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("catalyst", "katalyst")),        # tiny edit: near-dup of 0
+        (2, BASE + " extra tail tokens here"),            # near-dup of 0
+        (3, "completely different content about geology rocks minerals " * 6),
+        (4, "completely different content about geology rocks minerals " * 6
+            + "with a small suffix"),                     # near-dup of 3
+        (5, "short unrelated"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])).cache()
+
+
+def test_minhash_dedup(spark, near_dups):
+    out = D.minhash_dedup(near_dups, threshold=0.7)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 3, 5]
+
+
+def test_minhash_no_false_merges(spark, near_dups):
+    # distinct docs survive even at a low threshold
+    out = D.minhash_dedup(near_dups.filter(F.col("doc_id").isin([0, 3, 5])),
+                          threshold=0.5)
+    assert sorted(r.doc_id for r in out.collect()) == [0, 3, 5]
+
+
+def test_simhash_dedup(spark, near_dups):
+    out = D.simhash_dedup(near_dups, max_hamming=6)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 0 in ids and 3 in ids and 5 in ids
+    assert 1 not in ids  # tiny edit collapses
+    assert len(ids) <= 4
+
+
+def test_embedding_dedup(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(32).astype("float32")
+    far = rng.standard_normal(32).astype("float32")
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base * 1.001 + 1e-4]),  # near-identical direction
+        (2, [float(x) for x in far]),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = D.embedding_dedup(df, threshold=0.99)
+    assert sorted(r.vec_id for r in out.collect()) == [0, 2]
+
+
+def test_minhash_jaccard_accuracy():
+    # signature similarity approximates true Jaccard (property check)
+    a = D._hash_shingles(BASE.lower(), 5)
+    b = D._hash_shingles(BASE.replace("catalyst", "katalyst").lower(), 5)
+    inter = np.intersect1d(a, b).size
+    true_j = inter / (a.size + b.size - inter)
+    assert true_j > 0.8  # the fixture really is a near-dup
