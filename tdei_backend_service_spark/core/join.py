@@ -104,61 +104,109 @@ def _point_cells(side: GeomSide, depth: int, pad_m: float, tag: str) -> DataFram
     return out.select("cell", *[F.col(c).alias(f"{tag}_{c}") for c in cols])
 
 
-def _geom_cells(side: GeomSide, depth: int, pad_m: float, tag: str) -> DataFrame:
-    """(cell, pk, geometry, carry...) via per-geometry cover explode."""
+def _geom_cells(side: GeomSide, depth: int, pad_m: float, tag: str,
+                skip_geom: bool = False) -> DataFrame:
+    """(cell, pk[, geometry], carry...) via per-geometry cover explode.
+    ``skip_geom`` drops the WKB column when a broadcast lookup serves it."""
     from .ingest import cover_geometry
     covered = cover_geometry(side.df, depth, pad_m, geometry_col=side.geom_col,
                              out_col="_cov")
     out = covered.withColumn("cell", F.explode("_cov")).drop("_cov")
-    cols = [side.pk, side.geom_col] + side.carry
+    cols = [side.pk] + ([] if skip_geom else [side.geom_col]) + side.carry
     return out.select("cell", *[F.col(c).alias(f"{tag}_{c}") for c in cols])
 
 
-def _side_cells(side: GeomSide, depth: int, pad_m: float, tag: str) -> DataFrame:
+def _side_cells(side: GeomSide, depth: int, pad_m: float, tag: str,
+                skip_geom: bool = False) -> DataFrame:
     if side.is_point():
         return _point_cells(side, depth, pad_m, tag)
-    return _geom_cells(side, depth, pad_m, tag)
+    return _geom_cells(side, depth, pad_m, tag, skip_geom=skip_geom)
 
 
-def _ragged_from_cols(pdf: pd.DataFrame, cols: list[str], is_point: bool) -> geom.RaggedGeoms:
+def parsed_lookup(cache: dict, lookup_value: dict):
+    """Parse a broadcast {pk: wkb} dict ONCE per python worker into a
+    RaggedGeoms + pk->index map (reused across Arrow batches). Turns the
+    refine phase's per-pair WKB parse into an O(1) index gather."""
+    if "geoms" not in cache:
+        keys = list(lookup_value.keys())
+        cache["index"] = {k: i for i, k in enumerate(keys)}
+        cache["geoms"] = geom.parse_wkb_batch(lookup_value[k] for k in keys)
+    return cache["index"], cache["geoms"]
+
+
+def _side_geoms(pdf: pd.DataFrame, cols: list[str], is_point: bool,
+                lookup, cache: dict) -> tuple[np.ndarray, geom.RaggedGeoms]:
+    """(geom_idx, geoms) for one side of a pair batch."""
     if is_point:
         lon = pdf[cols[0]].to_numpy(np.float64)
         lat = pdf[cols[1]].to_numpy(np.float64)
         coords = np.stack([lon, lat], axis=1)
         offsets = np.arange(lon.size + 1, dtype=np.int64)
         kinds = np.full(lon.size, geom.WKB_POINT, dtype=np.int64)
-        return geom.RaggedGeoms(coords, offsets, kinds)
-    return geom.parse_wkb_batch(pdf[cols[0]])
+        return offsets[:-1], geom.RaggedGeoms(coords, offsets, kinds)
+    if lookup is not None:
+        index, geoms = parsed_lookup(cache, lookup.value)
+        idx = np.fromiter((index[k] for k in pdf[cols[0]]),
+                          dtype=np.int64, count=len(pdf))
+        return idx, geoms
+    g = geom.parse_wkb_batch(pdf[cols[0]])
+    return np.arange(len(g), dtype=np.int64), g
+
+
+BROADCAST_GEOM_MAX_ROWS = 500_000  # vector side small enough to broadcast
+
+
+def _maybe_broadcast_geoms(side: GeomSide):
+    """Collect a small vector side's {pk: wkb} to a Spark broadcast so
+    candidate rows stay narrow (no WKB through the shuffle/Arrow). Returns
+    (broadcast_or_None). The reference's analogue is the GiST index being
+    resident in the DB — here the geometry dictionary is resident per
+    executor."""
+    if side.is_point():
+        return None
+    cnt = side.df.count()
+    if cnt > BROADCAST_GEOM_MAX_ROWS:
+        return None
+    rows = side.df.select(side.pk, side.geom_col).collect()
+    sc = side.df.sparkSession.sparkContext
+    return sc.broadcast({r[0]: bytes(r[1]) for r in rows})
 
 
 def refine_pairs(pairs: DataFrame, pred: SpatialPredicate,
-                 target: GeomSide, source: GeomSide) -> DataFrame:
+                 target: GeomSide, source: GeomSide,
+                 t_lookup=None, s_lookup=None) -> DataFrame:
     """Filter candidate pairs by exactly evaluating the predicate.
 
-    The UDF closes over plain strings/bools only (never GeomSide, which
-    holds a DataFrame and would drag the SparkContext into cloudpickle).
+    The UDF closes over plain strings/bools plus optional geometry
+    broadcasts only (never GeomSide, which holds a DataFrame and would
+    drag the SparkContext into cloudpickle).
     """
     t_point, s_point = target.is_point(), source.is_point()
     t_cols = ([f"t_{target.lon_col}", f"t_{target.lat_col}"] if t_point
+              else [f"t_{target.pk}"] if t_lookup is not None
               else [f"t_{target.geom_col}"])
     s_cols = ([f"s_{source.lon_col}", f"s_{source.lat_col}"] if s_point
+              else [f"s_{source.pk}"] if s_lookup is not None
               else [f"s_{source.geom_col}"])
     geo_cols = t_cols + s_cols
+
+    t_cache: dict = {}
+    s_cache: dict = {}
 
     @F.pandas_udf(T.BooleanType())
     def _refine(st: pd.DataFrame) -> pd.Series:
         n = len(st)
         if n == 0:
             return pd.Series([], dtype=bool)
-        tg = _ragged_from_cols(st, t_cols, t_point)
-        sg = _ragged_from_cols(st, s_cols, s_point)
-        idx = np.arange(n, dtype=np.int64)
+        t_idx, tg = _side_geoms(st, t_cols, t_point, t_lookup, t_cache)
+        s_idx, sg = _side_geoms(st, s_cols, s_point, s_lookup, s_cache)
         ctx: dict = {}
         if "dist" in pred.needs:
-            ctx["dist"] = geom.pair_min_dist(idx, tg, idx, sg)
+            ctx["dist"] = geom.pair_min_dist(t_idx, tg, s_idx, sg)
         if "angle" in pred.needs:
             ctx["angle"] = geom.angle_between_deg(
-                geom.polyline_orientation(tg), geom.polyline_orientation(sg))
+                geom.polyline_orientation(tg)[t_idx],
+                geom.polyline_orientation(sg)[s_idx])
         res = eval_spatial(pred.ast, ctx)
         return pd.Series(np.asarray(res, dtype=bool))
 
@@ -182,23 +230,30 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
     s = GeomSide(**{**source.__dict__, "df": source.df.filter(source_filter)}) \
         if source_filter is not None else source
 
+    # small vector sides: geometry served from an executor-resident
+    # broadcast dict; candidate rows carry only ids + lon/lat
+    t_lookup = _maybe_broadcast_geoms(t)
+    s_lookup = _maybe_broadcast_geoms(s)
+
     if not math.isfinite(pred.bound_m):
         # unbounded predicate (pure angle): dataset cross join, source
         # broadcast when allowed — identical semantics to the reference.
-        tcols = [F.col(c).alias(f"t_{c}") for c in
-                 ([t.pk] + ([t.geom_col] if not t.is_point() else [t.lon_col, t.lat_col]))]
-        scols = [F.col(c).alias(f"s_{c}") for c in
-                 ([s.pk] + ([s.geom_col] if not s.is_point() else [s.lon_col, s.lat_col]) + s.carry)]
+        t_geo = ([t.lon_col, t.lat_col] if t.is_point()
+                 else [] if t_lookup is not None else [t.geom_col])
+        s_geo = ([s.lon_col, s.lat_col] if s.is_point()
+                 else [] if s_lookup is not None else [s.geom_col])
+        tcols = [F.col(c).alias(f"t_{c}") for c in [t.pk] + t_geo]
+        scols = [F.col(c).alias(f"s_{c}") for c in [s.pk] + s_geo + s.carry]
         sdf = s.df.select(*scols)
         if broadcast_source is not False:
             sdf = F.broadcast(sdf)
         pairs = t.df.select(*tcols).crossJoin(sdf)
-        return refine_pairs(pairs, pred, t, s)
+        return refine_pairs(pairs, pred, t, s, t_lookup, s_lookup)
 
     d = depth if depth is not None else pick_depth(pred.bound_m)
     # pad exactly one side (the target) by the bound — sufficient cover
-    tc = _side_cells(t, d, pred.bound_m, "t")
-    sc = _side_cells(s, d, 0.0, "s")
+    tc = _side_cells(t, d, pred.bound_m, "t", skip_geom=t_lookup is not None)
+    sc = _side_cells(s, d, 0.0, "s", skip_geom=s_lookup is not None)
     if broadcast_source:
         sc = F.broadcast(sc)
     pairs = tc.join(sc, "cell").drop("cell")
@@ -210,7 +265,7 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
         others = [c for c in pairs.columns if c not in keys]
         pairs = pairs.groupBy(*keys).agg(*[F.first(c).alias(c) for c in others])
 
-    return refine_pairs(pairs, pred, t, s)
+    return refine_pairs(pairs, pred, t, s, t_lookup, s_lookup)
 
 
 def salt_cells(df: DataFrame, cell_col: str = "cell", buckets: int = 8) -> DataFrame:

@@ -61,7 +61,8 @@ def _positions(ids: np.ndarray, seed: int, skew: float):
 def synth_images_pandas(ids: np.ndarray, seed: int = 42, dataset_id: str = "ds-a",
                         skew: float = 0.3, img_px: int = 8, with_bytes: bool = True,
                         dup_src_ids: np.ndarray | None = None,
-                        jitter_deg: float = 0.0) -> pd.DataFrame:
+                        jitter_deg: float = 0.0,
+                        props_as_map: bool = True) -> pd.DataFrame:
     """Generate one batch of image rows for the given global row ids.
 
     ``dup_src_ids`` (same length as ids, -1 for "not a duplicate") makes a
@@ -85,9 +86,12 @@ def synth_images_pandas(ids: np.ndarray, seed: int = 42, dataset_id: str = "ds-a
 
     hsh = _splitmix64(content_ids.astype(np.uint64) ^ np.uint64(seed))
     fmt = np.where(content_ids % 2 == 0, "png", "qimg")
-    captions = [f"caption {int(c)} {WORDS[int(h % len(WORDS))]}"
-                for c, h in zip(content_ids, hsh)]
-    highway = [HIGHWAYS[int(h % len(HIGHWAYS))] for h in hsh >> np.uint64(8)]
+    # vectorized string assembly (no per-row Python in the hot path)
+    words_arr = np.asarray(WORDS, dtype=object)
+    captions = ("caption " + pd.Series(content_ids).astype(str) + " "
+                + pd.Series(words_arr[(hsh % np.uint64(len(WORDS))).astype(np.int64)]))
+    hw_arr = np.asarray(HIGHWAYS, dtype=object)
+    highway = hw_arr[((hsh >> np.uint64(8)) % np.uint64(len(HIGHWAYS))).astype(np.int64)]
     ada = np.where((hsh >> np.uint64(16)) % np.uint64(2) == 0, "true", "false")
 
     blobs: list[bytes | None] = []
@@ -108,17 +112,26 @@ def synth_images_pandas(ids: np.ndarray, seed: int = 42, dataset_id: str = "ds-a
         blobs = [None] * n
         phash = (hsh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
-    return pd.DataFrame({
-        "image_id": [f"img-{int(i):08d}" for i in ids],
+    out = pd.DataFrame({
+        "image_id": "img-" + pd.Series(ids).astype(str).str.zfill(8),
         "bytes": blobs,
         "w": ws, "h": hs,
         "fmt": fmt.astype(object),
-        "caption": captions,
+        "caption": captions.to_numpy(),
         "phash": phash,
         "lon": lon, "lat": lat,
-        "props": [{"highway": hw, "ada_compliant": a} for hw, a in zip(highway, ada)],
+        "highway": highway,
+        "ada_compliant": ada,
         "dataset_id": dataset_id,
     })
+    if props_as_map:
+        # driver-side convenience (small fixtures); the distributed path
+        # assembles the map JVM-side in synth_images_df instead
+        out["props"] = [{"highway": hw, "ada_compliant": a}
+                        for hw, a in zip(highway, ada)]
+        out = out[["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                   "lon", "lat", "props", "dataset_id"]]
+    return out
 
 
 def synth_images_df(spark, n: int, seed: int = 42, dataset_id: str = "ds-a",
@@ -131,8 +144,16 @@ def synth_images_df(spark, n: int, seed: int = 42, dataset_id: str = "ds-a",
     hash-spread over [0, src_n) — used to build dataset B sharing D images
     with dataset A for the union fixture.
     """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
     from ..core.schema import IMAGES_SCHEMA
     d, src_n = n_dups_of if n_dups_of else (0, 1)
+
+    flat_schema = T.StructType(
+        [f for f in IMAGES_SCHEMA.fields if f.name != "props"]
+        + [T.StructField("highway", T.StringType()),
+           T.StructField("ada_compliant", T.StringType())])
 
     def gen(it):
         for pdf in it:
@@ -140,13 +161,19 @@ def synth_images_df(spark, n: int, seed: int = 42, dataset_id: str = "ds-a",
             dup = None
             if d:
                 dup = np.where(ids < d, _splitmix64(ids.astype(np.uint64) ^ np.uint64(seed + 99)).astype(np.int64) % src_n, -1)
-            yield synth_images_pandas(ids, seed=seed, dataset_id=dataset_id,
+            out = synth_images_pandas(ids, seed=seed, dataset_id=dataset_id,
                                       skew=skew, img_px=img_px,
                                       with_bytes=with_bytes, dup_src_ids=dup,
-                                      jitter_deg=jitter_deg)
+                                      jitter_deg=jitter_deg, props_as_map=False)
+            yield out[[f.name for f in flat_schema.fields]]
 
     rng_df = spark.range(0, n, 1, parallelism or spark.sparkContext.defaultParallelism)
-    return rng_df.mapInPandas(gen, schema=IMAGES_SCHEMA)
+    flat = rng_df.mapInPandas(gen, schema=flat_schema)
+    # props map built JVM-side (dict-per-row in Python is the slow path)
+    return (flat.withColumn("props", F.create_map(
+                F.lit("highway"), F.col("highway"),
+                F.lit("ada_compliant"), F.col("ada_compliant")))
+            .select(*[f.name for f in IMAGES_SCHEMA.fields]))
 
 
 # ---------------------------------------------------------------------------

@@ -72,14 +72,23 @@ def _guaranteed_radius_udf(depth: int, k: int):
     return _gr
 
 
-_DIST_SCHEMA = T.DoubleType()
+def _dist_udf(lookup=None):
+    """Point-to-edge distance. With ``lookup`` (a broadcast {edge_id: wkb}
+    dict) the third column is the edge id: candidate rows never carry WKB
+    bytes, and the dict is parsed once per worker (core/join.py
+    parsed_lookup), not per candidate row."""
+    from ..core.join import parsed_lookup
+    cache: dict = {}
 
-
-def _dist_udf():
-    @F.pandas_udf(_DIST_SCHEMA)
-    def _dist(lon: pd.Series, lat: pd.Series, wkb: pd.Series) -> pd.Series:
-        g = geom.parse_wkb_batch(wkb)
-        idx = np.arange(len(g), dtype=np.int64)
+    @F.pandas_udf(T.DoubleType())
+    def _dist(lon: pd.Series, lat: pd.Series, geo: pd.Series) -> pd.Series:
+        if lookup is not None:
+            index, g = parsed_lookup(cache, lookup.value)
+            idx = np.fromiter((index[k] for k in geo), dtype=np.int64,
+                              count=len(geo))
+        else:
+            g = geom.parse_wkb_batch(geo)
+            idx = np.arange(len(g), dtype=np.int64)
         return pd.Series(geom.point_polyline_dist(
             lon.to_numpy(np.float64), lat.to_numpy(np.float64), idx, g))
     return _dist
@@ -115,18 +124,25 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
         edges = edges.withColumn(name, col.cast("string"))
         attr_cols.append(name)
 
+    from ..core.join import _maybe_broadcast_geoms
+    from ..core.join import GeomSide as _GS
+    lookup = _maybe_broadcast_geoms(_GS(df=edges, pk="edge_id", kind="line",
+                                        geom_col="geometry"))
+    geo_col = "edge_id" if lookup is not None else "geometry"
     edge_cells = (cover_geometry(edges, depth, 0.0, out_col="_cov")
                   .withColumn("cell", F.explode("_cov"))
-                  .select("cell", "edge_id", "geometry", *attr_cols))
+                  .select("cell", "edge_id",
+                          *([] if lookup is not None else ["geometry"]),
+                          *attr_cols))
 
     def _search(pts: DataFrame, k: int, dist_cap) -> DataFrame:
         """disk(k) candidate join -> exact distance -> per-target argmin
         (deterministic tie-break: lowest edge_id rides in the min struct)."""
         disk = _disk_cells_udf(depth, k)
-        dist = _dist_udf()
+        dist = _dist_udf(lookup)
         cand = (pts.withColumn("cell", F.explode(disk(F.col("lon"), F.col("lat"))))
                 .join(edge_cells, "cell").drop("cell")
-                .withColumn("dist", dist(F.col("lon"), F.col("lat"), F.col("geometry")))
+                .withColumn("dist", dist(F.col("lon"), F.col("lat"), F.col(geo_col)))
                 .filter(F.col("dist") <= dist_cap))
         return (cand.groupBy(pk)
                 .agg(F.min(F.struct(F.col("dist"), F.col("edge_id"),
@@ -139,10 +155,33 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
     points = targets.select(pk, "lon", "lat")
 
     if k_cover <= 2:
-        # common case: the cutoff fits a small disk -> ONE candidate join,
-        # no driver iteration, no intermediate persists. disk(k_cover)
-        # provably covers cutoff_m from anywhere in the center cell.
-        tags = _search(points, k_cover, F.lit(cutoff_m))
+        # common case: the cutoff fits a small neighborhood -> ONE
+        # candidate join. The pad goes on the SMALL side: edge covers are
+        # padded by cutoff_m, points encode to a single cell — the big
+        # table is never exploded (9x fewer shuffle rows than padding the
+        # point side with disk(1)).
+        padded_edges = (cover_geometry(edges, depth, cutoff_m, out_col="_cov")
+                        .withColumn("cell", F.explode("_cov"))
+                        .select("cell", "edge_id",
+                                *([] if lookup is not None else ["geometry"]),
+                                *attr_cols))
+
+        @F.pandas_udf(T.LongType())
+        def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+            return pd.Series(cells.encode(lon.to_numpy(np.float64),
+                                          lat.to_numpy(np.float64), depth))
+
+        dist = _dist_udf(lookup)
+        cand = (points.withColumn("cell", _enc(F.col("lon"), F.col("lat")))
+                .join(padded_edges, "cell").drop("cell")
+                .withColumn("dist", dist(F.col("lon"), F.col("lat"), F.col(geo_col)))
+                .filter(F.col("dist") <= cutoff_m))
+        tags = (cand.groupBy(pk)
+                .agg(F.min(F.struct(F.col("dist"), F.col("edge_id"),
+                                    *[F.col(c) for c in attr_cols])).alias("b"))
+                .select(pk, F.col("b.dist").alias("nearest_dist_m"),
+                        F.col("b.edge_id").alias("nearest_edge_id"),
+                        *[F.col(f"b.{c}").alias(c) for c in attr_cols]))
     else:
         # large cutoff: expand rings, settling targets whose best found
         # distance is within the per-point guaranteed radius (exact
