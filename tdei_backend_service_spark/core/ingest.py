@@ -90,7 +90,8 @@ def encode_geom_meta(df: DataFrame, geometry_col: str = "geometry") -> DataFrame
 
 def cover_geometry(df: DataFrame, depth: int, pad_m: float = 0.0,
                    geometry_col: str = "geometry",
-                   out_col: str = "cover_cells") -> DataFrame:
+                   out_col: str = "cover_cells",
+                   with_envelope: bool = False) -> DataFrame:
     """Add ``out_col``: array<long> of grid cells (superset cover) each
     geometry touches at ``depth``, padded by ``pad_m`` meters.
 
@@ -101,8 +102,7 @@ def cover_geometry(df: DataFrame, depth: int, pad_m: float = 0.0,
     """
     pad_deg = max(cells.meters_to_deg_lat(pad_m), cells.meters_to_deg_lon(pad_m)) if pad_m else 0.0
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _cover(blob: pd.Series) -> pd.Series:
+    def _covers(blob: pd.Series):
         g = geom.parse_wkb_batch(blob)
         out: list[list[int]] = []
         box = geom.geom_bbox(g)
@@ -120,6 +120,32 @@ def cover_geometry(df: DataFrame, depth: int, pad_m: float = 0.0,
                                              depth, pad_deg)
                 cs = np.unique(cs)
             out.append([int(v) for v in cs])
-        return pd.Series(out)
+        return out, box
 
-    return df.withColumn(out_col, _cover(F.col(geometry_col)))
+    if not with_envelope:
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def _cover(blob: pd.Series) -> pd.Series:
+            out, _ = _covers(blob)
+            return pd.Series(out)
+
+        return df.withColumn(out_col, _cover(F.col(geometry_col)))
+
+    env_fields = T.StructType([
+        T.StructField("cov", T.ArrayType(T.LongType())),
+        T.StructField("gmin_lon", T.DoubleType()),
+        T.StructField("gmin_lat", T.DoubleType()),
+        T.StructField("gmax_lon", T.DoubleType()),
+        T.StructField("gmax_lat", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(env_fields)
+    def _cover_env(blob: pd.Series) -> pd.DataFrame:
+        out, box = _covers(blob)
+        return pd.DataFrame({"cov": out, "gmin_lon": box[:, 0],
+                             "gmin_lat": box[:, 1], "gmax_lon": box[:, 2],
+                             "gmax_lat": box[:, 3]})
+
+    d2 = df.withColumn("_ce", _cover_env(F.col(geometry_col)))
+    for c in ("gmin_lon", "gmin_lat", "gmax_lon", "gmax_lat"):
+        d2 = d2.withColumn(c, F.col(f"_ce.{c}"))
+    return d2.withColumn(out_col, F.col("_ce.cov")).drop("_ce")

@@ -104,23 +104,69 @@ def _point_cells(side: GeomSide, depth: int, pad_m: float, tag: str) -> DataFram
     return out.select("cell", *[F.col(c).alias(f"{tag}_{c}") for c in cols])
 
 
+_ENV_COLS = ("gmin_lon", "gmin_lat", "gmax_lon", "gmax_lat")
+
+
 def _geom_cells(side: GeomSide, depth: int, pad_m: float, tag: str,
-                skip_geom: bool = False) -> DataFrame:
-    """(cell, pk[, geometry], carry...) via per-geometry cover explode.
-    ``skip_geom`` drops the WKB column when a broadcast lookup serves it."""
+                skip_geom: bool = False, with_envelope: bool = False) -> DataFrame:
+    """(cell, pk[, geometry][, envelope], carry...) via per-geometry cover
+    explode. ``skip_geom`` drops the WKB column when a broadcast lookup
+    serves it; ``with_envelope`` carries the geometry bbox for the
+    JVM-side candidate prefilter."""
     from .ingest import cover_geometry
     covered = cover_geometry(side.df, depth, pad_m, geometry_col=side.geom_col,
-                             out_col="_cov")
+                             out_col="_cov", with_envelope=with_envelope)
     out = covered.withColumn("cell", F.explode("_cov")).drop("_cov")
-    cols = [side.pk] + ([] if skip_geom else [side.geom_col]) + side.carry
+    cols = ([side.pk] + ([] if skip_geom else [side.geom_col])
+            + (list(_ENV_COLS) if with_envelope else []) + side.carry)
     return out.select("cell", *[F.col(c).alias(f"{tag}_{c}") for c in cols])
 
 
 def _side_cells(side: GeomSide, depth: int, pad_m: float, tag: str,
-                skip_geom: bool = False) -> DataFrame:
+                skip_geom: bool = False, with_envelope: bool = False) -> DataFrame:
     if side.is_point():
         return _point_cells(side, depth, pad_m, tag)
-    return _geom_cells(side, depth, pad_m, tag, skip_geom=skip_geom)
+    return _geom_cells(side, depth, pad_m, tag, skip_geom=skip_geom,
+                       with_envelope=with_envelope)
+
+
+def envelope_prefilter(pairs: DataFrame, bound_m: float,
+                       t_side: GeomSide, s_side: GeomSide) -> DataFrame:
+    """Whole-stage-codegen candidate cut BEFORE the Python refine: a pair
+    can only satisfy a distance-bounded predicate if the point (or the
+    other envelope) lies within the geometry's bbox expanded by the
+    bound. Slightly over-padded (1e-6 relative + 1e-9 deg) so FP rounding
+    can never reject a true match; the exact refine still decides."""
+    pad_lon = bound_m / cells.M_PER_DEG_LON_EQ * (1 + 1e-6) + 1e-9
+    pad_lat = bound_m / cells.M_PER_DEG_LAT * (1 + 1e-6) + 1e-9
+
+    def env(tag):
+        return {c: F.col(f"{tag}_{c}") for c in _ENV_COLS}
+
+    cond = None
+    if not t_side.is_point() and f"t_{_ENV_COLS[0]}" in pairs.columns:
+        e = env("t")
+        if s_side.is_point():
+            lon = F.col(f"s_{s_side.lon_col}")
+            lat = F.col(f"s_{s_side.lat_col}")
+            cond = ((lon >= e["gmin_lon"] - pad_lon) & (lon <= e["gmax_lon"] + pad_lon)
+                    & (lat >= e["gmin_lat"] - pad_lat) & (lat <= e["gmax_lat"] + pad_lat))
+        elif f"s_{_ENV_COLS[0]}" in pairs.columns:
+            o = env("s")
+            cond = ((e["gmin_lon"] <= o["gmax_lon"] + pad_lon)
+                    & (e["gmax_lon"] >= o["gmin_lon"] - pad_lon)
+                    & (e["gmin_lat"] <= o["gmax_lat"] + pad_lat)
+                    & (e["gmax_lat"] >= o["gmin_lat"] - pad_lat))
+    elif not s_side.is_point() and f"s_{_ENV_COLS[0]}" in pairs.columns and t_side.is_point():
+        o = env("s")
+        lon = F.col(f"t_{t_side.lon_col}")
+        lat = F.col(f"t_{t_side.lat_col}")
+        cond = ((lon >= o["gmin_lon"] - pad_lon) & (lon <= o["gmax_lon"] + pad_lon)
+                & (lat >= o["gmin_lat"] - pad_lat) & (lat <= o["gmax_lat"] + pad_lat))
+    out = pairs.filter(cond) if cond is not None else pairs
+    drop = [c for c in out.columns
+            if c.startswith(("t_gmin", "t_gmax", "s_gmin", "s_gmax"))]
+    return out.drop(*drop)
 
 
 def parsed_lookup(cache: dict, lookup_value: dict):
@@ -252,11 +298,14 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
 
     d = depth if depth is not None else pick_depth(pred.bound_m)
     # pad exactly one side (the target) by the bound — sufficient cover
-    tc = _side_cells(t, d, pred.bound_m, "t", skip_geom=t_lookup is not None)
-    sc = _side_cells(s, d, 0.0, "s", skip_geom=s_lookup is not None)
+    tc = _side_cells(t, d, pred.bound_m, "t", skip_geom=t_lookup is not None,
+                     with_envelope=True)
+    sc = _side_cells(s, d, 0.0, "s", skip_geom=s_lookup is not None,
+                     with_envelope=True)
     if broadcast_source:
         sc = F.broadcast(sc)
     pairs = tc.join(sc, "cell").drop("cell")
+    pairs = envelope_prefilter(pairs, pred.bound_m, t, s)
 
     # multi-cell covers on both sides create duplicate (t,s) pairs; a
     # point source is a single cell, so pairs are already unique then.
@@ -267,12 +316,5 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
 
     return refine_pairs(pairs, pred, t, s, t_lookup, s_lookup)
 
-
-def salt_cells(df: DataFrame, cell_col: str = "cell", buckets: int = 8) -> DataFrame:
-    """Salted repartition for dense-cell skew: spread each hot cell's rows
-    over ``buckets`` shuffle partitions. Used by operators that aggregate
-    per cell when AQE's skew split is not applicable (e.g. before a
-    non-join repartition)."""
-    return (df.withColumn("_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(buckets)))
-              .repartition(F.col(cell_col), F.col("_salt"))
-              .drop("_salt"))
+# Skew handling beyond AQE's skew-join lives in core/skew.py: salted
+# repartitioning and adaptive cell-splitting driven by cell histograms.

@@ -160,9 +160,11 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
         # padded by cutoff_m, points encode to a single cell — the big
         # table is never exploded (9x fewer shuffle rows than padding the
         # point side with disk(1)).
-        padded_edges = (cover_geometry(edges, depth, cutoff_m, out_col="_cov")
+        env_cols = ["gmin_lon", "gmin_lat", "gmax_lon", "gmax_lat"]
+        padded_edges = (cover_geometry(edges, depth, cutoff_m, out_col="_cov",
+                                       with_envelope=True)
                         .withColumn("cell", F.explode("_cov"))
-                        .select("cell", "edge_id",
+                        .select("cell", "edge_id", *env_cols,
                                 *([] if lookup is not None else ["geometry"]),
                                 *attr_cols))
 
@@ -171,9 +173,19 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
             return pd.Series(cells.encode(lon.to_numpy(np.float64),
                                           lat.to_numpy(np.float64), depth))
 
+        # JVM-side envelope prefilter: a point farther than cutoff from the
+        # edge bbox can never be within cutoff of the edge (over-padded so
+        # FP rounding never rejects a true match)
+        pad_lon = cutoff_m / cells.M_PER_DEG_LON_EQ * (1 + 1e-6) + 1e-9
+        pad_lat = cutoff_m / cells.M_PER_DEG_LAT * (1 + 1e-6) + 1e-9
         dist = _dist_udf(lookup)
         cand = (points.withColumn("cell", _enc(F.col("lon"), F.col("lat")))
                 .join(padded_edges, "cell").drop("cell")
+                .filter((F.col("lon") >= F.col("gmin_lon") - pad_lon)
+                        & (F.col("lon") <= F.col("gmax_lon") + pad_lon)
+                        & (F.col("lat") >= F.col("gmin_lat") - pad_lat)
+                        & (F.col("lat") <= F.col("gmax_lat") + pad_lat))
+                .drop(*env_cols)
                 .withColumn("dist", dist(F.col("lon"), F.col("lat"), F.col(geo_col)))
                 .filter(F.col("dist") <= cutoff_m))
         tags = (cand.groupBy(pk)

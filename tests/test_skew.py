@@ -1,0 +1,59 @@
+import pytest
+from pyspark.sql import functions as F
+
+from tdei_backend_service_spark.core import skew
+from tdei_backend_service_spark.core.ingest import encode_cells
+from tdei_backend_service_spark.datagen import synth_images_df
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 60% of rows in the dense city-core cluster
+    return encode_cells(
+        synth_images_df(spark, 20_000, with_bytes=False, skew=0.6)).cache()
+
+
+def test_histogram_and_hot_cells(skewed):
+    hist = skew.cell_histogram(skewed, "cell_r8")
+    assert hist.agg(F.sum("n_rows")).first()[0] == 20_000
+    hot = skew.hot_cells(skewed, "cell_r8", threshold_rows=2_000)
+    assert 1 <= len(hot) <= 4  # the dense cluster occupies a couple of r8 cells
+    top = hist.orderBy(F.desc("n_rows")).first()
+    assert top["cell"] in hot
+
+
+def test_split_hot_cells_balances(skewed):
+    hot = skew.hot_cells(skewed, "cell_r8", threshold_rows=2_000)
+    before = skew.balance_report(skewed, "cell_r8")
+    split = skew.split_hot_cells(skewed, hot, "cell_r8", extra_depth=3,
+                                 out_col="cell_adaptive")
+    after = skew.balance_report(split, "cell_adaptive")
+    assert after["max"] < before["max"] / 4  # 4^3 children shrink the hot cell
+    # cold rows keep their original cell
+    kept = split.filter(~F.col("cell_r8").isin([int(h) for h in hot]))
+    assert kept.filter(F.col("cell_adaptive") != F.col("cell_r8")).count() == 0
+    # row count preserved
+    assert split.count() == 20_000
+
+
+def test_salted_repartition_spreads_hot(skewed, spark):
+    hot = skew.hot_cells(skewed, "cell_r8", threshold_rows=2_000)
+    # AQE coalescing merges tiny test partitions back together, hiding the
+    # salt effect; disable it to observe the raw partitioning
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        out = skew.salted_repartition(skewed.select("image_id", "cell_r8"),
+                                      "cell_r8", hot, factor=8)
+        assert out.count() == 20_000
+        # partition sizes: no single partition holds the whole hot cell
+        sizes = out.withColumn("p", F.spark_partition_id()) \
+                   .groupBy("p").count().collect()
+        hot_n = skewed.filter(F.col("cell_r8").isin([int(h) for h in hot])).count()
+        assert max(r["count"] for r in sizes) < hot_n
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
+def test_split_noop_without_hot(skewed):
+    out = skew.split_hot_cells(skewed, [], "cell_r8")
+    assert out is skewed

@@ -82,6 +82,18 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     stages["knn_tag"] = round(time.time() - t0, 2)
 
+    # image-payload stage: encode real bytes + decode/verify invariants —
+    # the compute profile of the actual 10^12-image workload
+    n_payload = max(N_IMAGES // 20, 10_000)
+    t0 = time.time()
+    from tdei_backend_service_spark.pipeline.multimodal import \
+        verify_payload_invariants
+    with_bytes = synth_images_df(spark, n_payload, with_bytes=True,
+                                 img_px=16, parallelism=CPUS * 3)
+    verify_payload_invariants(with_bytes) \
+        .write.format("noop").mode("overwrite").save()
+    stages["payload_codec"] = round(time.time() - t0, 2)
+
     wall = sum(stages.values())
     print(json.dumps({
         "cpus": CPUS, "n_images": N_IMAGES, "n_edges": N_EDGES,
