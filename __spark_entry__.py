@@ -229,6 +229,21 @@ def _q_winnow(spark: SparkSession, sf: str) -> DataFrame:
     return TX.with_winnow_fingerprint(docs).select("doc_id", "winnow_fp")
 
 
+def _q_zone_pip(spark: SparkSession, sf: str) -> DataFrame:
+    """Polygon-target PIP join: images per quad zone (rows-only — the
+    PIP boundary convention is pinned by pytest brute-force oracles)."""
+    from tdei_backend_service_spark.core.schema import ZONES_SCHEMA
+    from tdei_backend_service_spark.datagen import synth_zones_pandas
+    zones = spark.createDataFrame(synth_zones_pandas(16, dataset_id="tpch-z"),
+                                  schema=ZONES_SCHEMA)
+    pts = FX.orders_points(spark, sf)
+    out = spatial_join(zones, "zone", "tpch-z", pts, "point", "tpch",
+                       "ST_Intersects(geometry_target, geometry_source)",
+                       ["count(*) as n"])
+    return out.select("zone_id",
+                      F.col("props").getItem("ext:n").cast("bigint").alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -265,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "payload_invariants": _q_payload_invariants,
         "winnow_fingerprint": _q_winnow,
+        "zone_pip_count": _q_zone_pip,
     }
 
 

@@ -172,6 +172,45 @@ def test_virtual_columns_u_v(tables):
     assert json.loads(props["img-0000"]["ext:vs"]) == [1]
 
 
+def test_zone_target_pip_join(spark):
+    """Polygon target x point source with unbuffered ST_Intersects ->
+    point-in-polygon semantics (interior counts, distance-0 boundary)."""
+    from tdei_backend_service_spark.core.schema import ZONES_SCHEMA
+    from tdei_backend_service_spark.datagen import synth_zones_pandas
+
+    zones = spark.createDataFrame(synth_zones_pandas(9, dataset_id="ds-z"),
+                                  schema=ZONES_SCHEMA)
+    # points: center of zone 0, center of zone 4, far outside all zones
+    zp = synth_zones_pandas(9)
+    g = geom.parse_wkb_batch(zp.geometry)
+    centers = []
+    for i in (0, 4):
+        c = g.coords[g.offsets[i]:g.offsets[i + 1]][:4]
+        centers.append(c.mean(axis=0))
+    rows = [
+        {"image_id": "in-z0", "bytes": None, "w": 1, "h": 1, "fmt": "png",
+         "caption": "", "phash": 0, "lon": centers[0][0], "lat": centers[0][1],
+         "props": {}, "dataset_id": "ds-p"},
+        {"image_id": "in-z4", "bytes": None, "w": 1, "h": 1, "fmt": "png",
+         "caption": "", "phash": 1, "lon": centers[1][0], "lat": centers[1][1],
+         "props": {}, "dataset_id": "ds-p"},
+        {"image_id": "outside", "bytes": None, "w": 1, "h": 1, "fmt": "png",
+         "caption": "", "phash": 2, "lon": -100.0, "lat": 10.0,
+         "props": {}, "dataset_id": "ds-p"},
+    ]
+    pts = spark.createDataFrame(pd.DataFrame(rows), schema=IMAGES_SCHEMA)
+    out = spatial_join(zones, "zone", "ds-z", pts, "point", "ds-p",
+                       "ST_Intersects(geometry_target, geometry_source)",
+                       ["ARRAY_AGG(image_id) as imgs"])
+    props = {r["zone_id"]: r["props"] for r in out.collect()}
+    assert len(props) == 9
+    assert "in-z0" in json.loads(props[0].get("ext:imgs", "[]"))
+    assert "in-z4" in json.loads(props[4].get("ext:imgs", "[]"))
+    all_imgs = [i for p in props.values()
+                for i in json.loads(p.get("ext:imgs", "[]"))]
+    assert "outside" not in all_imgs
+
+
 def test_property_random_vs_bruteforce(spark):
     """Randomized parity: two-phase join == brute-force O(n^2) refine."""
     rng = np.random.default_rng(123)
