@@ -113,27 +113,60 @@ def _jaccard_verify_udf(shingle_k: int):
     return _jac
 
 
+BROADCAST_TEXTS_MAX_ROWS = 2_000_000
+
+
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.8, num_hashes: int = 64,
-                  bands: int = 16, shingle_k: int = 5) -> DataFrame:
+                  bands: int = 16, shingle_k: int = 5,
+                  broadcast_texts: bool | None = None) -> DataFrame:
     """Near-dedup: MinHash LSH candidates -> exact n-gram Jaccard verify
-    (>= threshold) -> drop the larger id of each verified pair."""
+    (>= threshold) -> drop the larger id of each verified pair.
+
+    Verification needs both texts per candidate pair. Small corpora ship
+    texts as a broadcast dict (zero extra shuffles); at scale the texts
+    join back by id (two hash joins on narrow pair rows — candidate
+    pairs are rare by construction, so the joins are small even when the
+    corpus isn't).
+    """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, num_hashes, shingle_k).persist()
+    sigs = minhash_signatures(df, text_col, num_hashes, shingle_k)
     pairs = _banded_pairs(sigs.select(id_col, "minhash"), id_col, "minhash",
                           bands, rows_per_band)
-    texts = df.select(F.col(id_col), F.col(text_col))
-    pairs = (pairs
-             .join(texts.select(F.col(id_col).alias("l_id"),
-                                F.col(text_col).alias("l_text")), "l_id")
-             .join(texts.select(F.col(id_col).alias("r_id"),
-                                F.col(text_col).alias("r_text")), "r_id"))
-    jac = _jaccard_verify_udf(shingle_k)
-    verified = pairs.filter(jac(F.col("l_text"), F.col("r_text")) >= threshold)
+
+    if broadcast_texts is None:
+        broadcast_texts = df.count() <= BROADCAST_TEXTS_MAX_ROWS
+
+    if broadcast_texts:
+        rows = df.select(id_col, text_col).collect()
+        lookup = df.sparkSession.sparkContext.broadcast(
+            {r[0]: r[1] for r in rows})
+
+        @F.pandas_udf(T.DoubleType())
+        def _jac_by_id(l_id: pd.Series, r_id: pd.Series) -> pd.Series:
+            lv = lookup.value
+            out = np.zeros(len(l_id))
+            for i, (a, b) in enumerate(zip(l_id, r_id)):
+                sa = _hash_shingles((lv.get(a) or "").lower(), shingle_k)
+                sb = _hash_shingles((lv.get(b) or "").lower(), shingle_k)
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                out[i] = inter / union if union else 1.0
+            return pd.Series(out)
+
+        verified = pairs.filter(_jac_by_id(F.col("l_id"), F.col("r_id")) >= threshold)
+    else:
+        texts = df.select(F.col(id_col), F.col(text_col))
+        pairs = (pairs
+                 .join(texts.select(F.col(id_col).alias("l_id"),
+                                    F.col(text_col).alias("l_text")), "l_id")
+                 .join(texts.select(F.col(id_col).alias("r_id"),
+                                    F.col(text_col).alias("r_text")), "r_id"))
+        jac = _jaccard_verify_udf(shingle_k)
+        verified = pairs.filter(jac(F.col("l_text"), F.col("r_text")) >= threshold)
+
     losers = verified.select(F.col("r_id").alias(id_col)).distinct()
-    out = df.join(losers, id_col, "left_anti")
-    sigs.unpersist()
-    return out
+    return df.join(losers, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
