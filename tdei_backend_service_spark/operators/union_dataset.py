@@ -40,7 +40,15 @@ DEFAULT_PROXIMITY_M = 0.5
 def union_dataset(df_one: DataFrame, dataset_id_one: str,
                   df_two: DataFrame, dataset_id_two: str,
                   proximity: float | None = None,
-                  pk: str = "image_id") -> DataFrame:
+                  pk: str = "image_id",
+                  match_on: tuple = ("phash", "caption")) -> DataFrame:
+    """``match_on`` lists the equality keys a pair must share besides
+    proximity. Default (phash, caption) implements the image-payload
+    invariants from BASELINE.json; pass ``()`` for the reference's pure
+    proximity merge (OSW features carry no phash) — candidates then come
+    from the cell join alone, so keep proximity small (default 0.5 m),
+    exactly the reference's default regime.
+    """
     if proximity is None:
         proximity = DEFAULT_PROXIMITY_M
     if isinstance(proximity, str) or not isinstance(proximity, (int, float)):
@@ -81,24 +89,25 @@ def union_dataset(df_one: DataFrame, dataset_id_one: str,
                 lo[i] + pad_deg, la[i] + pad_deg, depth)])
         return pd.Series(out)
 
-    narrow = both.select(pk, "phash", "caption", "lon", "lat", "_rank")
+    keys = [k for k in match_on if k in both.columns]
+    narrow = both.select(pk, *keys, "lon", "lat", "_rank")
     left = (narrow.withColumn("cell", F.explode(_cover(F.col("lon"), F.col("lat"))))
-            .select(F.col(pk).alias("l_pk"), F.col("phash").alias("l_phash"),
-                    F.col("caption").alias("l_cap"), F.col("lon").alias("l_lon"),
-                    F.col("lat").alias("l_lat"), F.col("_rank").alias("l_rank"),
-                    "cell"))
+            .select(F.col(pk).alias("l_pk"),
+                    *[F.col(k).alias(f"l_{k}") for k in keys],
+                    F.col("lon").alias("l_lon"), F.col("lat").alias("l_lat"),
+                    F.col("_rank").alias("l_rank"), "cell"))
     right = (narrow.withColumn("cell", _cell(F.col("lon"), F.col("lat")))
-             .select(F.col(pk).alias("r_pk"), F.col("phash").alias("r_phash"),
-                     F.col("caption").alias("r_cap"), F.col("lon").alias("r_lon"),
-                     F.col("lat").alias("r_lat"), F.col("_rank").alias("r_rank"),
-                     "cell"))
+             .select(F.col(pk).alias("r_pk"),
+                     *[F.col(k).alias(f"r_{k}") for k in keys],
+                     F.col("lon").alias("r_lon"), F.col("lat").alias("r_lat"),
+                     F.col("_rank").alias("r_rank"), "cell"))
 
     sx = cells.M_PER_DEG_LON_EQ
     sy = cells.M_PER_DEG_LAT
-    pairs = (left.join(right, (left.cell == right.cell)
-                       & (left.l_phash == right.r_phash)
-                       & (left.l_cap == right.r_cap)
-                       & (left.l_rank > right.r_rank))  # only "a smaller twin exists"
+    cond = (left.cell == right.cell) & (left.l_rank > right.r_rank)
+    for k in keys:
+        cond = cond & (F.col(f"l_{k}") == F.col(f"r_{k}"))
+    pairs = (left.join(right, cond)  # only "a smaller twin exists"
              .filter(
                  F.sqrt(F.pow((F.col("l_lon") - F.col("r_lon")) * sx, 2)
                         + F.pow((F.col("l_lat") - F.col("r_lat")) * sy, 2))

@@ -159,6 +159,22 @@ def test_union_proximity_type_check(spark):
         union_dataset(A, "ds-A", A, "ds-A", proximity="abc")
 
 
+def test_union_proximity_only_match(spark):
+    """match_on=() = the reference's pure-proximity merge: different
+    pixels at the same spot DO merge, per content.tdei_union_dataset
+    geometry semantics."""
+    prox = 0.5
+    A = spark.createDataFrame(pd.DataFrame([_img_row(0, -122.3, 47.65, "ds-A", phash=1)]),
+                              schema=IMAGES_SCHEMA)
+    B = spark.createDataFrame(pd.DataFrame([
+        _img_row(1, -122.3, 47.65 + (prox * 0.5) / M_LAT, "ds-B", phash=2),
+        _img_row(2, -122.3, 47.65 + (prox * 3) / M_LAT, "ds-B", phash=3)]),
+        schema=IMAGES_SCHEMA)
+    out = union_dataset(A, "ds-A", B, "ds-B", match_on=())
+    ids = sorted(r.image_id for r in out.collect())
+    assert ids == ["img-0000", "img-0002"]  # near row merged, far row kept
+
+
 def test_union_chain_collapse(spark):
     # a~b, b~c within proximity: only the smallest survives the chain
     prox = 0.5
