@@ -259,11 +259,43 @@ def refine_pairs(pairs: DataFrame, pred: SpatialPredicate,
     return pairs.filter(_refine(F.struct(*geo_cols)))
 
 
+def _hot_source_cells(sc: DataFrame, sample_frac: float, threshold: int,
+                      max_hot: int = 128) -> list[int]:
+    """Estimate hot cells from a sample of the source cell column: cells
+    whose estimated row count exceeds ``threshold``."""
+    est = (sc.sample(fraction=sample_frac, seed=7)
+           .groupBy("cell").count()
+           .filter(F.col("count") > threshold * sample_frac)
+           .orderBy(F.desc("count")).limit(max_hot).collect())
+    return [r["cell"] for r in est]
+
+
+def _deepen_point_cells(df_cells: DataFrame, hot: list[int], deeper: int,
+                        lon_name: str, lat_name: str) -> DataFrame:
+    """Re-encode rows (already filtered to hot cells) at ``deeper``."""
+    @F.pandas_udf(T.LongType())
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cells.encode(lon.to_numpy(np.float64),
+                                      lat.to_numpy(np.float64), deeper))
+    return df_cells.withColumn("cell", _enc(F.col(lon_name), F.col(lat_name)))
+
+
+def _parent_cell_col(deeper_col: Column, parent_depth: int):
+    @F.pandas_udf(T.LongType())
+    def _par(c: pd.Series) -> pd.Series:
+        return pd.Series(cells.cell_parent(c.to_numpy(np.int64), parent_depth))
+    return _par(deeper_col)
+
+
 def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
                    depth: int | None = None,
                    broadcast_source: bool | None = None,
                    target_filter: Column | None = None,
-                   source_filter: Column | None = None) -> DataFrame:
+                   source_filter: Column | None = None,
+                   adaptive_skew: bool = False,
+                   skew_threshold_rows: int = 2_000_000,
+                   skew_sample_frac: float = 0.01,
+                   skew_extra_depth: int = 2) -> DataFrame:
     """Matched (t_<pk>, s_<pk>, s_<carry>...) pairs satisfying ``pred``.
 
     Filters are applied to each side *before* the join — equivalent to the
@@ -302,9 +334,38 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
                      with_envelope=True)
     sc = _side_cells(s, d, 0.0, "s", skip_geom=s_lookup is not None,
                      with_envelope=True)
-    if broadcast_source:
-        sc = F.broadcast(sc)
-    pairs = tc.join(sc, "cell").drop("cell")
+
+    hot: list[int] = []
+    if adaptive_skew and s.is_point():
+        hot = _hot_source_cells(sc, skew_sample_frac, skew_threshold_rows)
+
+    if hot:
+        # adaptive cell-split: rows in hot source cells re-join at a
+        # deeper resolution. Each source row lives in exactly one stratum
+        # (its depth-d cell is hot or not), so the union is duplicate-free
+        # across strata; the hot-side target cover keeps only deep cells
+        # whose depth-d parent is hot, preserving the padded-superset
+        # guarantee (pads are absolute degrees, valid at any depth).
+        deeper = min(d + skew_extra_depth, cells.MAX_DEPTH)
+        hot_arr = [int(h) for h in hot]
+        sc_cold = sc.filter(~F.col("cell").isin(hot_arr))
+        sc_hot = _deepen_point_cells(sc.filter(F.col("cell").isin(hot_arr)),
+                                     hot, deeper,
+                                     f"s_{s.lon_col}", f"s_{s.lat_col}")
+        tc_cold = tc.filter(~F.col("cell").isin(hot_arr))
+        t_deep = _side_cells(t, deeper, pred.bound_m, "t",
+                             skip_geom=t_lookup is not None, with_envelope=True)
+        tc_hot = (t_deep.withColumn("_parent", _parent_cell_col(F.col("cell"), d))
+                  .filter(F.col("_parent").isin(hot_arr)).drop("_parent"))
+        if broadcast_source:
+            sc_cold = F.broadcast(sc_cold)
+            sc_hot = F.broadcast(sc_hot)
+        pairs = (tc_cold.join(sc_cold, "cell").drop("cell")
+                 .unionByName(tc_hot.join(sc_hot, "cell").drop("cell")))
+    else:
+        if broadcast_source:
+            sc = F.broadcast(sc)
+        pairs = tc.join(sc, "cell").drop("cell")
     pairs = envelope_prefilter(pairs, pred.bound_m, t, s)
 
     # multi-cell covers on both sides create duplicate (t,s) pairs; a

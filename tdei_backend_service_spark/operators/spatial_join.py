@@ -73,7 +73,9 @@ def spatial_join(target_df: DataFrame, target_dimension: str, target_dataset_id:
                  join_filter_target: str | None = None,
                  join_filter_source: str | None = None,
                  depth: int | None = None,
-                 broadcast_source: bool | None = None) -> DataFrame:
+                 broadcast_source: bool | None = None,
+                 adaptive_skew: bool = False,
+                 skew_threshold_rows: int = 2_000_000) -> DataFrame:
     t_info = _resolve_dimension(target_dimension, as_target=True)
     s_info = _resolve_dimension(source_dimension, as_target=False)
     pred = compile_join_condition(join_condition)
@@ -110,7 +112,9 @@ def spatial_join(target_df: DataFrame, target_dimension: str, target_dataset_id:
     s_side = _geom_side(s_base, s_info, carry=carry_names)
 
     pairs = two_phase_join(t_side, s_side, pred, depth=depth,
-                           broadcast_source=broadcast_source)
+                           broadcast_source=broadcast_source,
+                           adaptive_skew=adaptive_skew,
+                           skew_threshold_rows=skew_threshold_rows)
 
     agg_exprs = []
     for i, a in enumerate(aggs):

@@ -57,3 +57,37 @@ def test_salted_repartition_spreads_hot(skewed, spark):
 def test_split_noop_without_hot(skewed):
     out = skew.split_hot_cells(skewed, [], "cell_r8")
     assert out is skewed
+
+
+def test_adaptive_skew_join_parity(spark, skewed):
+    """two_phase_join with adaptive cell-splitting returns EXACTLY the
+    same pairs as the plain join on a heavily skewed fixture (and the
+    hot path genuinely triggers at this threshold)."""
+    from tdei_backend_service_spark.core.compiler import compile_join_condition
+    from tdei_backend_service_spark.core.join import (GeomSide,
+                                                      _hot_source_cells,
+                                                      _side_cells, pick_depth,
+                                                      two_phase_join)
+    from tdei_backend_service_spark.datagen import synth_edges_df
+
+    edges = synth_edges_df(spark, 30)
+    pred = compile_join_condition(
+        "ST_DWithin(geometry_target, geometry_source, 120)")
+    t = GeomSide(df=edges, pk="edge_id", kind="line", geom_col="geometry")
+    s = GeomSide(df=skewed, pk="image_id", kind="point")
+
+    # the dense cluster must register as hot at this threshold
+    d = pick_depth(pred.bound_m)
+    sc = _side_cells(s, d, 0.0, "s")
+    hot = _hot_source_cells(sc, sample_frac=0.5, threshold=1_000)
+    assert hot
+
+    plain = two_phase_join(t, s, pred)
+    adaptive = two_phase_join(t, s, pred, adaptive_skew=True,
+                              skew_threshold_rows=1_000,
+                              skew_sample_frac=0.5)
+    p = {(r["t_edge_id"], r["s_image_id"]) for r in
+         plain.select("t_edge_id", "s_image_id").collect()}
+    a = {(r["t_edge_id"], r["s_image_id"]) for r in
+         adaptive.select("t_edge_id", "s_image_id").collect()}
+    assert p == a and len(p) > 0
