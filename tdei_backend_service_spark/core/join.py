@@ -329,10 +329,18 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
         return refine_pairs(pairs, pred, t, s, t_lookup, s_lookup)
 
     d = depth if depth is not None else pick_depth(pred.bound_m)
-    # pad exactly one side (the target) by the bound — sufficient cover
-    tc = _side_cells(t, d, pred.bound_m, "t", skip_geom=t_lookup is not None,
+    # pad exactly ONE side by the bound (sufficient for a superset cover;
+    # which side is a pure efficiency choice). Default: pad the target.
+    # When the target is a point table and the source is a geometry
+    # layer, pad the source instead — point tables are the big side and
+    # must never be exploded (a padded point covers ~4-9 cells, a padded
+    # geometry cover grows by ~1 ring).
+    pad_t, pad_s = pred.bound_m, 0.0
+    if t.is_point() and not s.is_point():
+        pad_t, pad_s = 0.0, pred.bound_m
+    tc = _side_cells(t, d, pad_t, "t", skip_geom=t_lookup is not None,
                      with_envelope=True)
-    sc = _side_cells(s, d, 0.0, "s", skip_geom=s_lookup is not None,
+    sc = _side_cells(s, d, pad_s, "s", skip_geom=s_lookup is not None,
                      with_envelope=True)
 
     hot: list[int] = []
@@ -353,7 +361,7 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
                                      hot, deeper,
                                      f"s_{s.lon_col}", f"s_{s.lat_col}")
         tc_cold = tc.filter(~F.col("cell").isin(hot_arr))
-        t_deep = _side_cells(t, deeper, pred.bound_m, "t",
+        t_deep = _side_cells(t, deeper, pad_t, "t",
                              skip_geom=t_lookup is not None, with_envelope=True)
         tc_hot = (t_deep.withColumn("_parent", _parent_cell_col(F.col("cell"), d))
                   .filter(F.col("_parent").isin(hot_arr)).drop("_parent"))

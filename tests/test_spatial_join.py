@@ -172,6 +172,46 @@ def test_virtual_columns_u_v(tables):
     assert json.loads(props["img-0000"]["ext:vs"]) == [1]
 
 
+def test_point_target_direction_bruteforce(spark):
+    """node-target x line-source (the swapped-pad path: the point table is
+    never exploded; the geometry side carries the pad) == brute force."""
+    rng = np.random.default_rng(77)
+    n_img, n_edge = 150, 12
+    img = pd.DataFrame({
+        "image_id": [f"i{k}" for k in range(n_img)],
+        "bytes": None, "w": 8, "h": 8, "fmt": "png", "caption": "",
+        "phash": 0,
+        "lon": rng.uniform(-122.35, -122.25, n_img),
+        "lat": rng.uniform(47.6, 47.7, n_img),
+        "props": [{} for _ in range(n_img)], "dataset_id": "P",
+    })
+    eg = []
+    for e in range(n_edge):
+        x0, y0 = rng.uniform(-122.35, -122.25), rng.uniform(47.6, 47.7)
+        eg.append({"edge_id": e, "orig_node_id": 0, "dest_node_id": 1,
+                   "geometry": geom.wkb_linestring(
+                       [(x0, y0), (x0 + rng.uniform(-0.01, 0.01),
+                                   y0 + rng.uniform(-0.01, 0.01))]),
+                   "props": {}, "dataset_id": "E"})
+    images = spark.createDataFrame(img, schema=IMAGES_SCHEMA)
+    edges = spark.createDataFrame(pd.DataFrame(eg), schema=EDGES_SCHEMA)
+    R = 200.0
+    out = spatial_join(images, "node", "P", edges, "line", "E",
+                       f"ST_DWithin(geometry_target, geometry_source, {R})",
+                       ["ARRAY_AGG(_id) as es"])
+    got = {r["image_id"]: sorted(json.loads(r["props"].get("ext:es", "[]")))
+           for r in out.collect()}
+    g = geom.parse_wkb_batch([e["geometry"] for e in eg])
+    lon = img.lon.to_numpy()
+    lat = img.lat.to_numpy()
+    for k in range(n_img):
+        d = geom.point_polyline_dist(np.full(n_edge, lon[k]),
+                                     np.full(n_edge, lat[k]),
+                                     np.arange(n_edge, dtype=np.int64), g)
+        exp = sorted(int(e) for e in np.flatnonzero(d <= R + 1e-9))
+        assert got[f"i{k}"] == exp
+
+
 def test_zone_target_pip_join(spark):
     """Polygon target x point source with unbuffered ST_Intersects ->
     point-in-polygon semantics (interior counts, distance-0 boundary)."""
