@@ -53,14 +53,23 @@ class Catalog:
         os.replace(tmp, self.meta_path)
 
     def write_snapshot(self, name: str, df: DataFrame,
-                       partition_by: list[str] | None = None) -> int:
+                       partition_by: list[str] | None = None,
+                       cluster_by: str | None = "cell_r8") -> int:
         """Write a new immutable snapshot of ``name``; returns its id.
-        The previous snapshot stays readable until retired."""
+        The previous snapshot stays readable until retired.
+
+        ``cluster_by``: sort rows within each file by this column
+        (default the res-8 cell id — Z-order, so spatially-near rows are
+        byte-near). Parquet min/max stats per row group then prune bbox
+        range predicates much harder than random row order would.
+        """
         t = self.meta["tables"].setdefault(name, {"snapshots": [], "current": -1})
         snap = (t["snapshots"][-1] + 1) if t["snapshots"] else 0
         path = os.path.join(self.warehouse, name, f"snapshot={snap}")
         cols = partition_by if partition_by is not None else [
             c for c in PARTITION_SPEC if c in df.columns]
+        if cluster_by and cluster_by in df.columns:
+            df = df.sortWithinPartitions(cluster_by)
         writer = df.write.mode("overwrite")
         if cols:
             writer = writer.partitionBy(*cols)

@@ -83,6 +83,20 @@ def feature_lines(df: DataFrame, exclude: tuple = ("bytes",)) -> DataFrame:
     return df.select(feature.alias("feature"))
 
 
+def export_geojson_sharded(df: DataFrame, out_dir: str, layer: str,
+                           shards: int | None = None) -> str:
+    """Scale-path export: newline-delimited GeoJSON features written as
+    ``shards`` parallel text files under ``<out_dir>/<layer>.ndjson/``
+    (no single-stream tail; each shard is a valid feature-per-line file,
+    the common big-data GeoJSON interchange). Returns the directory."""
+    part_dir = os.path.join(out_dir, f"{layer}.ndjson")
+    out = feature_lines(df)
+    if shards:
+        out = out.repartition(shards)
+    out.write.mode("overwrite").text(part_dir)
+    return part_dir
+
+
 def export_geojson(df: DataFrame, out_dir: str, layer: str,
                    metadata: dict | None = None) -> str | None:
     """Write ``osw.<layer>s.geojson``; returns the path, or None with the

@@ -46,6 +46,19 @@ def test_export_geojson_empty_returns_none(spark, tmp_path):
     assert export_geojson(df, str(tmp_path), "node") is None
 
 
+def test_export_geojson_sharded(spark, tmp_path):
+    import glob
+    import json as J
+    from tdei_backend_service_spark.io.geojson import export_geojson_sharded
+    df = synth_images_df(spark, 200, with_bytes=False)
+    d = export_geojson_sharded(df, str(tmp_path), "node", shards=4)
+    parts = glob.glob(os.path.join(d, "part-*"))
+    assert len(parts) == 4
+    feats = [J.loads(l) for p in parts for l in open(p) if l.strip()]
+    assert len(feats) == 200
+    assert all(f["type"] == "Feature" for f in feats)
+
+
 def test_extract_dataset_layers(spark, tmp_path):
     layers = {"node": synth_images_df(spark, 20, with_bytes=False),
               "edge": synth_edges_df(spark, 6)}
