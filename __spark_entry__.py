@@ -153,6 +153,24 @@ def _q_topk(spark: SparkSession, sf: str) -> DataFrame:
             .limit(10))
 
 
+def _q_events_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .alias("sum_value_cents"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+def _q_events_top_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (ev.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", "event_id", "event_type"))
+
+
 def _q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return TX.with_token_counts(docs).select("doc_id", "n_tokens_ws", "n_tokens_bpe")
@@ -266,6 +284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_filter_join": _q_proj_join,
         "groupby_pricing": _q_groupby,
         "topk_customers": _q_topk,
+        "events_rollup": _q_events_rollup,
+        "events_top_per_user": _q_events_top_per_user,
         "token_count": _q_token_count,
         "text_quality": _q_quality,
         "langid": _q_langid,
@@ -349,6 +369,19 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
             FROM orders GROUP BY o_custkey
             ORDER BY total_cents DESC, o_custkey LIMIT 10
+        """,
+        "events_rollup": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "events_top_per_user": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rk
+              FROM events) WHERE rk = 1
         """,
         "token_count": r"""
             SELECT doc_id,
