@@ -172,6 +172,41 @@ def test_virtual_columns_u_v(tables):
     assert json.loads(props["img-0000"]["ext:vs"]) == [1]
 
 
+def test_reference_exact_fixture_strings(spark, tables):
+    """The reference's exact test parameters (spatial-query.test.ts:7-24,
+    129-151) parse and execute end-to-end: combined buffer+angle
+    condition with odd whitespace, ext:-prefixed and plain props
+    aggregates, and both join filters."""
+    edges, images = tables
+    # fixture 1: edge x edge, buffer 2 AND angle < 30, whitespace inside
+    # degrees( ST_Angle( ... ) ) exactly as the reference writes it
+    out = spatial_join(
+        edges, "edge", "ds-target", edges, "line", "ds-target",
+        "ST_Intersects(ST_Buffer(geometry_target, 2), geometry_source) "
+        "and degrees( ST_Angle(geometry_target, geometry_source) ) < 30 ",
+        ["ARRAY_AGG(_id) as SDOT_curb_ramp_id",
+         "ARRAY_AGG(_u_id) as source_id",
+         "ARRAY_AGG(_v_id) as dest_id"])
+    rows = {r.edge_id: r.props for r in out.collect()}
+    # each edge matches itself (distance 0, angle 0): self-pair included
+    assert json.loads(rows[0]["ext:SDOT_curb_ramp_id"]) == [0]
+    assert json.loads(rows[0]["ext:source_id"]) == [0]
+    assert json.loads(rows[0]["ext:dest_id"]) == [1]
+
+    # fixture 2: edge x point with both filters (spatial-query.test.ts:129-151)
+    out2 = spatial_join(
+        edges, "edge", "ds-target", images, "point", "ds-source",
+        "ST_Intersects(ST_Buffer(geometry_target, 5), geometry_source)",
+        ["ARRAY_AGG(highway) as lamps",
+         "ARRAY_AGG(ext:ada_compliant) as ada"],
+        join_filter_target="highway='footway'",
+        join_filter_source="highway='street_lamp'")
+    props = {r.edge_id: r.props for r in out2.collect()}
+    assert len(props) == 3
+    assert json.loads(props[0]["ext:lamps"]) == ["street_lamp", "street_lamp"]
+    assert json.loads(props[0]["ext:ada"]) == ["true", "true"]
+
+
 def test_point_target_direction_bruteforce(spark):
     """node-target x line-source (the swapped-pad path: the point table is
     never exploded; the geometry side carries the pad) == brute force."""
