@@ -76,7 +76,24 @@ def main(argv=None) -> int:
             extract_dataset({layer_names.get(k, k): v for k, v in result.items()},
                             ds, args.out)
         elif isinstance(result, DataFrame):   # single result table
-            extract_dataset({"result": result}, ds, args.out)
+            # table-producing jobs (tag_road, union) land as a manifest-
+            # tracked partitioned parquet stage first: per-partition
+            # lineage + rows/bytes metrics, idempotent resume (re-running
+            # the same job over the same out dir skips committed
+            # partitions — the north_rule checkpoint requirement)
+            from tdei_backend_service_spark.core.manifest import Manifest
+            if "dataset_id" in result.columns:
+                man = Manifest(f"{args.out}/_run")
+                stage = man.run_stage(service, result, keys=["dataset_id"])
+                print(json.dumps({"stage": service, **{k: v for k, v in
+                                  stage.items() if k != "out_dir"}}),
+                      file=sys.stderr)
+            # single-table results are already dataset-scoped (tag_road)
+            # or intentionally multi-dataset (union) — export unfiltered
+            from tdei_backend_service_spark.io.geojson import export_geojson
+            export_geojson(result.drop(*[c for c in ("nearest_dist_m",)
+                                         if c in result.columns]),
+                           args.out, "result")
         # else: export services already wrote files themselves
         resp = response_message(message_id, service, args.out, success=True)
     except Exception as e:  # typed, user-facing failure message
