@@ -41,13 +41,24 @@ def union_dataset(df_one: DataFrame, dataset_id_one: str,
                   df_two: DataFrame, dataset_id_two: str,
                   proximity: float | None = None,
                   pk: str = "image_id",
-                  match_on: tuple = ("phash", "caption")) -> DataFrame:
+                  match_on: tuple = ("phash", "caption"),
+                  collapse: str = "min_winner") -> DataFrame:
     """``match_on`` lists the equality keys a pair must share besides
     proximity. Default (phash, caption) implements the image-payload
     invariants from BASELINE.json; pass ``()`` for the reference's pure
     proximity merge (OSW features carry no phash) — candidates then come
     from the cell join alone, so keep proximity small (default 0.5 m),
     exactly the reference's default regime.
+
+    ``collapse`` picks the survivor rule for duplicate groups:
+    * ``min_winner`` (default): drop a row iff a strictly smaller
+      matching row exists. One pass, no iteration — the scale choice.
+      On rank-interleaved chains it can keep more than one row per
+      transitive cluster.
+    * ``cc``: exact connected components via min-label propagation —
+      exactly one survivor (the minimum) per transitive cluster.
+      Iterative (duplicate clusters are tiny, so a handful of rounds),
+      for workloads needing strict cluster semantics.
     """
     if proximity is None:
         proximity = DEFAULT_PROXIMITY_M
@@ -107,12 +118,52 @@ def union_dataset(df_one: DataFrame, dataset_id_one: str,
     cond = (left.cell == right.cell) & (left.l_rank > right.r_rank)
     for k in keys:
         cond = cond & (F.col(f"l_{k}") == F.col(f"r_{k}"))
-    pairs = (left.join(right, cond)  # only "a smaller twin exists"
+    pairs = (left.join(right, cond)  # each unordered matching pair once
              .filter(
                  F.sqrt(F.pow((F.col("l_lon") - F.col("r_lon")) * sx, 2)
                         + F.pow((F.col("l_lat") - F.col("r_lat")) * sy, 2))
-                 <= proximity))
-    losers = pairs.select(F.col("l_pk").alias(pk), F.col("l_rank").alias("_rank")).distinct()
+                 <= proximity)
+             .select("l_rank", "r_rank").distinct())
 
-    out = both.join(losers, [pk, "_rank"], "left_anti").drop("_rank")
-    return out
+    if collapse == "cc":
+        losers = _cc_losers(pairs)
+    else:
+        losers = pairs.select(F.col("l_rank").alias("_rank")).distinct()
+
+    return both.join(losers, ["_rank"], "left_anti").drop("_rank")
+
+
+def _cc_losers(pairs: DataFrame) -> DataFrame:
+    """Exact connected components by min-label propagation over the
+    match graph (nodes = the unique ``_rank`` sort keys). Returns the
+    non-minimum members of every component as (_rank) rows.
+
+    Duplicate clusters are tiny (bounded by upload multiplicity), so the
+    label fixpoint arrives in a few rounds; each round is one join +
+    aggregate. Rows with no match never enter the graph at all."""
+    edges = (pairs.select(F.col("l_rank").alias("a"), F.col("r_rank").alias("b"))
+             .unionByName(pairs.select(F.col("r_rank").alias("a"),
+                                       F.col("l_rank").alias("b"))))
+    edges = edges.persist()
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")).persist())
+    for _ in range(32):
+        nb_min = (edges.join(labels.withColumnRenamed("node", "b"), "b")
+                  .groupBy("a").agg(F.min("label").alias("nb_label")))
+        new_labels = (labels.join(nb_min.withColumnRenamed("a", "node"),
+                                  "node", "left")
+                      .select("node", F.least(F.col("label"),
+                                              F.coalesce(F.col("nb_label"),
+                                                         F.col("label")))
+                              .alias("label")).persist())
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
+                                   "node")
+                   .filter(F.col("label") != F.col("old")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    losers = (labels.filter(F.col("label") != F.col("node"))
+              .select(F.col("node").alias("_rank")))
+    edges.unpersist()
+    return losers

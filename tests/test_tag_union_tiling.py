@@ -191,6 +191,50 @@ def test_union_chain_collapse(spark):
     assert ids == ["img-0000"]
 
 
+def test_union_cc_vs_min_winner(spark):
+    """The differentiating chain: ranks a < c < b with matches a~b and
+    b~c only. min_winner keeps {a, c} (c has no smaller MATCH); exact CC
+    keeps {a} (one survivor per transitive cluster)."""
+    prox = 0.5
+    A = spark.createDataFrame(pd.DataFrame([
+        _img_row(0, -122.3, 47.65, "ds-A", phash=7, caption="x")]),        # a
+        schema=IMAGES_SCHEMA)
+    B = spark.createDataFrame(pd.DataFrame([
+        _img_row(1, -122.3, 47.65 + (prox * 1.6) / M_LAT, "ds-B",          # c
+                 phash=7, caption="x"),
+        _img_row(2, -122.3, 47.65 + (prox * 0.8) / M_LAT, "ds-B",          # b
+                 phash=7, caption="x")]),
+        schema=IMAGES_SCHEMA)
+    mw = sorted(r.image_id for r in
+                union_dataset(A, "ds-A", B, "ds-B").collect())
+    cc = sorted(r.image_id for r in
+                union_dataset(A, "ds-A", B, "ds-B", collapse="cc").collect())
+    assert mw == ["img-0000", "img-0001"]
+    assert cc == ["img-0000"]
+
+
+def test_union_cc_matches_min_winner_on_simple_dups(spark):
+    """On direct-duplicate fixtures (no chains) both rules agree — the
+    FIXTURES.md cardinality |A|+|B|-D holds for either."""
+    nA, nB, D = 20, 15, 5
+    A = spark.createDataFrame(
+        pd.DataFrame([_img_row(i, -122.3 + i * 1e-3, 47.65, "ds-A")
+                      for i in range(nA)]), schema=IMAGES_SCHEMA)
+    rows = []
+    for j in range(nB):
+        if j < D:
+            rows.append(_img_row(1000 + j, -122.3 + j * 1e-3,
+                                 47.65 + 0.2 / M_LAT, "ds-B",
+                                 phash=j, caption=f"cap {j}"))
+        else:
+            rows.append(_img_row(1000 + j, -122.2 + j * 1e-3, 47.68, "ds-B"))
+    B = spark.createDataFrame(pd.DataFrame(rows), schema=IMAGES_SCHEMA)
+    mw = {r.image_id for r in union_dataset(A, "ds-A", B, "ds-B").collect()}
+    cc = {r.image_id for r in
+          union_dataset(A, "ds-A", B, "ds-B", collapse="cc").collect()}
+    assert mw == cc and len(mw) == nA + nB - D
+
+
 # ---------------------------------------------------------------------------
 # tiling
 # ---------------------------------------------------------------------------
