@@ -210,8 +210,10 @@ def _maybe_broadcast_geoms(side: GeomSide):
     executor."""
     if side.is_point():
         return None
-    cnt = side.df.count()
-    if cnt > BROADCAST_GEOM_MAX_ROWS:
+    # bounded probe: scan at most threshold+1 rows to decide — a plain
+    # count() would be a full pass over a table we only want to size-check
+    probe = side.df.select(side.pk).limit(BROADCAST_GEOM_MAX_ROWS + 1).count()
+    if probe > BROADCAST_GEOM_MAX_ROWS:
         return None
     rows = side.df.select(side.pk, side.geom_col).collect()
     sc = side.df.sparkSession.sparkContext

@@ -140,7 +140,9 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                           bands, rows_per_band)
 
     if broadcast_texts is None:
-        broadcast_texts = df.count() <= BROADCAST_TEXTS_MAX_ROWS
+        # bounded probe instead of a full count over a possibly-huge corpus
+        broadcast_texts = (df.select(id_col).limit(BROADCAST_TEXTS_MAX_ROWS + 1)
+                           .count() <= BROADCAST_TEXTS_MAX_ROWS)
 
     if broadcast_texts:
         rows = df.select(id_col, text_col).collect()

@@ -30,6 +30,10 @@ def get_spark(app: str = "tdei-spark", cpus: int | None = None,
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # big-table equi-joins (the kNN tag-back join is N x N on the pk):
+        # shuffle-hash beats sort-merge here — no O(n log n) sort passes
+        # over wide rows, and AQE still falls back when a side won't fit
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
