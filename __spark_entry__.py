@@ -173,13 +173,19 @@ def _q_events_top_per_user(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return TX.with_token_counts(docs).select("doc_id", "n_tokens_ws", "n_tokens_bpe")
+    return TX.with_token_counts(docs).select(
+        "doc_id",
+        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+        F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"))
 
 
 def _q_quality(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return (TX.with_quality(docs)
-            .select("doc_id", "n_chars_m", "stopword_hits", "quality_score"))
+            .select("doc_id",
+                    F.col("n_chars_m").cast("long").alias("n_chars_m"),
+                    F.col("stopword_hits").cast("long").alias("stopword_hits"),
+                    "quality_score"))
 
 
 def _q_langid(spark: SparkSession, sf: str) -> DataFrame:
@@ -203,7 +209,7 @@ def _q_embed_topk(spark: SparkSession, sf: str) -> DataFrame:
     queries = (emb.filter(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("q_id"), "embedding"))
     return (SIM.brute_force_topk(emb, queries, k=5)
-            .select("q_id", "vec_id", "rank"))
+            .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank")))
 
 
 # --- rows-only entries (non-SQL-expressible; driver records row check) ---
@@ -359,20 +365,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "groupby_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
                    COUNT(*) AS n
             FROM lineitem GROUP BY 1, 2
         """,
         "topk_customers": """
             SELECT o_custkey,
-                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM orders GROUP BY o_custkey
             ORDER BY total_cents DESC, o_custkey LIMIT 10
         """,
         "events_rollup": """
             SELECT event_type, COUNT(*) AS n,
-                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
                    COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
         """,

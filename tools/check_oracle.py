@@ -60,6 +60,13 @@ def main() -> int:
             status = f"ROWCOUNT {len(a)} vs {len(b)}"
         elif list(a.columns) != list(b.columns):
             status = f"SCHEMA {list(a.columns)} vs {list(b.columns)}"
+        elif [str(a[c].dtype) for c in a.columns] != [str(b[c].dtype) for c in b.columns]:
+            # The driver's value hash is dtype-sensitive (e.g. DuckDB HUGEINT
+            # surfaces as float64 while Spark SUM(BIGINT) stays int64), so a
+            # dtype mismatch means a hash fail even with identical values.
+            diffs = [f"{c}: {a[c].dtype} vs {b[c].dtype}"
+                     for c in a.columns if str(a[c].dtype) != str(b[c].dtype)]
+            status = f"DTYPE {'; '.join(diffs)}"
         else:
             for c in a.columns:
                 av, bv = a[c].to_numpy(), b[c].to_numpy()
