@@ -212,30 +212,36 @@ def _q_embed_topk(spark: SparkSession, sf: str) -> DataFrame:
             .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank")))
 
 
-# --- rows-only entries (non-SQL-expressible; driver records row check) ---
+# --- LSH dedup queries over planted corpora (closed-form survivor sets;
+#     see fixtures_tpch.planted_documents/planted_embeddings docstrings
+#     for the recall/precision guarantees that make these oracle-exact) ---
 
 
 def _q_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = FX.planted_documents(spark, sf)
     return DD.minhash_dedup(docs, threshold=0.8).select("doc_id")
 
 
 def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = FX.planted_documents(spark, sf)
     return DD.simhash_dedup(docs, max_hamming=3).select("doc_id")
 
 
 def _q_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = FX.planted_embeddings(spark, sf)
     return DD.embedding_dedup(emb, threshold=0.98).select("vec_id")
 
 
 def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF with nprobe = n_centroids probes every bucket -> exact top-k,
+    so the *scale-path plan* (bucketed equi-join, no cross join) gets a
+    brute-force SQL oracle. Recall at nprobe < n_centroids is measured
+    separately in tests/test_similarity_multimodal.py."""
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = (emb.filter(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("q_id"), "embedding"))
-    return (SIM.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4)
-            .select("q_id", "vec_id", "rank"))
+    return (SIM.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=8)
+            .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank")))
 
 
 def _q_payload_invariants(spark: SparkSession, sf: str) -> DataFrame:
@@ -254,12 +260,11 @@ def _q_winnow(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_zone_pip(spark: SparkSession, sf: str) -> DataFrame:
-    """Polygon-target PIP join: images per quad zone (rows-only — the
-    PIP boundary convention is pinned by pytest brute-force oracles)."""
-    from tdei_backend_service_spark.core.schema import ZONES_SCHEMA
-    from tdei_backend_service_spark.datagen import synth_zones_pandas
-    zones = spark.createDataFrame(synth_zones_pandas(16, dataset_id="tpch-z"),
-                                  schema=ZONES_SCHEMA)
+    """Polygon-target PIP join: points per quad zone. The zones sit on
+    half-lattice boundaries (fixtures_tpch.quad_zones) so no point is
+    ever on an edge and the answer is closed-form integer arithmetic —
+    a full SQL oracle despite running the real polygon PIP path."""
+    zones = FX.quad_zones(spark, side=4, dataset_id="tpch-z")
     pts = FX.orders_points(spark, sf)
     out = spatial_join(zones, "zone", "tpch-z", pts, "point", "tpch",
                        "ST_Intersects(geometry_target, geometry_source)",
@@ -298,12 +303,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "fingerprint": _q_fingerprint,
         "embedding_topk": _q_embed_topk,
-        # rows-only (no SQL oracle): LSH/banding internals are not
-        # SQL-expressible; pytest brute-force oracles cover them
+        # LSH dedup over planted corpora + exact-mode IVF: oracle-checked
+        # (closed-form survivor sets / brute-force-equivalent settings)
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash,
         "embedding_neardup": _q_embed_neardup,
         "ivf_topk": _q_ivf_topk,
+        # rows-only: pixel decode invariants are genuinely non-SQL
         "payload_invariants": _q_payload_invariants,
         "winnow_fingerprint": _q_winnow,
         "zone_pip_count": _q_zone_pip,
@@ -418,24 +424,90 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": f"""
             SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents
         """,
-        "embedding_topk": """
-            WITH q AS (SELECT vec_id AS q_id, embedding AS qe
-                       FROM embeddings WHERE vec_id < 3),
-            s AS (SELECT q.q_id, e.vec_id,
-                    list_sum(list_transform(list_zip(e.embedding, q.qe),
-                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                    / (sqrt(list_sum(list_transform(e.embedding,
-                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                     * sqrt(list_sum(list_transform(q.qe,
-                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-                  FROM embeddings e, q)
-            SELECT q_id, vec_id, rank FROM (
-              SELECT q_id, vec_id,
-                     ROW_NUMBER() OVER (PARTITION BY q_id
-                                        ORDER BY cos DESC, vec_id) AS rank
-              FROM s) WHERE rank <= 5
+        "embedding_topk": _TOPK_SQL,
+        # IVF with nprobe = n_centroids is exact, so the scale-path plan
+        # shares the brute-force oracle.
+        "ivf_topk": _TOPK_SQL,
+        # Planted-corpus dedup survivor sets (closed-form; see
+        # fixtures_tpch.planted_documents / planted_embeddings for why
+        # removal AND survival are deterministic, not probabilistic).
+        "minhash_dedup": f"""
+            SELECT doc_id FROM documents
+            UNION ALL
+            SELECT doc_id + {FX.PLANT_NEAR_OFFSET} AS doc_id
+            FROM documents WHERE doc_id % 7 = 3
+        """,
+        "simhash_dedup": f"""
+            SELECT doc_id FROM documents
+            UNION ALL
+            SELECT doc_id + {FX.PLANT_NEAR_OFFSET} AS doc_id
+            FROM documents WHERE doc_id % 7 = 3
+        """,
+        "embedding_neardup": f"""
+            SELECT vec_id FROM embeddings
+            UNION ALL
+            SELECT vec_id + {FX.PLANT_NEAR_OFFSET} AS vec_id
+            FROM embeddings WHERE vec_id % 7 = 3
+        """,
+        # quad_zones boundaries sit between lattice points, so zone
+        # membership is exact integer arithmetic on the key hash.
+        "zone_pip_count": """
+            SELECT z.zone_id, COALESCE(c.n, 0) AS n
+            FROM (SELECT CAST(range AS BIGINT) AS zone_id FROM range(16)) z
+            LEFT JOIN (
+              SELECT ((o_orderkey * 40503 + 12345) % 100000) // 25000 * 4
+                   + ((o_orderkey * 2654435761) % 100000) // 25000 AS zone_id,
+                     COUNT(*) AS n
+              FROM orders GROUP BY 1) c USING (zone_id)
+        """,
+        # exact replica of pipeline/text.py with_winnow_fingerprint
+        # (k=8, window=4): md5-gram hash -> sliding-window min -> xor of
+        # the distinct minima.
+        "winnow_fingerprint": r"""
+            WITH prep AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^\x20-\x7e]', '', 'g') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id, t, length(t) - 7 AS n_grams,
+                     list_transform(range(1, GREATEST(length(t) - 7, 1) + 1),
+                       j -> CAST(('0x' || substr(md5(substr(t, j::INT, 8)), 1, 14))
+                                 AS BIGINT)) AS grams
+              FROM prep),
+            m AS (
+              SELECT doc_id, t, n_grams,
+                     list_transform(range(1, GREATEST(n_grams - 3, 1) + 1),
+                       i -> list_min(grams[i : i + 3])) AS mins
+              FROM g)
+            SELECT doc_id,
+                   CASE WHEN length(t) >= 8
+                        THEN list_reduce(
+                               list_prepend(CAST(0 AS BIGINT), list_distinct(mins)),
+                               (a, b) -> xor(a, b))
+                        ELSE CAST(('0x' || substr(md5(t), 1, 14)) AS BIGINT)
+                   END AS winnow_fp
+            FROM m
         """,
     }
+
+
+_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 3),
+    s AS (SELECT q.q_id, e.vec_id,
+            list_sum(list_transform(list_zip(e.embedding, q.qe),
+              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(q.qe,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+          FROM embeddings e, q)
+    SELECT q_id, vec_id, rank FROM (
+      SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM s) WHERE rank <= 5
+"""
 
 
 def _quality_sql() -> str:

@@ -66,6 +66,111 @@ def grid_edges(spark: SparkSession, dataset_id: str = "tpch-edges") -> DataFrame
     return spark.createDataFrame(pd.DataFrame(rows), schema=EDGES_SCHEMA)
 
 
+def quad_zones(spark: SparkSession, side: int = 4,
+               dataset_id: str = "tpch-z") -> DataFrame:
+    """``side x side`` axis-aligned zones tiling the derived-point
+    lattice, with every boundary offset by -0.5e-6 deg (half a lattice
+    step), so no derived point can ever sit on a zone edge. The zone of
+    a point is then pure integer arithmetic on the key hash —
+    zone_id = (lat_hash // step) * side + (lon_hash // step) — which is
+    what makes zone_pip_count a full SQL oracle instead of rows-only
+    (PIP boundary conventions can't disagree when nothing is on a
+    boundary). The Spark side still runs the real polygon PIP path."""
+    from .core.schema import ZONES_SCHEMA
+    step = 100000 // side
+    rows = []
+    for zid in range(side * side):
+        ix, iy = zid % side, zid // side
+        x0 = LON0 + (ix * step - 0.5) / 1e6
+        x1 = LON0 + ((ix + 1) * step - 0.5) / 1e6
+        y0 = LAT0 + (iy * step - 0.5) / 1e6
+        y1 = LAT0 + ((iy + 1) * step - 0.5) / 1e6
+        rows.append({
+            "zone_id": zid,
+            "node_ids": [zid * 4, zid * 4 + 1, zid * 4 + 2, zid * 4 + 3],
+            "geometry": geom.wkb_polygon(
+                [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]),
+            "props": {"zone_type": "quad"},
+            "dataset_id": dataset_id,
+        })
+    return spark.createDataFrame(pd.DataFrame(rows), schema=ZONES_SCHEMA)
+
+
+# Planted near-dup corpora: id offsets for the injected rows.
+PLANT_COPY_OFFSET = 1_000_000   # exact duplicates -> MUST be deduped
+PLANT_NEAR_OFFSET = 2_000_000   # sub-threshold near-misses -> MUST survive
+
+
+def planted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, text) corpus with a closed-form near-dedup
+    survivor set, making the LSH dedup paths (minhash_dedup,
+    simhash_dedup) fully oracle-checkable:
+
+    * base docs: 8 md5-derived 32-hex tokens per doc_id — token sets are
+      pseudorandom and disjoint across docs, so pairwise char-shingle
+      Jaccard is ~0 and pairwise simhash hamming is ~32 (verified
+      empirically at sf0.001/0.01/0.1; the corpus is deterministic, so
+      what holds locally holds at driver time);
+    * for doc_id % 5 == 0: an EXACT copy at doc_id + PLANT_COPY_OFFSET.
+      Identical text -> identical minhash/simhash signature -> collides
+      in every LSH band -> guaranteed candidate -> exact verify passes
+      (Jaccard 1 / hamming 0) -> the larger id is dropped. Removal is
+      thus *guaranteed*, not probabilistic — the one case where LSH
+      recall is certain;
+    * for doc_id % 7 == 3: a near-miss at doc_id + PLANT_NEAR_OFFSET
+      sharing the first 4 of 8 tokens (char-5-gram Jaccard ~0.33 << 0.8
+      threshold). It may or may not band-collide, but the exact verify
+      step deterministically rejects it, so survival is guaranteed.
+
+    Survivors = all base docs + all near-misses:
+        SELECT doc_id FROM documents UNION ALL
+        SELECT doc_id + 2000000 FROM documents WHERE doc_id % 7 = 3
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def tok(prefix: str, j: int):
+        return F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string"),
+                              F.lit(f"-{j}")))
+
+    base_text = F.concat_ws(" ", *[tok("", j) for j in range(8)])
+    base = docs.select("doc_id", base_text.alias("text"))
+    copies = (docs.filter(F.col("doc_id") % 5 == 0)
+              .select((F.col("doc_id") + PLANT_COPY_OFFSET).alias("doc_id"),
+                      base_text.alias("text")))
+    near_text = F.concat_ws(" ", *[tok("", j) for j in range(4)],
+                            *[tok("nm", j) for j in range(4)])
+    near = (docs.filter(F.col("doc_id") % 7 == 3)
+            .select((F.col("doc_id") + PLANT_NEAR_OFFSET).alias("doc_id"),
+                    near_text.alias("text")))
+    return base.unionByName(copies).unionByName(near)
+
+
+def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings -> (vec_id, embedding) corpus with a closed-form
+    cosine-near-dup survivor set (organic pairwise |cos| is bounded at
+    ~0.6 on the driver's synthetic embeddings — far below the 0.98
+    threshold — so planted rows fully determine the answer):
+
+    * vec_id % 5 == 0: exact copy at +PLANT_COPY_OFFSET (cos = 1, same
+      hyperplane-LSH bucket byte-for-byte -> guaranteed candidate ->
+      removed);
+    * vec_id % 7 == 3: negated vector at +PLANT_NEAR_OFFSET (cos = -1
+      vs its parent and -cos(parent, x) vs everything else -> never
+      >= 0.98 -> survives).
+
+    Survivors = all originals + all negated rows.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = (emb.filter(F.col("vec_id") % 5 == 0)
+              .select((F.col("vec_id") + PLANT_COPY_OFFSET).alias("vec_id"),
+                      "embedding"))
+    neg = (emb.filter(F.col("vec_id") % 7 == 3)
+           .select((F.col("vec_id") + PLANT_NEAR_OFFSET).alias("vec_id"),
+                   F.transform("embedding", lambda x: -x).alias("embedding")))
+    return (emb.select("vec_id", "embedding")
+            .unionByName(copies).unionByName(neg))
+
+
 def customer_images(spark: SparkSession, sf_dir: str, side: str,
                     n_dups: int = 300) -> DataFrame:
     """customer -> image-like point records for the union fixture.

@@ -100,38 +100,73 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_winnow_fingerprint(df: DataFrame, text_col: str = "text",
                             k: int = 8, window: int = 4) -> DataFrame:
-    """Winnowing document fingerprint (Schleimer et al.): rolling hash of
-    char k-grams, min-hash per sliding window, xor-folded to one int64.
-    Robust to small edits (unlike md5). Arrow-batched numpy; the rolling
-    hash is computed with a vectorized polynomial over a char matrix."""
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
+    hash every char k-gram, take the min hash per sliding window of
+    ``window`` hashes, xor-fold the distinct window minima to one int64.
 
-    @F.pandas_udf(T.LongType())
-    def _winnow(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        B = np.uint64(1000003)
-        for i, s in enumerate(texts):
-            s = (s or "").lower()
-            b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
-            if b.size < k:
-                out[i] = np.int64(b.sum() + b.size)
-                continue
-            # polynomial rolling hash of every k-gram, vectorized:
-            # h[j] = sum b[j+t] * B^(k-1-t)
-            powers = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
-            n = b.size - k + 1
-            idx = np.arange(n)[:, None] + np.arange(k)[None, :]
-            h = (b[idx] * powers[None, :]).sum(axis=1)
-            if h.size >= window:
-                m = h.size - window + 1
-                widx = np.arange(m)[:, None] + np.arange(window)[None, :]
-                mins = h[widx].min(axis=1)
-            else:
-                mins = h.min(keepdims=True)
-            sel = np.unique(mins)
-            with np.errstate(over="ignore"):  # modular uint64 on purpose
-                folded = sel * B + np.uint64(1)
-            acc = np.bitwise_xor.reduce(folded) if folded.size else np.uint64(0)
-            out[i] = np.int64(acc & np.uint64(0x7FFFFFFFFFFFFFFF))
-        return pd.Series(out)
+    Entirely JVM-side Catalyst expressions (transform/slice/array_min/
+    aggregate) — no Python in the row path, so the whole column stays in
+    whole-stage codegen — and every step has an exact DuckDB equivalent,
+    so the contract query is hash-checked against a SQL oracle
+    (__spark_entry__.oracle_sql()['winnow_fingerprint']).
 
-    return df.withColumn("winnow_fp", _winnow(F.col(text_col)))
+    The gram hash is the first 14 hex chars (56 bits) of md5, which both
+    engines compute identically over UTF-8; text is lowercased and
+    stripped to printable ASCII first so character indexing agrees
+    across engines. Texts shorter than ``k`` fall back to the hash of
+    the whole normalized text.
+
+    Plan shape matters here: naively nesting ``transform`` lambdas makes
+    Catalyst inline the grams array into every window lambda (quadratic:
+    each of n windows recomputes all n md5 grams). Two tricks keep it
+    O(n log w) and map-only:
+
+    * ``_let`` — a 1-element ``transform`` is an expression-level let:
+      HigherOrderFunction evaluates its input array once, so every
+      reference to the lambda variable reuses the materialized value
+      instead of re-inlining the expression;
+    * the sliding-window min is binary doubling (``zip_with`` of the
+      array against its own shift: covered window 1 -> 2 -> 4 -> ... ->
+      w), not a per-index ``slice``+``array_min``.
+    Measured: 482 s -> ~2 s for 500 docs at sf0.01."""
+
+    def _let(value, body):
+        return F.element_at(F.transform(F.array(value), body), 1)
+
+    def gram_hash(s):
+        return F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long")
+
+    def _winmin(arr, w):
+        # min over sliding windows of w: repeatedly zip the array with
+        # its own shift (F.least skips the nulls zip_with pads with, so
+        # truncated tail windows take the min of what's available —
+        # those slots are discarded by the slice below anyway)
+        def _round(cur, s):
+            # NB: the lambda must take exactly one arg — pyspark treats a
+            # second parameter (even defaulted) as the (element, index)
+            # form, which would bind it to the array index
+            def body(g):
+                return F.zip_with(g, F.slice(g, s + 1, F.size(g)),
+                                  lambda a, b: F.least(a, b))
+            return _let(cur, body)
+        covered = 1
+        while covered * 2 <= w:
+            arr = _round(arr, covered)
+            covered *= 2
+        if covered < w:
+            arr = _round(arr, w - covered)
+        return arr
+
+    def _fp(t):
+        n_grams = F.length(t) - F.lit(k - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda j: gram_hash(F.substr(t, j, F.lit(k))))
+        n_wins = F.greatest(n_grams - F.lit(window - 1), F.lit(1))
+        mins = F.slice(_winmin(grams, window), 1, n_wins)
+        folded = F.aggregate(F.array_distinct(mins), F.lit(0).cast("long"),
+                             lambda acc, x: acc.bitwiseXOR(x))
+        return F.when(F.length(t) >= k, folded).otherwise(gram_hash(t))
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^\x20-\x7e]", "")
+    return df.withColumn("winnow_fp", _let(norm, _fp))
