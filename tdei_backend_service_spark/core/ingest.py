@@ -51,7 +51,10 @@ def encode_cells(df: DataFrame, tile_z: int = DEFAULT_TILE_Z,
         out["tile_key"] = cells.tile_key(tile_z, tx, ty)
         return pd.DataFrame(out)
 
-    s = _encode(F.col(lon_col), F.col(lat_col))
+    # asNondeterministic: stops Catalyst pushing inferred isnotnull/join
+    # filters below this projection, which would extract the UDF twice
+    # (two ArrowEvalPython nodes = double encode per row; VERDICT r1 #2)
+    s = _encode.asNondeterministic()(F.col(lon_col), F.col(lat_col))
     df = df.withColumn("_enc", s)
     for name in CELL_LADDER:
         df = df.withColumn(name, F.col(f"_enc.{name}"))
@@ -82,7 +85,7 @@ def encode_geom_meta(df: DataFrame, geometry_col: str = "geometry") -> DataFrame
             "gmax_lon": box[:, 2], "gmax_lat": box[:, 3],
         })
 
-    df = df.withColumn("_env", _env(F.col(geometry_col)))
+    df = df.withColumn("_env", _env.asNondeterministic()(F.col(geometry_col)))
     for c in ("gmin_lon", "gmin_lat", "gmax_lon", "gmax_lat"):
         df = df.withColumn(c, F.col(f"_env.{c}"))
     return df.drop("_env")
@@ -128,7 +131,8 @@ def cover_geometry(df: DataFrame, depth: int, pad_m: float = 0.0,
             out, _ = _covers(blob)
             return pd.Series(out)
 
-        return df.withColumn(out_col, _cover(F.col(geometry_col)))
+        return df.withColumn(out_col,
+                             _cover.asNondeterministic()(F.col(geometry_col)))
 
     env_fields = T.StructType([
         T.StructField("cov", T.ArrayType(T.LongType())),
@@ -145,7 +149,8 @@ def cover_geometry(df: DataFrame, depth: int, pad_m: float = 0.0,
                              "gmin_lat": box[:, 1], "gmax_lon": box[:, 2],
                              "gmax_lat": box[:, 3]})
 
-    d2 = df.withColumn("_ce", _cover_env(F.col(geometry_col)))
+    # single evaluation per row (see encode_cells note on asNondeterministic)
+    d2 = df.withColumn("_ce", _cover_env.asNondeterministic()(F.col(geometry_col)))
     for c in ("gmin_lon", "gmin_lat", "gmax_lon", "gmax_lat"):
         d2 = d2.withColumn(c, F.col(f"_ce.{c}"))
     return d2.withColumn(out_col, F.col("_ce.cov")).drop("_ce")

@@ -86,7 +86,10 @@ def _point_cells(side: GeomSide, depth: int, pad_m: float, tag: str) -> DataFram
         def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
             return pd.Series(cells.encode(lon.to_numpy(np.float64),
                                           lat.to_numpy(np.float64), depth))
-        out = side.df.withColumn("cell", _enc(F.col(side.lon_col), F.col(side.lat_col)))
+        # asNondeterministic: keep inferred join-key filters from pushing
+        # below the UDF and duplicating the encode (VERDICT r1 #2)
+        out = side.df.withColumn("cell", _enc.asNondeterministic()(
+            F.col(side.lon_col), F.col(side.lat_col)))
     else:
         @F.pandas_udf(T.ArrayType(T.LongType()))
         def _cov(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -98,7 +101,8 @@ def _point_cells(side: GeomSide, depth: int, pad_m: float, tag: str) -> DataFram
                     lo[i] - pad_deg, la[i] - pad_deg,
                     lo[i] + pad_deg, la[i] + pad_deg, depth)])
             return pd.Series(res)
-        out = (side.df.withColumn("_cov", _cov(F.col(side.lon_col), F.col(side.lat_col)))
+        out = (side.df.withColumn("_cov", _cov.asNondeterministic()(
+                   F.col(side.lon_col), F.col(side.lat_col)))
                .withColumn("cell", F.explode("_cov")).drop("_cov"))
     cols = [side.pk, side.lon_col, side.lat_col] + side.carry
     return out.select("cell", *[F.col(c).alias(f"{tag}_{c}") for c in cols])
