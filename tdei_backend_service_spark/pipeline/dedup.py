@@ -78,12 +78,27 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return df.withColumn("minhash", _sig(F.col(text_col)))
 
 
+BUCKET_CAP = 64
+
+
 def _banded_pairs(sig_df: DataFrame, id_col: str, sig_col: str,
-                  bands: int, rows_per_band: int) -> DataFrame:
+                  bands: int, rows_per_band: int,
+                  bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """LSH banding: same (band, bucket-hash) rows become candidate pairs
     (l_id < r_id). The explode is bands-per-row; the join key is
     (band, hash of the band slice) — dense buckets are exactly the near-
-    duplicate clusters, and AQE's skew-join split handles the hot ones."""
+    duplicate clusters, and AQE's skew-join split handles the hot ones.
+
+    Adversarial-corpus bound: a bucket with n members generates O(n^2)
+    clique pairs, so one hot bucket (e.g. 10k identical docs) would
+    degenerate to ~50M candidates. Buckets larger than ``bucket_cap``
+    therefore switch to a STAR pattern around the bucket's min-id anchor
+    — O(n) pairs — which preserves the dedup answer for the adversarial
+    case (near-identical members all verify against the anchor) and
+    bounds every bucket's contribution. Clique semantics are kept
+    exactly for buckets <= cap; the only recall loss is a pathological
+    hot bucket whose members match each other but not the bucket min,
+    and such pairs still surface through their other (band, bucket)s."""
     banded = sig_df.select(
         F.col(id_col),
         F.explode(F.array(*[
@@ -92,11 +107,20 @@ def _banded_pairs(sig_df: DataFrame, id_col: str, sig_col: str,
                                     rows_per_band)).alias("bucket"))
             for b in range(bands)])).alias("bb"))
     banded = banded.select(id_col, "bb.band", "bb.bucket")
-    l = banded.select(F.col(id_col).alias("l_id"), "band", "bucket")
-    r = banded.select(F.col(id_col).alias("r_id"), "band", "bucket")
-    return (l.join(r, ["band", "bucket"])
-            .filter(F.col("l_id") < F.col("r_id"))
-            .select("l_id", "r_id").distinct())
+    stats = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_anchor"))
+    keyed = banded.join(stats, ["band", "bucket"])
+    small = keyed.filter(F.col("_n") <= bucket_cap)
+    l = small.select(F.col(id_col).alias("l_id"), "band", "bucket")
+    r = small.select(F.col(id_col).alias("r_id"), "band", "bucket")
+    clique = (l.join(r, ["band", "bucket"])
+              .filter(F.col("l_id") < F.col("r_id"))
+              .select("l_id", "r_id"))
+    star = (keyed.filter((F.col("_n") > bucket_cap)
+                         & (F.col(id_col) != F.col("_anchor")))
+            .select(F.col("_anchor").alias("l_id"),
+                    F.col(id_col).alias("r_id")))
+    return clique.unionByName(star).distinct()
 
 
 def _jaccard_verify_udf(shingle_k: int):
@@ -205,10 +229,18 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """Near-dedup via SimHash: band the 64-bit hash into 4 x 16-bit keys
     (pigeonhole: any pair within hamming distance 3 shares at least one
-    intact band), verify hamming distance JVM-side with bit_count."""
+    intact band), verify hamming distance JVM-side with bit_count.
+
+    The hamming verify runs BEFORE the pair distinct, so the distinct
+    exchange only carries verified (l_id, r_id) pairs — rare by
+    construction — instead of every banded candidate with both 64-bit
+    signatures. Buckets larger than ``bucket_cap`` switch to the star
+    pattern around the bucket's min-id anchor (see _banded_pairs) so an
+    adversarial hot bucket stays O(n)."""
     sigs = simhash_signatures(df, text_col).select(id_col, "simhash")
     banded = sigs.select(
         id_col, "simhash",
@@ -218,15 +250,28 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       .alias("bucket"))
             for b in range(4)])).alias("bb")
     ).select(id_col, "simhash", "bb.band", "bb.bucket")
-    l = banded.select(F.col(id_col).alias("l_id"), F.col("simhash").alias("l_sh"),
-                      "band", "bucket")
-    r = banded.select(F.col(id_col).alias("r_id"), F.col("simhash").alias("r_sh"),
-                      "band", "bucket")
-    pairs = (l.join(r, ["band", "bucket"])
-             .filter(F.col("l_id") < F.col("r_id"))
-             .select("l_id", "r_id", "l_sh", "r_sh").distinct()
-             .filter(F.bit_count(F.col("l_sh").bitwiseXOR(F.col("r_sh"))) <= max_hamming))
-    losers = pairs.select(F.col("r_id").alias(id_col)).distinct()
+    stats = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("simhash").alias("sh"))).alias("_a"))
+    keyed = banded.join(stats, ["band", "bucket"])
+    hamming_ok = (F.bit_count(F.col("l_sh").bitwiseXOR(F.col("r_sh")))
+                  <= max_hamming)
+    small = keyed.filter(F.col("_n") <= bucket_cap)
+    l = small.select(F.col(id_col).alias("l_id"), F.col("simhash").alias("l_sh"),
+                     "band", "bucket")
+    r = small.select(F.col(id_col).alias("r_id"), F.col("simhash").alias("r_sh"),
+                     "band", "bucket")
+    clique = (l.join(r, ["band", "bucket"])
+              .filter(F.col("l_id") < F.col("r_id"))
+              .filter(hamming_ok).select("l_id", "r_id"))
+    star = (keyed.filter((F.col("_n") > bucket_cap)
+                         & (F.col(id_col) != F.col("_a.i")))
+            .select(F.col("_a.i").alias("l_id"), F.col("_a.sh").alias("l_sh"),
+                    F.col(id_col).alias("r_id"), F.col("simhash").alias("r_sh"))
+            .filter(hamming_ok).select("l_id", "r_id"))
+    losers = (clique.unionByName(star)
+              .select(F.col("r_id").alias(id_col)).distinct())
     return df.join(losers, id_col, "left_anti")
 
 
@@ -237,11 +282,14 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
                     id_col: str = "vec_id", threshold: float = 0.98,
-                    planes: int = 16, seed: int = 11) -> DataFrame:
+                    planes: int = 16, seed: int = 11,
+                    bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """Near-dup vectors: random-hyperplane LSH buckets (+1 multiprobe on
     each single bit flip would go here; plain bucket equality suffices at
     thresholds near 1), exact cosine verify JVM-side via zip_with/
-    aggregate, drop larger ids."""
+    aggregate, drop larger ids. Buckets over ``bucket_cap`` use the
+    min-id-anchor star pattern (see _banded_pairs) so one hot bucket of
+    near-identical vectors stays O(n) pairs."""
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is None:
         return df
@@ -257,15 +305,28 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
             key |= signs[:, j].astype(np.int64) << j
         return pd.Series(key)
 
-    keyed = df.withColumn("_bkt", _bucket(F.col(vec_col)))
-    l = keyed.select(F.col(id_col).alias("l_id"), F.col(vec_col).alias("l_v"), "_bkt")
-    r = keyed.select(F.col(id_col).alias("r_id"), F.col(vec_col).alias("r_v"), "_bkt")
+    keyed = df.select(id_col, vec_col).withColumn(
+        "_bkt", _bucket.asNondeterministic()(F.col(vec_col)))
+    stats = keyed.groupBy("_bkt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col(vec_col).alias("v"))).alias("_a"))
+    keyed = keyed.join(stats, "_bkt")
     dot = F.aggregate(F.zip_with("l_v", "r_v", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
                                         F.lit(0.0), lambda acc, x: acc + x))
-    pairs = (l.join(r, "_bkt").filter(F.col("l_id") < F.col("r_id"))
-             .withColumn("cos", dot / (norm(F.col("l_v")) * norm(F.col("r_v"))))
-             .filter(F.col("cos") >= threshold))
-    losers = pairs.select(F.col("r_id").alias(id_col)).distinct()
+    cos_ok = (dot / (norm(F.col("l_v")) * norm(F.col("r_v")))) >= threshold
+    small = keyed.filter(F.col("_n") <= bucket_cap)
+    l = small.select(F.col(id_col).alias("l_id"), F.col(vec_col).alias("l_v"), "_bkt")
+    r = small.select(F.col(id_col).alias("r_id"), F.col(vec_col).alias("r_v"), "_bkt")
+    clique = (l.join(r, "_bkt").filter(F.col("l_id") < F.col("r_id"))
+              .filter(cos_ok).select("l_id", "r_id"))
+    star = (keyed.filter((F.col("_n") > bucket_cap)
+                         & (F.col(id_col) != F.col("_a.i")))
+            .select(F.col("_a.v").alias("l_v"), F.col("_a.i").alias("l_id"),
+                    F.col(vec_col).alias("r_v"), F.col(id_col).alias("r_id"))
+            .filter(cos_ok).select("l_id", "r_id"))
+    losers = (clique.unionByName(star)
+              .select(F.col("r_id").alias(id_col)).distinct())
     return df.join(losers, id_col, "left_anti")

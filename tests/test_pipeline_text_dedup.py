@@ -125,3 +125,46 @@ def test_minhash_jaccard_accuracy():
     inter = np.intersect1d(a, b).size
     true_j = inter / (a.size + b.size - inter)
     assert true_j > 0.8  # the fixture really is a near-dup
+
+
+def test_lsh_hot_bucket_bounded(spark):
+    # adversarial corpus: one bucket with 2000 identical docs must stay
+    # O(n) candidate pairs (star around the min-id anchor), not ~n^2/2,
+    # and the dedup answer is unchanged (one survivor + the uniques)
+    n = 2000
+    rows = [(i, "identical adversarial content repeated " * 8)
+            for i in range(n)]
+    rows += [(n + i, f"unique filler text number {i} with distinct words "
+                     f"{i * 7} {i * 13} " * 4) for i in range(5)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sigs = D.minhash_signatures(df)
+    pairs = D._banded_pairs(sigs.select("doc_id", "minhash"),
+                            "doc_id", "minhash", bands=8, rows_per_band=8)
+    assert pairs.count() <= (n - 1) + 200  # star bound; clique would be ~2M
+    out = D.minhash_dedup(df, threshold=0.8)
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert ids == [0] + [n + i for i in range(5)]
+
+
+def test_simhash_hot_bucket_bounded(spark):
+    n = 1500
+    rows = [(i, "identical adversarial content repeated " * 8)
+            for i in range(n)]
+    rows += [(n + i, f"totally different subject matter {i} "
+                     f"{i * 31} {i * 17} " * 6) for i in range(4)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = D.simhash_dedup(df, max_hamming=3)
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert ids == [0] + [n + i for i in range(4)]
+
+
+def test_embedding_hot_bucket_bounded(spark):
+    rng = np.random.default_rng(5)
+    base = [float(x) for x in rng.standard_normal(16).astype("float32")]
+    others = rng.standard_normal((3, 16)).astype("float32")
+    rows = [(i, base) for i in range(800)]
+    rows += [(800 + i, [float(x) for x in others[i]]) for i in range(3)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = D.embedding_dedup(df, threshold=0.98)
+    assert sorted(r.vec_id for r in out.select("vec_id").collect()) \
+        == [0, 800, 801, 802]
