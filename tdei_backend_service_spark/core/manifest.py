@@ -95,11 +95,18 @@ class Manifest:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         wall = time.time() - t0
 
-        # per-partition metrics: rows from a key'd count, bytes from the
-        # files each partition directory now holds
-        counts = (pending.groupBy(*keys).count().collect())
+        # per-partition metrics from the WRITTEN files, not a re-execution
+        # of the source plan: a parquet count is metadata-only (no second
+        # end-to-end run of an expensive pipeline), and the recorded rows
+        # reflect exactly what was committed even if the plan is
+        # non-deterministic (ADVICE r1, manifest.py:100)
+        committed_set = {tuple(k) for k in committed}
+        counts = read_stage(spark, self.run_dir, out_subdir or name) \
+            .groupBy(*keys).count().collect()
         for row in counts:
             kvals = [str(row[c]) for c in keys]
+            if tuple(kvals) in committed_set:
+                continue  # keep the original commit record (incl. wall_s)
             pdir = os.path.join(out_dir, *[f"{c}={v}" for c, v in zip(keys, kvals)])
             nbytes = 0
             if os.path.isdir(pdir):
@@ -131,4 +138,14 @@ class Manifest:
 
 
 def read_stage(spark: SparkSession, run_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(run_dir, name))
+    """Read a stage's committed output. Partition-column type inference
+    is disabled for the read so key values round-trip as the strings the
+    manifest recorded (a numeric-looking dataset_id must not come back
+    as bigint)."""
+    prev = spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled",
+                          "true")
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try:
+        return spark.read.parquet(os.path.join(run_dir, name))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", prev)

@@ -49,18 +49,26 @@ def hot_cells(df: DataFrame, cell_col: str = "cell_r8",
 
 
 def salted_repartition(df: DataFrame, cell_col: str, hot: list[int],
-                       factor: int = 8) -> DataFrame:
+                       factor: int = 8,
+                       salt_cols: list[str] | None = None) -> DataFrame:
     """Repartition by (cell, salt) where only hot cells fan out over
     ``factor`` buckets (cold cells keep salt 0 — no extra shuffle width).
     Deterministic: the salt hashes the row's own key columns, not a
     random number, so retries land in the same partition (manifest
-    idempotency)."""
+    idempotency).
+
+    ``salt_cols`` names the columns the salt hashes — pass the row pk
+    for the cheapest high-entropy salt. Default: every non-cell column,
+    so low-cardinality leading columns (dataset_id, flags) can never
+    collapse all hot rows into one bucket (ADVICE r1, skew.py:62)."""
     if not hot:
         return df.repartition(F.col(cell_col))
+    if salt_cols is None:
+        salt_cols = [c for c in df.columns if c != cell_col]
     hot_arr = F.array(*[F.lit(int(c)) for c in hot])
     salt = F.when(F.array_contains(hot_arr, F.col(cell_col)),
-                  F.pmod(F.xxhash64(*[F.col(c) for c in df.columns
-                                      if c != cell_col][:3]), F.lit(factor))) \
+                  F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),
+                         F.lit(factor))) \
             .otherwise(F.lit(0))
     return (df.withColumn("_salt", salt)
               .repartition(F.col(cell_col), F.col("_salt"))

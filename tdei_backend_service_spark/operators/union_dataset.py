@@ -75,10 +75,19 @@ def union_dataset(df_one: DataFrame, dataset_id_one: str,
     if dataset_id_one == dataset_id_two:
         both = both.dropDuplicates([pk, "dataset_id"])
 
-    # rank: dataset one wins, then lowest pk — a single deterministic sort key
+    # rank: dataset one wins, then lowest pk. A struct sort key, not a
+    # string concat: numeric pks compare numerically (id 9 beats 10 —
+    # lexicographic would rank "10" < "9"; ADVICE r1, union_dataset.py:80),
+    # non-numeric pks compare as strings, and the two regimes never mix
+    # (the `t` field orders numeric before non-numeric).
+    num = F.expr(f"try_cast(`{pk}` AS decimal(38,0))")
     both = both.withColumn(
-        "_rank", F.concat(F.when(F.col("dataset_id") == dataset_id_one, F.lit("0"))
-                          .otherwise(F.lit("1")), F.col(pk)))
+        "_rank", F.struct(
+            F.when(F.col("dataset_id") == dataset_id_one, F.lit(0))
+             .otherwise(F.lit(1)).alias("ds"),
+            F.when(num.isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("t"),
+            F.coalesce(num, F.lit(0).cast("decimal(38,0)")).alias("n"),
+            F.col(pk).cast("string").alias("s")))
 
     depth = int(np.clip(cells.depth_for_radius_m(max(proximity, 0.5)),
                         cells.RES_GRID[5], 23))
@@ -143,32 +152,49 @@ def _cc_losers(pairs: DataFrame) -> DataFrame:
     match graph (nodes = the unique ``_rank`` sort keys). Returns the
     non-minimum members of every component as (_rank) rows.
 
-    Duplicate clusters are tiny (bounded by upload multiplicity), so the
-    label fixpoint arrives in a few rounds; each round is one join +
-    aggregate. Rows with no match never enter the graph at all."""
+    Each round combines neighbor-min propagation with pointer jumping
+    (label-of-label), so the fixpoint arrives in O(log diameter) rounds
+    — a 2^64-long chain would converge inside the 64-round cap. If the
+    cap is somehow hit without convergence, raise instead of silently
+    returning labels that would violate the documented one-survivor-per-
+    cluster contract (ADVICE r1, union_dataset.py:150)."""
     edges = (pairs.select(F.col("l_rank").alias("a"), F.col("r_rank").alias("b"))
              .unionByName(pairs.select(F.col("r_rank").alias("a"),
                                        F.col("l_rank").alias("b"))))
-    edges = edges.persist()
+    # localCheckpoint (eager), not persist: each round's plan references
+    # `labels` three times, so without lineage truncation the logical
+    # plan grows 3^rounds and the driver OOMs while analyzing round ~8.
+    # Checkpointing materializes the rows AND cuts the plan — the same
+    # fix GraphFrames uses for iterative label propagation.
+    edges = edges.localCheckpoint()
     labels = (edges.select(F.col("a").alias("node")).distinct()
-              .withColumn("label", F.col("node")).persist())
-    for _ in range(32):
+              .withColumn("label", F.col("node")).localCheckpoint())
+    changed = 1
+    for _ in range(64):
         nb_min = (edges.join(labels.withColumnRenamed("node", "b"), "b")
                   .groupBy("a").agg(F.min("label").alias("nb_label")))
-        new_labels = (labels.join(nb_min.withColumnRenamed("a", "node"),
+        # pointer jumping: every label is itself a node id, so label[label]
+        # is a plain self-join — this is what makes rounds logarithmic
+        jumped = labels.join(
+            labels.select(F.col("node").alias("label"),
+                          F.col("label").alias("_ll")), "label", "left")
+        new_labels = (jumped.join(nb_min.withColumnRenamed("a", "node"),
                                   "node", "left")
-                      .select("node", F.least(F.col("label"),
-                                              F.coalesce(F.col("nb_label"),
-                                                         F.col("label")))
-                              .alias("label")).persist())
+                      .select("node", F.least(
+                          F.col("label"),
+                          F.coalesce(F.col("nb_label"), F.col("label")),
+                          F.coalesce(F.col("_ll"), F.col("label")))
+                          .alias("label")).localCheckpoint())
         changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
                                    "node")
                    .filter(F.col("label") != F.col("old")).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    losers = (labels.filter(F.col("label") != F.col("node"))
-              .select(F.col("node").alias("_rank")))
-    edges.unpersist()
-    return losers
+    if changed != 0:
+        raise RuntimeError(
+            "union_dataset(collapse='cc') label propagation did not "
+            "converge within 64 rounds — refusing to return a partial "
+            "collapse (one-survivor-per-cluster contract)")
+    return (labels.filter(F.col("label") != F.col("node"))
+            .select(F.col("node").alias("_rank")))

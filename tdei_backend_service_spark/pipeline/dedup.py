@@ -138,6 +138,8 @@ def _jaccard_verify_udf(shingle_k: int):
 
 
 BROADCAST_TEXTS_MAX_ROWS = 2_000_000
+BROADCAST_TEXTS_MAX_BYTES = 512 << 20  # est. corpus bytes gate (VERDICT r1 #7)
+_SIZE_SAMPLE_ROWS = 2048
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -164,9 +166,16 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                           bands, rows_per_band)
 
     if broadcast_texts is None:
-        # bounded probe instead of a full count over a possibly-huge corpus
-        broadcast_texts = (df.select(id_col).limit(BROADCAST_TEXTS_MAX_ROWS + 1)
-                           .count() <= BROADCAST_TEXTS_MAX_ROWS)
+        # bounded probe instead of a full count over a possibly-huge
+        # corpus; additionally byte-bounded (mean text length over a
+        # bounded sample x row count) so 2M long documents can't blow
+        # the driver heap even when the row cap passes
+        probe = (df.select(id_col).limit(BROADCAST_TEXTS_MAX_ROWS + 1).count())
+        broadcast_texts = probe <= BROADCAST_TEXTS_MAX_ROWS
+        if broadcast_texts:
+            avg = (df.select(F.length(F.col(text_col)).alias("sz"))
+                   .limit(_SIZE_SAMPLE_ROWS).agg(F.avg("sz")).first()[0]) or 0.0
+            broadcast_texts = avg * probe <= BROADCAST_TEXTS_MAX_BYTES
 
     if broadcast_texts:
         rows = df.select(id_col, text_col).collect()

@@ -168,3 +168,11 @@ def test_embedding_hot_bucket_bounded(spark):
     out = D.embedding_dedup(df, threshold=0.98)
     assert sorted(r.vec_id for r in out.select("vec_id").collect()) \
         == [0, 800, 801, 802]
+
+
+def test_minhash_byte_bound_chooses_join_path(spark, near_dups, monkeypatch):
+    # with a tiny byte cap the broadcast path is rejected and the
+    # id-join verify path must produce the identical answer
+    monkeypatch.setattr(D, "BROADCAST_TEXTS_MAX_BYTES", 64)
+    out = D.minhash_dedup(near_dups, threshold=0.7)
+    assert sorted(r.doc_id for r in out.collect()) == [0, 3, 5]

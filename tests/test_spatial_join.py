@@ -326,3 +326,15 @@ def test_property_random_vs_bruteforce(spark):
         d = geom.point_polyline_dist(lon, lat, np.full(n_img, e, dtype=np.int64), g)
         exp[e] = sorted(f"i{k}" for k in np.flatnonzero(d <= R + 1e-9))
     assert got == exp
+
+
+def test_broadcast_geoms_byte_bounded(spark, monkeypatch):
+    # fat WKB rows: the row cap passes but the byte estimate must refuse
+    # the driver-side collect
+    from tdei_backend_service_spark.core import join as J
+    from tdei_backend_service_spark.datagen import synth_edges_df
+    edges = synth_edges_df(spark, 50)
+    side = J.GeomSide(df=edges, pk="edge_id", kind="line", geom_col="geometry")
+    assert J._maybe_broadcast_geoms(side) is not None
+    monkeypatch.setattr(J, "BROADCAST_GEOM_MAX_BYTES", 100)
+    assert J._maybe_broadcast_geoms(side) is None

@@ -235,6 +235,38 @@ def test_union_cc_matches_min_winner_on_simple_dups(spark):
     assert mw == cc and len(mw) == nA + nB - D
 
 
+def test_union_numeric_pk_rank(spark):
+    """Numeric pks rank numerically: image_id 9 beats 10 (a string-concat
+    rank would order "10" < "9"; ADVICE r1)."""
+    def row(i, ds):
+        return {"image_id": str(i), "bytes": None, "w": 8, "h": 8,
+                "fmt": "png", "caption": "x", "phash": 7,
+                "lon": -122.3, "lat": 47.65, "props": {}, "dataset_id": ds}
+    A = spark.createDataFrame(pd.DataFrame([row(9, "ds-A")]),
+                              schema=IMAGES_SCHEMA)
+    B = spark.createDataFrame(pd.DataFrame([row(10, "ds-A")]),
+                              schema=IMAGES_SCHEMA)
+    out = union_dataset(A, "ds-A", B, "ds-A")
+    assert [r.image_id for r in out.collect()] == ["9"]
+
+
+def test_union_cc_long_chain_converges(spark):
+    """Pointer jumping makes cc rounds logarithmic: a 120-link duplicate
+    chain (diameter 120 > the old 32-round linear cap) collapses to one
+    survivor."""
+    prox = 0.5
+    step = (prox * 0.8) / M_LAT
+    n = 121
+    A = spark.createDataFrame(pd.DataFrame(
+        [_img_row(0, -122.3, 47.65, "ds-A", phash=7, caption="x")]),
+        schema=IMAGES_SCHEMA)
+    B = spark.createDataFrame(pd.DataFrame(
+        [_img_row(i, -122.3, 47.65 + i * step, "ds-B", phash=7, caption="x")
+         for i in range(1, n)]), schema=IMAGES_SCHEMA)
+    out = union_dataset(A, "ds-A", B, "ds-B", collapse="cc")
+    assert [r.image_id for r in out.collect()] == ["img-0000"]
+
+
 # ---------------------------------------------------------------------------
 # tiling
 # ---------------------------------------------------------------------------

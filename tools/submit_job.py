@@ -81,13 +81,20 @@ def main(argv=None) -> int:
             # lineage + rows/bytes metrics, idempotent resume (re-running
             # the same job over the same out dir skips committed
             # partitions — the north_rule checkpoint requirement)
-            from tdei_backend_service_spark.core.manifest import Manifest
+            from tdei_backend_service_spark.core.manifest import (Manifest,
+                                                                  read_stage)
             if "dataset_id" in result.columns:
                 man = Manifest(f"{args.out}/_run")
                 stage = man.run_stage(service, result, keys=["dataset_id"])
                 print(json.dumps({"stage": service, **{k: v for k, v in
                                   stage.items() if k != "out_dir"}}),
                       file=sys.stderr)
+                # export FROM the committed stage files — the expensive
+                # pipeline runs once end-to-end, and the export matches
+                # the manifest's lineage byte-for-byte (ADVICE r1)
+                cols = result.columns
+                result = read_stage(spark, f"{args.out}/_run", service) \
+                    .select(*cols)
             # single-table results are already dataset-scoped (tag_road)
             # or intentionally multi-dataset (union) — export unfiltered
             from tdei_backend_service_spark.io.geojson import export_geojson
