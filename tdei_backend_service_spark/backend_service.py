@@ -64,6 +64,17 @@ class Catalog:
     images: DataFrame
     edges: DataFrame | None = None
     zones: DataFrame | None = None
+    # per-dataset per-layer info blobs -> FeatureCollection headers: one
+    # row (dataset_id, layer, info_json) per blob — the reference's
+    # content.dataset event_info/node_info/zone_info/ext_*_info columns
+    # (osw-backend-abstract.ts:159-162)
+    dataset_info: DataFrame | None = None
+    # extension-layer registry (dataset_id, name, file_meta JSON) + the
+    # extension feature rows (dataset_id, name, lon/lat|geometry, props)
+    # — the reference's content.extension_file
+    # (osw-backend-abstract.ts:165-169,183-189)
+    extension_files: DataFrame | None = None
+    extensions: DataFrame | None = None
 
     def layers(self) -> dict[str, DataFrame]:
         out = {"images": self.images}
@@ -71,6 +82,52 @@ class Catalog:
             out["edges"] = self.edges
         if self.zones is not None:
             out["zones"] = self.zones
+        return out
+
+    def layer_metadata(self, dataset_id: str) -> dict[str, dict]:
+        """{layer: header-info dict} for one dataset. The registry is
+        per-dataset tiny (a handful of blobs), so the collect is
+        bounded by construction."""
+        import json as _json
+        if self.dataset_info is None:
+            return {}
+        from pyspark.sql import functions as F
+        rows = (self.dataset_info
+                .filter(F.col("dataset_id") == dataset_id).collect())
+        out: dict[str, dict] = {}
+        for r in rows:
+            try:
+                blob = _json.loads(r["info_json"]) if r["info_json"] else None
+            except (ValueError, TypeError):
+                blob = None
+            if isinstance(blob, dict) and blob:
+                out[r["layer"]] = blob
+        return out
+
+    def extension_layers(self, dataset_id: str) \
+            -> list[tuple[str, dict, DataFrame | None]]:
+        """[(name, file_meta, rows)] for one dataset's registered
+        extension files; rows is None when no feature table is loaded."""
+        import json as _json
+        if self.extension_files is None:
+            return []
+        from pyspark.sql import functions as F
+        regs = (self.extension_files
+                .filter(F.col("dataset_id") == dataset_id)
+                .select("name", "file_meta").collect())
+        out = []
+        for r in regs:
+            try:
+                meta = _json.loads(r["file_meta"]) if r["file_meta"] else {}
+            except (ValueError, TypeError):
+                meta = {}
+            rows = None
+            if self.extensions is not None:
+                rows = (self.extensions
+                        .filter((F.col("dataset_id") == dataset_id)
+                                & (F.col("name") == r["name"]))
+                        .drop("name"))
+            out.append((r["name"], meta if isinstance(meta, dict) else {}, rows))
         return out
 
     def for_dimension(self, dim: str) -> DataFrame:

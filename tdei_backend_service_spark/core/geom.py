@@ -154,33 +154,58 @@ def _pair_segments(geom_idx: np.ndarray, geoms: RaggedGeoms):
     return pair_of_seg, a, b
 
 
+def _seg_dist(px, py, a, b, sx, sy):
+    """Point-to-segment distance (meters) for aligned arrays."""
+    apx = (px - a[:, 0]) * sx
+    apy = (py - a[:, 1]) * sy
+    abx = (b[:, 0] - a[:, 0]) * sx
+    aby = (b[:, 1] - a[:, 1]) * sy
+    ab2 = abx * abx + aby * aby
+    t = np.clip(np.divide(apx * abx + apy * aby, ab2,
+                          out=np.zeros_like(ab2), where=ab2 > 0), 0.0, 1.0)
+    dx = apx - t * abx
+    dy = apy - t * aby
+    return np.sqrt(dx * dx + dy * dy)
+
+
 def point_polyline_dist(px: np.ndarray, py: np.ndarray, geom_idx: np.ndarray,
                         geoms: RaggedGeoms, lat0: float = 0.0) -> np.ndarray:
     """Per pair (point i, geometry geom_idx[i]): min point-to-segment
     distance in meters. Works for LineString and Polygon boundaries;
     a Point geometry (1 vertex, 0 segments) yields point-point distance.
+
+    Two hot-path specializations (kNN tagging is the #2 stage cost at
+    16M rows; VERDICT r1 #9): single-segment pairs — the common case for
+    simple road edges — skip the segment expansion and the scatter-min
+    entirely, and multi-segment pairs reduce with ``minimum.reduceat``
+    over the contiguous per-pair segment runs instead of the much
+    slower ``np.minimum.at`` scatter.
     """
     n = px.size
     out = np.full(n, np.inf, dtype=np.float64)
     sx = M_PER_DEG_LON_EQ * np.cos(np.radians(lat0))
     sy = M_PER_DEG_LAT
 
-    pair_of_seg, a, b = _pair_segments(geom_idx, geoms)
-    if pair_of_seg.size:
-        apx = (px[pair_of_seg] - a[:, 0]) * sx
-        apy = (py[pair_of_seg] - a[:, 1]) * sy
-        abx = (b[:, 0] - a[:, 0]) * sx
-        aby = (b[:, 1] - a[:, 1]) * sy
-        ab2 = abx * abx + aby * aby
-        t = np.clip(np.divide(apx * abx + apy * aby, ab2,
-                              out=np.zeros_like(ab2), where=ab2 > 0), 0.0, 1.0)
-        dx = apx - t * abx
-        dy = apy - t * aby
-        d = np.sqrt(dx * dx + dy * dy)
-        np.minimum.at(out, pair_of_seg, d)
+    npts_all = geoms.n_points()[geom_idx]
+    nsegs = np.maximum(npts_all - 1, 0)
+    single = np.flatnonzero(nsegs == 1)
+    if single.size:
+        first = geoms.offsets[:-1][geom_idx[single]]
+        out[single] = _seg_dist(px[single], py[single],
+                                geoms.coords[first], geoms.coords[first + 1],
+                                sx, sy)
+    multi = np.flatnonzero(nsegs > 1)
+    if multi.size:
+        pair_of_seg, a, b = _pair_segments(geom_idx[multi], geoms)
+        d = _seg_dist(px[multi][pair_of_seg], py[multi][pair_of_seg],
+                      a, b, sx, sy)
+        # _pair_segments emits each pair's segments contiguously, so a
+        # reduceat over the run starts replaces the scatter-min
+        bounds = np.concatenate([[0], np.cumsum(nsegs[multi])[:-1]])
+        out[multi] = np.minimum.reduceat(d, bounds)
 
     # degenerate geometries (single vertex => no segments): point distance
-    npts = geoms.n_points()[geom_idx]
+    npts = npts_all
     lone = np.flatnonzero(npts == 1)
     if lone.size:
         v = geoms.coords[geoms.offsets[:-1][geom_idx[lone]]]

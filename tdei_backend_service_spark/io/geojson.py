@@ -108,8 +108,13 @@ def export_geojson(df: DataFrame, out_dir: str, layer: str,
     final = os.path.join(out_dir, f"osw.{layer}s.geojson")
     wrote_any = False
     with open(final, "w") as out:
-        header = {"$schema": "https://sidewalks.washington.edu/opensidewalks/0.2/schema.json"}
-        header.update(metadata or {})
+        # metadata keys first, then $schema only if the metadata didn't
+        # already carry one — buildAdditionalInfo's order and dedup rule
+        # (osw-backend-abstract.ts:131-145)
+        header = dict(metadata or {})
+        header.setdefault(
+            "$schema",
+            "https://sidewalks.washington.edu/opensidewalks/0.2/schema.json")
         head_json = json.dumps(header)[1:-1]  # splice metadata before features
         out.write("{" + (head_json + "," if head_json else "")
                   + '"type":"FeatureCollection","features":[')
@@ -134,14 +139,39 @@ def export_geojson(df: DataFrame, out_dir: str, layer: str,
 
 
 def extract_dataset(layers: dict[str, DataFrame], dataset_id: str,
-                    out_dir: str, metadata: dict | None = None) -> dict[str, str]:
+                    out_dir: str, metadata: dict | None = None,
+                    layer_metadata: dict[str, dict] | None = None,
+                    extensions: list[tuple[str, dict, DataFrame | None]] | None = None,
+                    ) -> dict[str, str]:
     """Full dataset export: one GeoJSON file per layer (skipping empty
-    layers), mirroring the reference's per-layer cursor files."""
+    layers), mirroring the reference's per-layer cursor files.
+
+    ``layer_metadata`` maps layer name -> per-file info blob spliced into
+    that file's FeatureCollection header — the reference's
+    event_info/node_info/zone_info columns
+    (osw-backend-abstract.ts:159-162, header build :131-145).
+    ``extensions`` lists (name, file_meta, rows) extra GeoJSON layers —
+    the reference's content.extension_file registry
+    (osw-backend-abstract.ts:165-169,183-189); each is written as
+    ``osw.<name>s.geojson`` with ``file_meta`` in its header. An
+    extension with no rows still counts as requested but is skipped with
+    the same empty-layer semantics as standard layers."""
     os.makedirs(out_dir, exist_ok=True)
+    per_layer = layer_metadata or {}
     out: dict[str, str] = {}
     for layer, df in layers.items():
+        meta = dict(metadata or {})
+        meta.update(per_layer.get(layer, {}))
         path = export_geojson(df.filter(F.col("dataset_id") == dataset_id),
-                              out_dir, layer, metadata)
+                              out_dir, layer, meta)
         if path:
             out[layer] = path
+    for name, file_meta, rows in extensions or []:
+        if rows is None:
+            continue
+        meta = dict(metadata or {})
+        meta.update(file_meta or {})
+        path = export_geojson(rows, out_dir, name, meta)
+        if path:
+            out[name] = path
     return out

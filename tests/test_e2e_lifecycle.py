@@ -88,3 +88,40 @@ def test_tag_road_snapshot_lifecycle(spark, svc, tmp_path):
     assert any("tag:highway" in f["properties"] for f in doc["features"])
     # old snapshot untouched
     assert "nearest_edge_id" not in wh.read(spark, "images", snapshot=v0).columns
+
+
+def test_extension_layers_and_info_headers(spark, tmp_path):
+    """The reference's content.extension_file registry + per-layer info
+    blobs (osw-backend-abstract.ts:131-189): extract_dataset emits every
+    registered extension as osw.<name>s.geojson with file_meta spliced
+    into its header, and standard layers carry their dataset info blob."""
+    images = encode_cells(synth_images_df(spark, 100, with_bytes=False))
+    ext_rows = spark.createDataFrame(
+        [("ds-a", "crossing", -122.31 + i * 1e-4, 47.63, {"curb": "lowered"})
+         for i in range(5)],
+        "dataset_id string, name string, lon double, lat double, "
+        "props map<string,string>")
+    ext_reg = spark.createDataFrame(
+        [("ds-a", "crossing",
+          json.dumps({"ext_ver": "1.1", "$schema": "https://example/ext.json"})),
+         ("ds-a", "empty_ext", json.dumps({"note": "no rows"}))],
+        "dataset_id string, name string, file_meta string")
+    info = spark.createDataFrame(
+        [("ds-a", "node", json.dumps({"node_ver": "0.2", "region": "uw"}))],
+        "dataset_id string, layer string, info_json string")
+    svc = SvcCatalog(images=images, dataset_info=info,
+                     extension_files=ext_reg, extensions=ext_rows)
+    out_dir = str(tmp_path / "ext-job")
+    files = extract_dataset({"node": svc.images}, "ds-a", out_dir,
+                            layer_metadata=svc.layer_metadata("ds-a"),
+                            extensions=svc.extension_layers("ds-a"))
+    assert set(files) == {"node", "crossing"}  # empty_ext skipped (no rows)
+    node_doc = json.loads(open(files["node"]).read())
+    assert node_doc["node_ver"] == "0.2" and node_doc["region"] == "uw"
+    assert "$schema" in node_doc  # default added when info lacks one
+    ext_doc = json.loads(open(files["crossing"]).read())
+    assert files["crossing"].endswith("osw.crossings.geojson")
+    assert ext_doc["ext_ver"] == "1.1"
+    assert ext_doc["$schema"] == "https://example/ext.json"  # not overridden
+    assert len(ext_doc["features"]) == 5
+    assert ext_doc["features"][0]["properties"]["curb"] == "lowered"

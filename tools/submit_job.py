@@ -60,7 +60,10 @@ def main(argv=None) -> int:
 
     catalog = Catalog(images=_try_read("images"),
                       edges=_try_read("edges"),
-                      zones=_try_read("zones"))
+                      zones=_try_read("zones"),
+                      dataset_info=_try_read("dataset_info"),
+                      extension_files=_try_read("extension_files"),
+                      extensions=_try_read("extensions"))
     message_id = message.get("messageId", "job")
     service = message.get("data", message).get("service", "unknown")
     try:
@@ -74,7 +77,9 @@ def main(argv=None) -> int:
             # (file naming osw.<layer>s.geojson, osw-backend-abstract.ts:120)
             layer_names = {"images": "node", "edges": "edge", "zones": "zone"}
             extract_dataset({layer_names.get(k, k): v for k, v in result.items()},
-                            ds, args.out)
+                            ds, args.out,
+                            layer_metadata=catalog.layer_metadata(ds),
+                            extensions=catalog.extension_layers(ds))
         elif isinstance(result, DataFrame):   # single result table
             # table-producing jobs (tag_road, union) land as a manifest-
             # tracked partitioned parquet stage first: per-partition
