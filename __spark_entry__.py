@@ -259,6 +259,37 @@ def _q_winnow(spark: SparkSession, sf: str) -> DataFrame:
     return TX.with_winnow_fingerprint(docs).select("doc_id", "winnow_fp")
 
 
+# bbox for the edge-layer query, bounds on half-lattice offsets (u/v
+# lattice units 39999.5..69999.5 x 29999.5..69999.5): no derived edge
+# endpoint can touch a bbox side, so intersection is integer-exact
+_EB = (FX.LON0 + 39999.5e-6, FX.LAT0 + 29999.5e-6,
+       FX.LON0 + 69999.5e-6, FX.LAT0 + 69999.5e-6)
+
+
+def _q_bbox_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """bbox_intersect on a LINE layer: envelope-column prefilter + exact
+    vectorized segment-clip refine (operators/bbox.py:70), oracle-exact
+    because the horizontal supplier edges and half-lattice bbox reduce
+    to integer range tests."""
+    from tdei_backend_service_spark.operators.bbox import bbox_filter_geoms
+    edges = FX.supplier_edges(spark, sf)
+    return (bbox_filter_geoms(edges, _EB, "tpch-sedges")
+            .select("edge_id"))
+
+
+def _q_tri_zone_pip(spark: SparkSession, sf: str) -> DataFrame:
+    """PIP join against NON-axis-aligned polygons (diagonal-edge
+    triangles): the ray-casting refine runs on real slanted edges while
+    the answer stays integer-exact (fixtures_tpch.tri_zones)."""
+    zones = FX.tri_zones(spark, dataset_id="tpch-tri")
+    pts = FX.orders_points(spark, sf)
+    out = spatial_join(zones, "zone", "tpch-tri", pts, "point", "tpch",
+                       "ST_Intersects(geometry_target, geometry_source)",
+                       ["count(*) as n"])
+    return out.select("zone_id",
+                      F.col("props").getItem("ext:n").cast("bigint").alias("n"))
+
+
 def _q_zone_pip(spark: SparkSession, sf: str) -> DataFrame:
     """Polygon-target PIP join: points per quad zone. The zones sit on
     half-lattice boundaries (fixtures_tpch.quad_zones) so no point is
@@ -313,6 +344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_invariants": _q_payload_invariants,
         "winnow_fingerprint": _q_winnow,
         "zone_pip_count": _q_zone_pip,
+        "bbox_edges": _q_bbox_edges,
+        "tri_zone_pip": _q_tri_zone_pip,
     }
 
 
@@ -457,6 +490,28 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (
               SELECT ((o_orderkey * 40503 + 12345) % 100000) // 25000 * 4
                    + ((o_orderkey * 2654435761) % 100000) // 25000 AS zone_id,
+                     COUNT(*) AS n
+              FROM orders GROUP BY 1) c USING (zone_id)
+        """,
+        # horizontal edge (u..u+10000, v) intersects the half-lattice
+        # bbox iff u,v fall in the integer ranges below
+        "bbox_edges": """
+            SELECT s_suppkey AS edge_id FROM (
+              SELECT s_suppkey,
+                     (s_suppkey * 2654435761) % 100000 AS u,
+                     (s_suppkey * 40503 + 12345) % 100000 AS v
+              FROM supplier)
+            WHERE v BETWEEN 30000 AND 69999
+              AND u <= 69999 AND u + 10000 >= 40000
+        """,
+        # anti-diagonal split: zone 0 iff u + v <= 99999
+        "tri_zone_pip": """
+            SELECT z.zone_id, COALESCE(c.n, 0) AS n
+            FROM (SELECT CAST(range AS BIGINT) AS zone_id FROM range(2)) z
+            LEFT JOIN (
+              SELECT CAST(CASE WHEN (o_orderkey * 2654435761) % 100000
+                              + (o_orderkey * 40503 + 12345) % 100000 <= 99999
+                          THEN 0 ELSE 1 END AS BIGINT) AS zone_id,
                      COUNT(*) AS n
               FROM orders GROUP BY 1) c USING (zone_id)
         """,

@@ -96,6 +96,56 @@ def quad_zones(spark: SparkSession, side: int = 4,
     return spark.createDataFrame(pd.DataFrame(rows), schema=ZONES_SCHEMA)
 
 
+def supplier_edges(spark: SparkSession, sf_dir: str,
+                   dataset_id: str = "tpch-sedges") -> DataFrame:
+    """supplier -> one horizontal 0.01-deg WKB segment per s_suppkey
+    starting at the derived point. Used by the bbox_edges contract query:
+    with bbox bounds on half-lattice offsets, 'segment intersects bbox'
+    reduces to integer range tests on the key hash, giving the line-
+    refine path (envelope prefilter + exact segment clip) a full SQL
+    oracle."""
+    from pyspark.sql import types as T
+    df = derive_lonlat(spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+                       "s_suppkey")
+
+    @F.pandas_udf(T.BinaryType())
+    def _wkb(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series([geom.wkb_linestring([(lo, la), (lo + 0.01, la)])
+                          for lo, la in zip(lon, lat)])
+
+    from .core.ingest import encode_geom_meta
+    out = df.select(F.col("s_suppkey").alias("edge_id"),
+                    _wkb.asNondeterministic()(F.col("lon"), F.col("lat"))
+                    .alias("geometry"),
+                    F.lit(dataset_id).alias("dataset_id"))
+    return encode_geom_meta(out)
+
+
+def tri_zones(spark: SparkSession, dataset_id: str = "tpch-tri") -> DataFrame:
+    """Two triangles splitting the point lattice along the anti-diagonal
+    u + v = 99999.5 (lattice units; all boundaries at half-lattice
+    offsets, so no derived point touches an edge). Zone of a point is
+    closed-form: 0 if u + v <= 99999 else 1 — a full SQL oracle for
+    NON-axis-aligned polygon PIP (the quad_zones oracle only covers
+    rectangles)."""
+    from .core.schema import ZONES_SCHEMA
+
+    def xy(u: float, v: float) -> tuple[float, float]:
+        return (LON0 + u / 1e6, LAT0 + v / 1e6)
+
+    lower = [xy(-0.5, -0.5), xy(100000.0, -0.5), xy(-0.5, 100000.0),
+             xy(-0.5, -0.5)]
+    upper = [xy(100000.0, -0.5), xy(100000.0, 100000.0), xy(-0.5, 100000.0),
+             xy(100000.0, -0.5)]
+    rows = [{"zone_id": 0, "node_ids": [0, 1, 2],
+             "geometry": geom.wkb_polygon(lower),
+             "props": {"zone_type": "tri"}, "dataset_id": dataset_id},
+            {"zone_id": 1, "node_ids": [3, 4, 5],
+             "geometry": geom.wkb_polygon(upper),
+             "props": {"zone_type": "tri"}, "dataset_id": dataset_id}]
+    return spark.createDataFrame(pd.DataFrame(rows), schema=ZONES_SCHEMA)
+
+
 # Planted near-dup corpora: id offsets for the injected rows.
 PLANT_COPY_OFFSET = 1_000_000   # exact duplicates -> MUST be deduped
 PLANT_NEAR_OFFSET = 2_000_000   # sub-threshold near-misses -> MUST survive
