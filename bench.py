@@ -39,9 +39,10 @@ def main() -> None:
 
     qs = E.queries()
     headline = [
-        "bbox_points", "cell_grid_agg", "tile_assign", "spatial_join_count",
-        "knn_tag", "union_dedup", "groupby_pricing", "topk_customers",
-        "token_count", "exact_dedup", "minhash_dedup", "embedding_topk",
+        "bbox_points", "bbox_edges", "cell_grid_agg", "tile_assign",
+        "spatial_join_count", "zone_pip_count", "knn_tag", "union_dedup",
+        "groupby_pricing", "topk_customers", "token_count", "exact_dedup",
+        "minhash_dedup", "winnow_fingerprint", "embedding_topk", "ivf_topk",
     ]
 
     # input size for throughput: rows entering the spatial suite
