@@ -99,6 +99,119 @@ def _dist_udf(lookup=None):
     return _dist.asNondeterministic()
 
 
+def _tag_map_only(targets: DataFrame, edges: DataFrame, attr_cols: list[str],
+                  cutoff_m: float, depth: int, pk: str) -> DataFrame:
+    """Zero-shuffle kNN tagging for a broadcastable edge side.
+
+    The DataFrame path costs two 16M-row exchanges at scale (the
+    per-target argmin groupBy and the tag-back join) — measured as the
+    worst-scaling stage in BENCH/BASELINE.md (eff 0.27, memory-bus
+    bound). When the edge side fits a broadcast (the common case: road
+    networks are tiny next to image corpora), the whole operator is a
+    map: a driver-built {cell -> edge indices} index + parsed geometries
+    broadcast once, and each Arrow batch of target rows computes its own
+    candidates, exact distances, and argmin locally, emitting the tag
+    columns inline. Results are bit-identical to the join path (same
+    encode, same distance kernel, same (dist, edge_id) tie-break).
+    """
+    rows = edges.select("edge_id", "geometry", *attr_cols).collect()
+    wkbs = [bytes(r[1]) for r in rows]
+    g = geom.parse_wkb_batch(wkbs)
+    box = geom.geom_bbox(g)
+    edge_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    attr_vals = {c: np.array([r[c] for r in rows], dtype=object)
+                 for c in attr_cols}
+    pad_deg = max(cells.meters_to_deg_lat(cutoff_m),
+                  cells.meters_to_deg_lon(cutoff_m))
+    cell_lists: dict[int, list[int]] = {}
+    npts = g.n_points()
+    for i in range(len(g)):
+        if npts[i] == 0:
+            continue
+        if g.kinds[i] == geom.WKB_POLYGON or npts[i] == 1:
+            cs = cells.cover_bbox(box[i, 0] - pad_deg, box[i, 1] - pad_deg,
+                                  box[i, 2] + pad_deg, box[i, 3] + pad_deg,
+                                  depth)
+        else:
+            c = g.coords[g.offsets[i]:g.offsets[i + 1]]
+            _, cs = cells.cover_segments(c[:-1, 0], c[:-1, 1],
+                                         c[1:, 0], c[1:, 1], depth, pad_deg)
+            cs = np.unique(cs)
+        for v in cs:
+            cell_lists.setdefault(int(v), []).append(i)
+    cell_map = {k: np.asarray(v, dtype=np.int64)
+                for k, v in cell_lists.items()}
+
+    bc = targets.sparkSession.sparkContext.broadcast({
+        "cell_map": cell_map,
+        "coords": g.coords, "offsets": g.offsets, "kinds": g.kinds,
+        "box": box, "edge_ids": edge_ids, "attr_vals": attr_vals,
+    })
+    # same over-padded envelope prefilter as core/join.envelope_prefilter
+    pad_lon = cutoff_m / cells.M_PER_DEG_LON_EQ * (1 + 1e-6) + 1e-9
+    pad_lat = cutoff_m / cells.M_PER_DEG_LAT * (1 + 1e-6) + 1e-9
+
+    schema = T.StructType(list(targets.schema.fields) + [
+        T.StructField("nearest_dist_m", T.DoubleType()),
+        T.StructField("nearest_edge_id", T.LongType()),
+        *[T.StructField(c, T.StringType()) for c in attr_cols]])
+    lon_name, lat_name = "lon", "lat"
+
+    def _tag_batches(batches):
+        v = bc.value
+        gg = geom.RaggedGeoms(v["coords"], v["offsets"], v["kinds"])
+        cm, bx, eids = v["cell_map"], v["box"], v["edge_ids"]
+        avs = v["attr_vals"]
+        for pdf in batches:
+            n = len(pdf)
+            dist_out = np.full(n, np.nan)
+            eid_out = np.full(n, -1, dtype=np.int64)
+            attr_out = {c: np.full(n, None, dtype=object) for c in attr_cols}
+            if n:
+                px = pdf[lon_name].to_numpy(np.float64)
+                py = pdf[lat_name].to_numpy(np.float64)
+                cell = cells.encode(px, py, depth)
+                lists = [cm.get(int(c)) for c in cell]
+                counts = np.array([0 if l is None else l.size for l in lists],
+                                  dtype=np.int64)
+                if counts.sum():
+                    pair_pt = np.repeat(np.arange(n, dtype=np.int64), counts)
+                    cand = np.concatenate(
+                        [l for l in lists if l is not None and l.size])
+                    keep = ((px[pair_pt] >= bx[cand, 0] - pad_lon)
+                            & (px[pair_pt] <= bx[cand, 2] + pad_lon)
+                            & (py[pair_pt] >= bx[cand, 1] - pad_lat)
+                            & (py[pair_pt] <= bx[cand, 3] + pad_lat))
+                    pair_pt, cand = pair_pt[keep], cand[keep]
+                    if pair_pt.size:
+                        d = geom.point_polyline_dist(px[pair_pt], py[pair_pt],
+                                                     cand, gg)
+                        ok = d <= cutoff_m
+                        pair_pt, cand, d = pair_pt[ok], cand[ok], d[ok]
+                    if pair_pt.size:
+                        # argmin per point, (dist, edge_id) tie-break —
+                        # identical to min(struct(dist, edge_id, ...))
+                        order = np.lexsort((eids[cand], d, pair_pt))
+                        pp, cc, dd = pair_pt[order], cand[order], d[order]
+                        first = np.concatenate([[True], pp[1:] != pp[:-1]])
+                        sel, win = pp[first], cc[first]
+                        dist_out[sel] = dd[first]
+                        eid_out[sel] = eids[win]
+                        for c in attr_cols:
+                            attr_out[c][sel] = avs[c][win]
+            res = pdf.copy()
+            tagged = eid_out >= 0
+            res["nearest_dist_m"] = [float(x) if t else None
+                                     for x, t in zip(dist_out, tagged)]
+            res["nearest_edge_id"] = [int(x) if t else None
+                                      for x, t in zip(eid_out, tagged)]
+            for c in attr_cols:
+                res[c] = attr_out[c]
+            yield res
+
+    return targets.mapInPandas(_tag_batches, schema)
+
+
 def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
                      source_df: DataFrame, source_dataset_id: str,
                      attrs: list[str] | None = None,
@@ -159,7 +272,13 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
     k_cover = max(int(math.ceil(cutoff_m / cell_m)), 1)
     points = targets.select(pk, "lon", "lat")
 
-    if k_cover <= 2:
+    if k_cover <= 2 and lookup is not None:
+        # broadcastable edges + small cutoff: the ZERO-SHUFFLE plan —
+        # per-batch candidate probe against a broadcast cell index, tags
+        # emitted inline with the target rows (no argmin exchange, no
+        # tag-back join; see _tag_map_only)
+        out = _tag_map_only(targets, edges, attr_cols, cutoff_m, depth, pk)
+    elif k_cover <= 2:
         # common case: the cutoff fits a small neighborhood -> ONE
         # candidate join. The pad goes on the SMALL side: edge covers are
         # padded by cutoff_m, points encode to a single cell — the big
@@ -227,7 +346,8 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
         for p in best_parts[1:]:
             tags = tags.unionByName(p)
 
-    out = targets.join(tags, pk, "left")
+    if not (k_cover <= 2 and lookup is not None):
+        out = targets.join(tags, pk, "left")
     graft = F.create_map().cast("map<string,string>")
     for a, c in zip(attrs, attr_cols):
         graft = F.map_concat(
