@@ -75,7 +75,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
             out.append([int(v) for v in hv.min(axis=0).astype(np.int64)])
         return pd.Series(out)
 
-    return df.withColumn("minhash", _sig(F.col(text_col)))
+    # asNondeterministic: the banding explode references `minhash` once
+    # per band slice and the pair join consumes the banded frame in 4
+    # branches — without this marker Catalyst re-inlines the signature
+    # UDF into every use (measured: 54 ArrowEvalPython nodes in the
+    # minhash_dedup plan; 4 with the marker, one per self-join branch)
+    return df.withColumn("minhash", _sig.asNondeterministic()(F.col(text_col)))
 
 
 BUCKET_CAP = 64
@@ -162,7 +167,13 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, num_hashes, shingle_k)
-    pairs = _banded_pairs(sigs.select(id_col, "minhash"), id_col, "minhash",
+    # persist the narrow (id, signature) frame: the banding/stats/clique/
+    # star branches consume it up to 6 times, and without a cache each
+    # branch re-runs the shingling UDF over the full corpus (plan audit:
+    # 18 ArrowEvalPython sig nodes on a 3-branch union corpus). Narrow
+    # rows (id + 64 longs), MEMORY_AND_DISK, spill-safe at scale.
+    sig_narrow = sigs.select(id_col, "minhash").persist()
+    pairs = _banded_pairs(sig_narrow, id_col, "minhash",
                           bands, rows_per_band)
 
     if broadcast_texts is None:
@@ -234,7 +245,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
             out[i] = np.int64(val & np.uint64(0x7FFFFFFFFFFFFFFF))
         return pd.Series(out)
 
-    return df.withColumn("simhash", _sim(F.col(text_col)))
+    # see minhash_signatures: one evaluation per plan branch, not per use
+    return df.withColumn("simhash", _sim.asNondeterministic()(F.col(text_col)))
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -250,7 +262,10 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     signatures. Buckets larger than ``bucket_cap`` switch to the star
     pattern around the bucket's min-id anchor (see _banded_pairs) so an
     adversarial hot bucket stays O(n)."""
-    sigs = simhash_signatures(df, text_col).select(id_col, "simhash")
+    # persist: stats + clique l/r + star all consume the banded sigs —
+    # without the cache each branch re-runs the simhash UDF (see
+    # minhash_dedup)
+    sigs = simhash_signatures(df, text_col).select(id_col, "simhash").persist()
     banded = sigs.select(
         id_col, "simhash",
         F.explode(F.array(*[
@@ -315,7 +330,7 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
         return pd.Series(key)
 
     keyed = df.select(id_col, vec_col).withColumn(
-        "_bkt", _bucket.asNondeterministic()(F.col(vec_col)))
+        "_bkt", _bucket.asNondeterministic()(F.col(vec_col))).persist()
     stats = keyed.groupBy("_bkt").agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(F.struct(F.col(id_col).alias("i"),
