@@ -235,6 +235,38 @@ def test_union_cc_matches_min_winner_on_simple_dups(spark):
     assert mw == cc and len(mw) == nA + nB - D
 
 
+def test_tag_road_map_only_matches_join_path(spark, monkeypatch):
+    """Differential: the zero-shuffle map-only path (broadcastable edges)
+    and the DataFrame join path must produce identical tags on a
+    randomized fixture — same nearest ids, distances, grafted props."""
+    import numpy as np
+
+    from tdei_backend_service_spark.core import join as J
+    from tdei_backend_service_spark.datagen import (synth_edges_df,
+                                                    synth_images_df)
+    imgs = synth_images_df(spark, 1500, with_bytes=False, dataset_id="ds-a")
+    edges = synth_edges_df(spark, 60, dataset_id="ds-e")
+    a = dataset_tag_road(imgs, "ds-a", edges, "ds-e",
+                         attrs=["highway"], cutoff_m=120.0)
+    rows_a = {r.image_id: r for r in a.collect()}
+    monkeypatch.setattr(J, "BROADCAST_GEOM_MAX_ROWS", 0)  # force join path
+    b = dataset_tag_road(imgs, "ds-a", edges, "ds-e",
+                         attrs=["highway"], cutoff_m=120.0)
+    rows_b = {r.image_id: r for r in b.collect()}
+    assert set(rows_a) == set(rows_b) and len(rows_a) == 1500
+    n_tagged = 0
+    for k, ra in rows_a.items():
+        rb = rows_b[k]
+        assert ra.nearest_edge_id == rb.nearest_edge_id, k
+        assert ra.props == rb.props, k
+        if ra.nearest_dist_m is None:
+            assert rb.nearest_dist_m is None
+        else:
+            n_tagged += 1
+            assert abs(ra.nearest_dist_m - rb.nearest_dist_m) < 1e-9, k
+    assert n_tagged > 0  # the fixture must actually exercise tagging
+
+
 def test_union_numeric_pk_rank(spark):
     """Numeric pks rank numerically: image_id 9 beats 10 (a string-concat
     rank would order "10" < "9"; ADVICE r1)."""
