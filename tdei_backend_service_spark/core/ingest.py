@@ -29,41 +29,25 @@ DEFAULT_TILE_Z = 15
 
 def encode_cells(df: DataFrame, tile_z: int = DEFAULT_TILE_Z,
                  lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
-    """Add cell_r7..r10, cell_p5 (partition prefix), tile_z/x/y, tile_key."""
+    """Add cell_r7..r10, cell_p5 (partition prefix), tile_z/x/y, tile_key.
 
-    fields = [T.StructField(c, T.LongType()) for c in CELL_LADDER] + [
-        T.StructField("cell_p5", T.LongType()),
-        T.StructField("tile_x", T.LongType()),
-        T.StructField("tile_y", T.LongType()),
-        T.StructField("tile_key", T.LongType()),
-    ]
-
-    @F.pandas_udf(T.StructType(fields))
-    def _encode(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
-        lo = lon.to_numpy(dtype=np.float64)
-        la = lat.to_numpy(dtype=np.float64)
-        out = {name: cells.encode(lo, la, cells.RES_GRID[res])
-               for name, res in CELL_LADDER.items()}
-        out["cell_p5"] = cells.encode(lo, la, cells.RES_GRID[5])
-        tx, ty = cells.lonlat_to_tile(lo, la, tile_z)
-        out["tile_x"] = tx
-        out["tile_y"] = ty
-        out["tile_key"] = cells.tile_key(tile_z, tx, ty)
-        return pd.DataFrame(out)
-
-    # asNondeterministic: stops Catalyst pushing inferred isnotnull/join
-    # filters below this projection, which would extract the UDF twice
-    # (two ArrowEvalPython nodes = double encode per row; VERDICT r1 #2)
-    s = _encode.asNondeterministic()(F.col(lon_col), F.col(lat_col))
-    df = df.withColumn("_enc", s)
-    for name in CELL_LADDER:
-        df = df.withColumn(name, F.col(f"_enc.{name}"))
-    return (df.withColumn("cell_p5", F.col("_enc.cell_p5"))
-              .withColumn("tile_z", F.lit(tile_z).cast("int"))
-              .withColumn("tile_x", F.col("_enc.tile_x").cast("int"))
-              .withColumn("tile_y", F.col("_enc.tile_y").cast("int"))
-              .withColumn("tile_key", F.col("_enc.tile_key"))
-              .drop("_enc"))
+    Pure Catalyst (cells.encode_expr / tile_expr): the write path stays
+    in whole-stage codegen with no Python workers — at 100 TB the
+    ingest enrichment runs over every row of every table, so this is
+    the single hottest place to avoid Arrow round-trips. Bit-compatible
+    with the numpy kernels (property-tested in tests/test_cells.py)."""
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    out = df
+    for name, res in CELL_LADDER.items():
+        out = out.withColumn(name, cells.encode_expr(lon, lat,
+                                                     cells.RES_GRID[res]))
+    tx, ty, tkey = cells.tile_expr(lon, lat, tile_z)
+    return (out.withColumn("cell_p5", cells.encode_expr(lon, lat,
+                                                        cells.RES_GRID[5]))
+               .withColumn("tile_z", F.lit(tile_z).cast("int"))
+               .withColumn("tile_x", tx.cast("int"))
+               .withColumn("tile_y", ty.cast("int"))
+               .withColumn("tile_key", tkey))
 
 
 def encode_geom_meta(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:

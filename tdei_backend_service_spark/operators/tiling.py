@@ -24,26 +24,14 @@ from ..core import cells
 def assign_tiles(df: DataFrame, z: int, lon_col: str = "lon",
                  lat_col: str = "lat") -> DataFrame:
     """Add tile_z/tile_x/tile_y/tile_key at zoom ``z`` (recomputing even if
-    ingest already encoded a different zoom)."""
-
-    fields = T.StructType([
-        T.StructField("x", T.LongType()), T.StructField("y", T.LongType()),
-        T.StructField("k", T.LongType()),
-    ])
-
-    @F.pandas_udf(fields)
-    def _tiles(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
-        lo = lon.to_numpy(np.float64)
-        la = lat.to_numpy(np.float64)
-        tx, ty = cells.lonlat_to_tile(lo, la, z)
-        return pd.DataFrame({"x": tx, "y": ty, "k": cells.tile_key(z, tx, ty)})
-
-    return (df.withColumn("_t", _tiles(F.col(lon_col), F.col(lat_col)))
-              .withColumn("tile_z", F.lit(z).cast("int"))
-              .withColumn("tile_x", F.col("_t.x").cast("int"))
-              .withColumn("tile_y", F.col("_t.y").cast("int"))
-              .withColumn("tile_key", F.col("_t.k"))
-              .drop("_t"))
+    ingest already encoded a different zoom). Pure Catalyst
+    (cells.tile_expr) — tile assignment over the full corpus stays in
+    whole-stage codegen with no Python."""
+    tx, ty, tkey = cells.tile_expr(F.col(lon_col), F.col(lat_col), z)
+    return (df.withColumn("tile_z", F.lit(z).cast("int"))
+              .withColumn("tile_x", tx.cast("int"))
+              .withColumn("tile_y", ty.cast("int"))
+              .withColumn("tile_key", tkey))
 
 
 def tile_stats(df: DataFrame, z: int | None = None) -> DataFrame:

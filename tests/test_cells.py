@@ -103,3 +103,32 @@ def test_tiles_deterministic_boundary():
     assert x[0] == 1
     key = cells.tile_key(z, x, y)
     assert cells.cell_depth(key)[0] == z
+
+
+def test_expr_encoders_match_numpy(spark):
+    # Catalyst expression encoders must be bit-identical to the numpy
+    # kernels over random + boundary coordinates
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tdei_backend_service_spark.core import cells as C
+    rng = np.random.default_rng(9)
+    lon = np.concatenate([rng.uniform(-180, 180, 4000),
+                          [-180.0, 0.0, 179.999999, 180.0 - 1e-12]])
+    lat = np.concatenate([rng.uniform(-90, 90, 4000),
+                          [-90.0, 0.0, 89.999999, 85.05112878]])
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    for depth in (11, 15, 19):
+        got = np.array([r[0] for r in df.select(
+            C.encode_expr(F.col("lon"), F.col("lat"), depth)).collect()])
+        want = C.encode(lon, lat, depth)
+        assert (got == want).all(), depth
+    for z in (8, 15):
+        tx, ty, tk = C.tile_expr(F.col("lon"), F.col("lat"), z)
+        got = df.select(tx.alias("x"), ty.alias("y"), tk.alias("k")).toPandas()
+        wx, wy = C.lonlat_to_tile(lon, lat, z)
+        wk = C.tile_key(z, wx, wy)
+        assert (got["x"].to_numpy() == wx).all(), z
+        assert (got["y"].to_numpy() == wy).all(), z
+        assert (got["k"].to_numpy() == wk).all(), z
