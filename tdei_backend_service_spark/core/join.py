@@ -82,9 +82,16 @@ def _point_cells(side: GeomSide, depth: int, pad_m: float, tag: str) -> DataFram
     pad_deg = max(cells.meters_to_deg_lat(pad_m), cells.meters_to_deg_lon(pad_m)) if pad_m else 0.0
 
     if pad_deg == 0.0:
-        # pure Catalyst encode — no Python on the (big) point side
-        out = side.df.withColumn("cell", cells.encode_expr(
-            F.col(side.lon_col), F.col(side.lat_col), depth))
+        # NB: deliberately an Arrow UDF, not cells.encode_expr — the cell
+        # column is a join key, and inferred isnotnull filters re-inline
+        # a Catalyst encode's exponential bit-twiddle tree (~10x stage
+        # slowdown measured at 16M rows; see _part1by1_expr docstring)
+        @F.pandas_udf(T.LongType())
+        def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+            return pd.Series(cells.encode(lon.to_numpy(np.float64),
+                                          lat.to_numpy(np.float64), depth))
+        out = side.df.withColumn("cell", _enc.asNondeterministic()(
+            F.col(side.lon_col), F.col(side.lat_col)))
     else:
         @F.pandas_udf(T.ArrayType(T.LongType()))
         def _cov(lon: pd.Series, lat: pd.Series) -> pd.Series:

@@ -297,9 +297,16 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
         # FP rounding never rejects a true match)
         pad_lon = cutoff_m / cells.M_PER_DEG_LON_EQ * (1 + 1e-6) + 1e-9
         pad_lat = cutoff_m / cells.M_PER_DEG_LAT * (1 + 1e-6) + 1e-9
+        # Arrow UDF, not encode_expr: cell is a join key (see
+        # cells._part1by1_expr on the inferred-filter tree blowup)
+        @F.pandas_udf(T.LongType())
+        def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+            return pd.Series(cells.encode(lon.to_numpy(np.float64),
+                                          lat.to_numpy(np.float64), depth))
+
         dist = _dist_udf(lookup)
-        cand = (points.withColumn("cell", cells.encode_expr(
-                    F.col("lon"), F.col("lat"), depth))
+        cand = (points.withColumn("cell", _enc.asNondeterministic()(
+                    F.col("lon"), F.col("lat")))
                 .join(padded_edges, "cell").drop("cell")
                 .filter((F.col("lon") >= F.col("gmin_lon") - pad_lon)
                         & (F.col("lon") <= F.col("gmax_lon") + pad_lon)

@@ -28,8 +28,8 @@ other the min-winner and CC answers agree on cluster survivors.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+from pyspark.sql import DataFrame, functions as F
 
 from ..core import cells
 from ..core.compiler import InputException
@@ -95,29 +95,39 @@ def union_dataset(df_one: DataFrame, dataset_id_one: str,
     depth = int(np.clip(cells.depth_for_radius_m(max(proximity, 0.5)), 1, 23))
     pad_deg = max(cells.meters_to_deg_lat(proximity), cells.meters_to_deg_lon(proximity))
 
-    def _cell_expr(lon, lat):
-        return cells.encode_expr(lon, lat, depth)
+    # Arrow UDFs, not cells.encode_expr: cell is the join key here, and
+    # inferred join filters re-inline a Catalyst encode's exponential
+    # tree (~10x stage slowdown measured; see cells._part1by1_expr).
+    # The padded cover is the distinct cells of the 4 padded corners —
+    # valid because the depth choice above guarantees cell extent >= pad
+    # on both axes, so the padded bbox spans at most 2 cells per axis.
+    @F.pandas_udf("long")
+    def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cells.encode(lon.to_numpy(np.float64),
+                                      lat.to_numpy(np.float64), depth))
 
-    def _cover_expr(lon, lat):
-        # padded point cover, pure Catalyst: the depth choice above
-        # guarantees cell extent >= pad on both axes, so the padded bbox
-        # spans at most 2 cells per axis — its cover is exactly the
-        # distinct cells of the 4 corners. No Python anywhere in the
-        # candidate generation.
-        corners = [_cell_expr(lon + dx, lat + dy)
-                   for dx in (-pad_deg, pad_deg) for dy in (-pad_deg, pad_deg)]
-        return F.array_distinct(F.array(*corners))
+    @F.pandas_udf("array<long>")
+    def _cover(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        lo = lon.to_numpy(np.float64)
+        la = lat.to_numpy(np.float64)
+        corners = np.stack([cells.encode(lo + dx, la + dy, depth)
+                            for dx in (-pad_deg, pad_deg)
+                            for dy in (-pad_deg, pad_deg)])
+        return pd.Series([[int(v) for v in np.unique(corners[:, i])]
+                          for i in range(lo.size)])
 
     assert pad_deg <= cells.cell_size_deg(depth) / 2  # by the depth choice
+    _cell_once = _cell.asNondeterministic()
+    _cover_once = _cover.asNondeterministic()
 
     keys = [k for k in match_on if k in both.columns]
     narrow = both.select(pk, *keys, "lon", "lat", "_rank")
-    left = (narrow.withColumn("cell", F.explode(_cover_expr(F.col("lon"), F.col("lat"))))
+    left = (narrow.withColumn("cell", F.explode(_cover_once(F.col("lon"), F.col("lat"))))
             .select(F.col(pk).alias("l_pk"),
                     *[F.col(k).alias(f"l_{k}") for k in keys],
                     F.col("lon").alias("l_lon"), F.col("lat").alias("l_lat"),
                     F.col("_rank").alias("l_rank"), "cell"))
-    right = (narrow.withColumn("cell", _cell_expr(F.col("lon"), F.col("lat")))
+    right = (narrow.withColumn("cell", _cell_once(F.col("lon"), F.col("lat")))
              .select(F.col(pk).alias("r_pk"),
                      *[F.col(k).alias(f"r_{k}") for k in keys],
                      F.col("lon").alias("r_lon"), F.col("lat").alias("r_lat"),
