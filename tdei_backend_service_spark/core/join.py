@@ -278,6 +278,106 @@ def refine_pairs(pairs: DataFrame, pred: SpatialPredicate,
     return pairs.filter(_refine(F.struct(*geo_cols)))
 
 
+def _fused_point_probe(t: GeomSide, s: GeomSide, pred: SpatialPredicate,
+                       t_lookup, d: int, pad_m: float) -> DataFrame:
+    """Zero-shuffle candidate+refine for (broadcastable vector target) x
+    (point source): the join-side analogue of tag_road._tag_map_only.
+
+    The DataFrame path costs the point side one Arrow encode pass, a
+    hash join, and a second Arrow refine pass; here one mapInPandas over
+    the source rows probes a driver-built padded {cell -> target idx}
+    index, applies the same envelope prefilter, and evaluates the SAME
+    compiled predicate (eval_spatial over pair_min_dist) inline —
+    emitting the matched (t_pk, s_...) pairs directly. Candidate
+    semantics are identical (a point has one cell; target covers are the
+    same padded superset covers), so results match the join path
+    row-for-row; hot cells need no special handling because nothing
+    shuffles."""
+    keys = list(t_lookup.value.keys())
+    g = geom.parse_wkb_batch([t_lookup.value[k] for k in keys])
+    box = geom.geom_bbox(g)
+    pad_deg = max(cells.meters_to_deg_lat(pad_m),
+                  cells.meters_to_deg_lon(pad_m)) if pad_m else 0.0
+    cell_lists: dict[int, list[int]] = {}
+    npts = g.n_points()
+    for i in range(len(g)):
+        if npts[i] == 0:
+            continue
+        if g.kinds[i] == geom.WKB_POLYGON or npts[i] == 1:
+            cs = cells.cover_bbox(box[i, 0] - pad_deg, box[i, 1] - pad_deg,
+                                  box[i, 2] + pad_deg, box[i, 3] + pad_deg, d)
+        else:
+            c = g.coords[g.offsets[i]:g.offsets[i + 1]]
+            _, cs = cells.cover_segments(c[:-1, 0], c[:-1, 1],
+                                         c[1:, 0], c[1:, 1], d, pad_deg)
+            cs = np.unique(cs)
+        for v in cs:
+            cell_lists.setdefault(int(v), []).append(i)
+    bc = s.df.sparkSession.sparkContext.broadcast({
+        "cell_map": {k: np.asarray(v, dtype=np.int64)
+                     for k, v in cell_lists.items()},
+        "coords": g.coords, "offsets": g.offsets, "kinds": g.kinds,
+        "box": box, "pks": np.array(keys, dtype=object),
+    })
+    # same over-padded envelope prefilter as envelope_prefilter
+    pad_lon = pred.bound_m / cells.M_PER_DEG_LON_EQ * (1 + 1e-6) + 1e-9
+    pad_lat = pred.bound_m / cells.M_PER_DEG_LAT * (1 + 1e-6) + 1e-9
+
+    in_cols = [s.pk, s.lon_col, s.lat_col] + s.carry
+    sdf = s.df.select(*in_cols)
+    schema = T.StructType(
+        [T.StructField(f"t_{t.pk}", t.df.schema[t.pk].dataType)]
+        + [T.StructField(f"s_{c}", sdf.schema[c].dataType) for c in in_cols])
+    ast, needs_dist = pred.ast, "dist" in pred.needs
+    lon_name, lat_name = s.lon_col, s.lat_col
+    t_pk_name = f"t_{t.pk}"
+
+    def _probe_batches(batches):
+        v = bc.value
+        gg = geom.RaggedGeoms(v["coords"], v["offsets"], v["kinds"])
+        cm, bx, pks = v["cell_map"], v["box"], v["pks"]
+        for pdf in batches:
+            n = len(pdf)
+            pair_pt = np.array([], dtype=np.int64)
+            cand = np.array([], dtype=np.int64)
+            if n:
+                px = pdf[lon_name].to_numpy(np.float64)
+                py = pdf[lat_name].to_numpy(np.float64)
+                cell = cells.encode(px, py, d)
+                lists = [cm.get(int(c)) for c in cell]
+                counts = np.array([0 if l is None else l.size for l in lists],
+                                  dtype=np.int64)
+                if counts.sum():
+                    pair_pt = np.repeat(np.arange(n, dtype=np.int64), counts)
+                    cand = np.concatenate(
+                        [l for l in lists if l is not None and l.size])
+                    keep = ((px[pair_pt] >= bx[cand, 0] - pad_lon)
+                            & (px[pair_pt] <= bx[cand, 2] + pad_lon)
+                            & (py[pair_pt] >= bx[cand, 1] - pad_lat)
+                            & (py[pair_pt] <= bx[cand, 3] + pad_lat))
+                    pair_pt, cand = pair_pt[keep], cand[keep]
+                if pair_pt.size:
+                    coords = np.stack([px[pair_pt], py[pair_pt]], axis=1)
+                    offs = np.arange(pair_pt.size + 1, dtype=np.int64)
+                    sgg = geom.RaggedGeoms(
+                        coords, offs,
+                        np.full(pair_pt.size, geom.WKB_POINT, dtype=np.int64))
+                    ctx = {}
+                    if needs_dist:
+                        ctx["dist"] = geom.pair_min_dist(
+                            cand, gg, offs[:-1], sgg)
+                    ok = np.asarray(eval_spatial(ast, ctx), dtype=bool)
+                    pair_pt, cand = pair_pt[ok], cand[ok]
+            sel = pdf.iloc[pair_pt].reset_index(drop=True)
+            res = pd.DataFrame({t_pk_name: list(pks[cand])})
+            for c in in_cols:
+                res[f"s_{c}"] = sel[c].to_numpy() if len(sel) else \
+                    pd.Series([], dtype=sel[c].dtype)
+            yield res
+
+    return sdf.mapInPandas(_probe_batches, schema)
+
+
 def _hot_source_cells(sc: DataFrame, sample_frac: float, threshold: int,
                       max_hot: int = 128) -> list[int]:
     """Estimate hot cells from a sample of the source cell column: cells
@@ -348,6 +448,14 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
         return refine_pairs(pairs, pred, t, s, t_lookup, s_lookup)
 
     d = depth if depth is not None else pick_depth(pred.bound_m)
+
+    if (s.is_point() and not t.is_point() and t_lookup is not None
+            and "angle" not in pred.needs):
+        # broadcastable vector target x point source: the ZERO-SHUFFLE
+        # fused probe (see _fused_point_probe) — candidates, prefilter,
+        # and the compiled refine all run in one map over the points
+        return _fused_point_probe(t, s, pred, t_lookup, d, pred.bound_m)
+
     # pad exactly ONE side by the bound (sufficient for a superset cover;
     # which side is a pure efficiency choice). Default: pad the target.
     # When the target is a point table and the source is a geometry
