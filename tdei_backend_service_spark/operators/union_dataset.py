@@ -89,18 +89,30 @@ def union_dataset(df_one: DataFrame, dataset_id_one: str,
             F.coalesce(num, F.lit(0).cast("decimal(38,0)")).alias("n"),
             F.col(pk).cast("string").alias("s")))
 
-    # lower bound 1 (not the usual r5 prefix): depth_for_radius_m already
-    # guarantees cell extent >= proximity, and only clipping the depth
-    # DOWN preserves that — the 4-corner cover below depends on it
-    depth = int(np.clip(cells.depth_for_radius_m(max(proximity, 0.5)), 1, 23))
+    # Depth from 2*proximity: the 4-corner cover is complete only when the
+    # padded window (width 2*pad) spans <= 2 cells per axis, i.e. cell
+    # extent >= 2*pad on BOTH axes. depth_for_radius_m(r) guarantees the
+    # lat extent (the tighter axis) >= r meters, so feed it 2*proximity —
+    # deriving from proximity alone left extent in [pad, 2*pad) and the
+    # corners could straddle the point's own cell (ADVICE r2: identical-
+    # location pairs survived for ~69% of lat positions at proximity=2).
+    # Lower bound 1 (not the usual r5 prefix): only clipping the depth
+    # DOWN preserves the extent guarantee.
+    depth = int(np.clip(cells.depth_for_radius_m(2.0 * max(proximity, 0.5)), 1, 23))
     pad_deg = max(cells.meters_to_deg_lat(proximity), cells.meters_to_deg_lon(proximity))
+    if pad_deg > 90.0 / (1 << depth):  # half the lat extent in degrees
+        raise RuntimeError(
+            f"union_dataset cover invariant violated: pad {pad_deg} deg > "
+            f"half-cell {90.0 / (1 << depth)} deg at depth {depth} — the "
+            "4-corner cover would miss candidate cells")
 
     # Arrow UDFs, not cells.encode_expr: cell is the join key here, and
     # inferred join filters re-inline a Catalyst encode's exponential
     # tree (~10x stage slowdown measured; see cells._part1by1_expr).
     # The padded cover is the distinct cells of the 4 padded corners —
-    # valid because the depth choice above guarantees cell extent >= pad
-    # on both axes, so the padded bbox spans at most 2 cells per axis.
+    # valid because the depth choice above guarantees cell extent >= 2*pad
+    # on both axes, so the padded bbox spans at most 2 cells per axis and
+    # the corners land in every spanned cell (incl. the point's own).
     @F.pandas_udf("long")
     def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
         return pd.Series(cells.encode(lon.to_numpy(np.float64),
@@ -116,7 +128,6 @@ def union_dataset(df_one: DataFrame, dataset_id_one: str,
         return pd.Series([[int(v) for v in np.unique(corners[:, i])]
                           for i in range(lo.size)])
 
-    assert pad_deg <= cells.cell_size_deg(depth) / 2  # by the depth choice
     _cell_once = _cell.asNondeterministic()
     _cover_once = _cover.asNondeterministic()
 

@@ -144,6 +144,25 @@ def test_union_dedup_expected_cardinality(spark):
         assert f"img-{1000 + i:04d}" not in surviving_ids
 
 
+def test_union_dedup_identical_location_lat_sweep(spark):
+    """Regression (ADVICE r2, union_dataset.py:113): the 4-corner padded
+    cover derived depth from proximity (extent >= pad) instead of
+    2*proximity (extent >= 2*pad), so for ~69% of lat positions an
+    identical-location pair at proximity=2.0 missed its own cell and BOTH
+    rows survived. Sweep lats across many cell boundaries and require one
+    survivor per pair, at proximities on each side of the old clip point."""
+    for prox in (2.0, 1.3, 5.0):
+        rows = []
+        for i, lat in enumerate(np.linspace(47.60, 47.61, 120)):
+            rows.append(_img_row(i, -122.35, float(lat), "ds-A",
+                                 phash=7, caption="same"))
+            rows.append(_img_row(1000 + i, -122.35, float(lat), "ds-B",
+                                 phash=7, caption="same"))
+        df = spark.createDataFrame(pd.DataFrame(rows), schema=IMAGES_SCHEMA)
+        out = union_dataset(df, "ds-A", df, "ds-B", proximity=prox)
+        assert out.count() == 120, f"proximity={prox}"
+
+
 def test_union_dedup_same_spot_different_pixels_survive(spark):
     A = spark.createDataFrame(pd.DataFrame([_img_row(0, -122.3, 47.65, "ds-A", phash=1)]),
                               schema=IMAGES_SCHEMA)
