@@ -306,45 +306,61 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
                     id_col: str = "vec_id", threshold: float = 0.98,
-                    planes: int = 16, seed: int = 11,
+                    planes: int = 16, bands: int = 2, seed: int = 11,
                     bucket_cap: int = BUCKET_CAP) -> DataFrame:
-    """Near-dup vectors: random-hyperplane LSH buckets (+1 multiprobe on
-    each single bit flip would go here; plain bucket equality suffices at
-    thresholds near 1), exact cosine verify JVM-side via zip_with/
-    aggregate, drop larger ids. Buckets over ``bucket_cap`` use the
-    min-id-anchor star pattern (see _banded_pairs) so one hot bucket of
-    near-identical vectors stays O(n) pairs."""
+    """Near-dup vectors: ``bands`` independent random-hyperplane LSH
+    keys per vector (each over its own ``planes`` hyperplanes), exact
+    cosine verify JVM-side via zip_with/aggregate, drop larger ids.
+
+    Buckets over ``bucket_cap`` use the min-id-anchor star pattern (see
+    _banded_pairs) so one hot bucket of near-identical vectors stays
+    O(n) pairs. With a single plane set a capped bucket's non-anchor
+    pairs had NO second chance (unlike minhash/simhash, where other
+    bands recover them — ADVICE r2, dedup.py:349); multiple independent
+    bands restore that property: a pair is lost only if EVERY band
+    either splits it or caps it away from the anchor. Exact duplicates
+    always share every band's bucket, so the planted-oracle guarantees
+    are band-count-independent."""
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is None:
         return df
     rng = np.random.default_rng(seed)
-    H = rng.standard_normal((planes, dim_row["d"])).astype(np.float32)
+    H = rng.standard_normal((bands, planes, dim_row["d"])).astype(np.float32)
 
-    @F.pandas_udf(T.LongType())
-    def _bucket(vecs: pd.Series) -> pd.Series:
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
         M = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
-        signs = (M @ H.T) > 0
-        key = np.zeros(len(vecs), dtype=np.int64)
-        for j in range(planes):
-            key |= signs[:, j].astype(np.int64) << j
-        return pd.Series(key)
+        keys = np.zeros((len(vecs), bands), dtype=np.int64)
+        for b in range(bands):
+            signs = (M @ H[b].T) > 0
+            for j in range(planes):
+                keys[:, b] |= signs[:, j].astype(np.int64) << j
+        return pd.Series([[int(v) for v in row] for row in keys])
 
-    keyed = df.select(id_col, vec_col).withColumn(
-        "_bkt", _bucket.asNondeterministic()(F.col(vec_col))).persist()
-    stats = keyed.groupBy("_bkt").agg(
+    # one signature evaluation (asNondeterministic + persist), then an
+    # explode to (band, bucket) rows — the vector rides along so verify
+    # never joins back; at `bands`x duplication of a narrow array column
+    keyed = (df.select(id_col, vec_col)
+             .withColumn("_bkts", _buckets.asNondeterministic()(F.col(vec_col)))
+             .select(id_col, vec_col,
+                     F.posexplode("_bkts").alias("_band", "_bkt"))
+             .persist())
+    stats = keyed.groupBy("_band", "_bkt").agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(F.struct(F.col(id_col).alias("i"),
                        F.col(vec_col).alias("v"))).alias("_a"))
-    keyed = keyed.join(stats, "_bkt")
+    keyed = keyed.join(stats, ["_band", "_bkt"])
     dot = F.aggregate(F.zip_with("l_v", "r_v", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
                                         F.lit(0.0), lambda acc, x: acc + x))
     cos_ok = (dot / (norm(F.col("l_v")) * norm(F.col("r_v")))) >= threshold
     small = keyed.filter(F.col("_n") <= bucket_cap)
-    l = small.select(F.col(id_col).alias("l_id"), F.col(vec_col).alias("l_v"), "_bkt")
-    r = small.select(F.col(id_col).alias("r_id"), F.col(vec_col).alias("r_v"), "_bkt")
-    clique = (l.join(r, "_bkt").filter(F.col("l_id") < F.col("r_id"))
+    l = small.select(F.col(id_col).alias("l_id"), F.col(vec_col).alias("l_v"),
+                     "_band", "_bkt")
+    r = small.select(F.col(id_col).alias("r_id"), F.col(vec_col).alias("r_v"),
+                     "_band", "_bkt")
+    clique = (l.join(r, ["_band", "_bkt"]).filter(F.col("l_id") < F.col("r_id"))
               .filter(cos_ok).select("l_id", "r_id"))
     star = (keyed.filter((F.col("_n") > bucket_cap)
                          & (F.col(id_col) != F.col("_a.i")))

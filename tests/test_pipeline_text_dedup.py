@@ -170,6 +170,43 @@ def test_embedding_hot_bucket_bounded(spark):
         == [0, 800, 801, 802]
 
 
+def test_embedding_capped_bucket_recovered_by_second_band(spark):
+    """Regression (ADVICE r2, dedup.py:349): with one plane set, a true
+    near-dup pair sitting inside a capped hot bucket without involving
+    the anchor was silently lost. Construct (deterministically, using the
+    same rng seed the operator uses) a pair that shares the hot cluster's
+    bucket in band 0 but lands in its own bucket in band 1 — it must now
+    be deduped through band 1."""
+    dim, planes, bands, seed = 16, 16, 2, 11
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(dim).astype("float32")
+    H = np.random.default_rng(seed).standard_normal(
+        (bands, planes, dim)).astype(np.float32)
+    signs = lambda v, b: tuple((v @ H[b].T) > 0)
+
+    x = None
+    search = np.random.default_rng(17)
+    for _ in range(20000):
+        cand = (base + 0.35 * search.standard_normal(dim)).astype("float32")
+        cos = float(cand @ base / (np.linalg.norm(cand) * np.linalg.norm(base)))
+        if (signs(cand, 0) == signs(base, 0)
+                and signs(cand, 1) != signs(base, 1) and cos < 0.97):
+            x = cand
+            break
+    assert x is not None, "could not construct the band-split pair"
+
+    rows = [(i, [float(v) for v in base]) for i in range(800)]
+    rows.append((900, [float(v) for v in x]))
+    rows.append((901, [float(v) for v in x * np.float32(1.0001)]))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = D.embedding_dedup(df, threshold=0.98, planes=planes,
+                            bands=bands, seed=seed)
+    # band 0: one capped bucket {base x800, x, x'} — star rejects (0,900),
+    # (0,901) by cosine; band 1: base cluster stars to one survivor, and
+    # {x, x'} is its own 2-clique, dropping 901
+    assert sorted(r.vec_id for r in out.select("vec_id").collect()) == [0, 900]
+
+
 def test_minhash_byte_bound_chooses_join_path(spark, near_dups, monkeypatch):
     # with a tiny byte cap the broadcast path is rejected and the
     # id-join verify path must produce the identical answer
