@@ -38,6 +38,8 @@ KNN_CUTOFF_M = 300.0
 
 _LON = FX.SQL_LON.format(k="o_orderkey")
 _LAT = FX.SQL_LAT.format(k="o_orderkey")
+SQL_LON_S = FX.SQL_LON.format(k="s_suppkey")
+SQL_LAT_S = FX.SQL_LAT.format(k="s_suppkey")
 _PTS = f"(SELECT o_orderkey, {_LON} AS lon, {_LAT} AS lat FROM orders)"
 # nearest grid edge: k = clamp(round((lat-47.605)/0.01), 0..9)
 _PTS_K = ("(SELECT o_orderkey, lon, lat, "
@@ -304,6 +306,63 @@ def _q_zone_pip(spark: SparkSession, sf: str) -> DataFrame:
                       F.col("props").getItem("ext:n").cast("bigint").alias("n"))
 
 
+def _q_angle_join(spark: SparkSession, sf: str) -> DataFrame:
+    """PURE-ANGLE join condition — unbounded predicate, so this drives
+    the dataset cross-join path (core/join.py:435), the reference's
+    second observed join condition shape (spatial-query.test.ts:111).
+    Sources are oriented supplier edges (0/45/90 deg by s_suppkey % 3) vs
+    horizontal grid edges, so `degrees(ST_Angle(...)) < 30` reduces to
+    s_suppkey % 3 = 0 — exact integer oracle."""
+    edges = FX.grid_edges(spark)
+    src = FX.supplier_edges_oriented(spark, sf)
+    out = spatial_join(edges, "edge", "tpch-edges", src, "line",
+                       "tpch-soedges",
+                       "degrees(ST_Angle(geometry_target, geometry_source)) < 30",
+                       ["count(*) as n"])
+    return out.select("edge_id",
+                      F.col("props").getItem("ext:n").cast("bigint").alias("n"))
+
+
+def _q_angle_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's full combined condition — buffer AND angle
+    (spatial-query.test.ts:111) — through the BOUNDED two-phase path
+    with the angle refine. Matches per horizontal grid edge k: oriented
+    supplier edges that are horizontal (angle 0 < 30) AND within 600 m
+    (|lat diff| * 110540, closed form; nearest lattice values sit
+    ~0.011 m off the threshold, far beyond FP drift)."""
+    edges = FX.grid_edges(spark)
+    src = FX.supplier_edges_oriented(spark, sf)
+    out = spatial_join(
+        edges, "edge", "tpch-edges", src, "line", "tpch-soedges",
+        "ST_Intersects(ST_Buffer(geometry_target, 600), geometry_source) "
+        "and degrees( ST_Angle(geometry_target, geometry_source) ) < 30",
+        ["count(*) as n"])
+    return out.select("edge_id",
+                      F.col("props").getItem("ext:n").cast("bigint").alias("n"))
+
+
+def _q_osm_ways(spark: SparkSession, sf: str) -> DataFrame:
+    """O5 OSM XML export — the <way> line builder (io/osm_xml.py:57,
+    reference streaming at osm-backend-abstract.ts:77-99) over supplier-
+    derived ways. The props bag carries &, < and \" so the XML escape
+    chain (&amp; first, then &lt;, then &quot;) is under the oracle."""
+    from tdei_backend_service_spark.io import osm_xml
+    return osm_xml.way_lines(FX.supplier_ways(spark, sf))
+
+
+def _q_geojson_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """O6 GeoJSON export — the per-row Feature builder (io/geojson.py:57,
+    reference osw-backend-abstract.ts:112-145) over the supplier line
+    layer: WKB decode -> geometry JSON + typed properties. Exact oracle
+    because Python json.dumps and DuckDB VARCHAR casts both print
+    shortest-round-trip doubles (verified on the derived lattice)."""
+    from tdei_backend_service_spark.io.geojson import feature_lines
+    edges = (FX.supplier_edges(spark, sf)
+             .select("edge_id", "geometry", "dataset_id")
+             .withColumn("props", F.create_map().cast("map<string,string>")))
+    return feature_lines(edges)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -346,6 +405,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_pip_count": _q_zone_pip,
         "bbox_edges": _q_bbox_edges,
         "tri_zone_pip": _q_tri_zone_pip,
+        # angle predicate (cross-join + bounded combined paths) and the
+        # O5/O6 export line builders — r3 proof-gap closures
+        "angle_join": _q_angle_join,
+        "angle_buffer_join": _q_angle_buffer_join,
+        "osm_ways": _q_osm_ways,
+        "geojson_lines": _q_geojson_lines,
     }
 
 
@@ -514,6 +579,56 @@ def oracle_sql() -> dict[str, str]:
                           THEN 0 ELSE 1 END AS BIGINT) AS zone_id,
                      COUNT(*) AS n
               FROM orders GROUP BY 1) c USING (zone_id)
+        """,
+        # oriented supplier edges: angle vs horizontal targets is exactly
+        # 0/45/90 deg, so `degrees(ST_Angle) < 30` <=> s_suppkey % 3 = 0;
+        # pure angle is unbounded, so every target matches the same set
+        "angle_join": """
+            SELECT CAST(r.range AS BIGINT) AS edge_id,
+                   (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 3 = 0) AS n
+            FROM range(10) r
+        """,
+        # buffer 600 m AND angle < 30: horizontal sources within
+        # |lat diff| * 110540 <= 600 of grid edge k (closed form; nearest
+        # lattice offsets are >= 0.011 m from the threshold)
+        "angle_buffer_join": """
+            SELECT z.edge_id, COALESCE(c.n, 0) AS n
+            FROM (SELECT CAST(range AS BIGINT) AS edge_id FROM range(10)) z
+            LEFT JOIN (
+              SELECT e.range AS edge_id, COUNT(*) AS n
+              FROM range(10) e, supplier s
+              WHERE s.s_suppkey % 3 = 0
+                AND ABS((47.60 + ((s.s_suppkey * 40503 + 12345) % 100000) / 1000000.0)
+                        - (47.605 + e.range * 0.01)) * 110540.0 <= 600.0
+              GROUP BY e.range) c USING (edge_id)
+        """,
+        # exact replica of io/osm_xml.py way_lines + _xml_escape
+        # (& first, then <, then ") over the supplier_ways fixture
+        "osm_ways": """
+            SELECT '<way id="' || s_suppkey || '" version="1">'
+                || '<nd ref="' || (s_suppkey * 2) || '"/>'
+                || '<nd ref="' || (s_suppkey * 2 + 1) || '"/>'
+                || '<tag k="highway" v="'
+                || CASE WHEN s_suppkey % 2 = 0 THEN 'footway'
+                        ELSE 'residential' END || '"/>'
+                || '<tag k="name" v="'
+                || replace(replace(replace('s<' || s_suppkey || '> & "co"',
+                     '&', '&amp;'), '<', '&lt;'), '"', '&quot;')
+                || '"/></way>' AS line
+            FROM supplier
+        """,
+        # exact replica of io/geojson.py feature_lines over the supplier
+        # line layer: json.dumps spacing for the geometry object, to_json
+        # (no spaces) for properties; doubles print shortest-round-trip
+        # identically in Python and DuckDB
+        "geojson_lines": f"""
+            SELECT '{{"type":"Feature","geometry":{{"type": "LineString", "coordinates": [['
+                || CAST(lon AS VARCHAR) || ', ' || CAST(lat AS VARCHAR) || '], ['
+                || CAST(lon + 0.01 AS VARCHAR) || ', ' || CAST(lat AS VARCHAR)
+                || ']]}},"properties":{{"edge_id":"' || s_suppkey
+                || '","dataset_id":"tpch-sedges"}}}}' AS feature
+            FROM (SELECT s_suppkey, {SQL_LON_S} AS lon, {SQL_LAT_S} AS lat
+                  FROM supplier)
         """,
         # exact replica of pipeline/text.py with_winnow_fingerprint
         # (k=8, window=4): md5-gram hash -> sliding-window min -> xor of

@@ -121,6 +121,60 @@ def supplier_edges(spark: SparkSession, sf_dir: str,
     return encode_geom_meta(out)
 
 
+def supplier_edges_oriented(spark: SparkSession, sf_dir: str,
+                            dataset_id: str = "tpch-soedges") -> DataFrame:
+    """supplier -> one 0.01-deg WKB segment per s_suppkey whose
+    orientation cycles with ``s_suppkey % 3``: 0 -> horizontal (0 deg),
+    1 -> diagonal (45 deg), 2 -> vertical (90 deg). Against the
+    horizontal grid_edges targets the acute angle between orientations
+    is exactly 0/45/90, all far from the reference's 30-deg threshold
+    (degrees(ST_Angle(...)) < 30, spatial-query.test.ts:111), so the
+    angle predicate has a closed-form integer oracle: match iff
+    s_suppkey % 3 = 0."""
+    from pyspark.sql import types as T
+    df = derive_lonlat(spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+                       "s_suppkey")
+
+    @F.pandas_udf(T.BinaryType())
+    def _wkb(key: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = []
+        for k, lo, la in zip(key, lon, lat):
+            m = k % 3
+            dx = 0.01 if m in (0, 1) else 0.0
+            dy = 0.01 if m in (1, 2) else 0.0
+            out.append(geom.wkb_linestring([(lo, la), (lo + dx, la + dy)]))
+        return pd.Series(out)
+
+    from .core.ingest import encode_geom_meta
+    out = df.select(F.col("s_suppkey").alias("edge_id"),
+                    _wkb.asNondeterministic()(F.col("s_suppkey"), F.col("lon"),
+                                              F.col("lat")).alias("geometry"),
+                    F.lit(dataset_id).alias("dataset_id"))
+    return encode_geom_meta(out)
+
+
+def supplier_ways(spark: SparkSession, sf_dir: str,
+                  dataset_id: str = "tpch-ways") -> DataFrame:
+    """supplier -> an edges frame shaped for the OSM XML way builder
+    (io/osm_xml.py way_lines): edge_id = s_suppkey, node ids 2k/2k+1,
+    and a props bag whose second value carries &, < and " so the XML
+    escape path is exercised under the oracle. Every field is integer/
+    string-derived, so the emitted <way> line is exactly reproducible
+    in SQL."""
+    df = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    highway = F.when(F.col("s_suppkey") % 2 == 0,
+                     F.lit("footway")).otherwise(F.lit("residential"))
+    name = F.concat(F.lit('s<'), F.col("s_suppkey").cast("string"),
+                    F.lit('> & "co"'))
+    return df.select(
+        F.col("s_suppkey").alias("edge_id"),
+        (F.col("s_suppkey") * 2).alias("orig_node_id"),
+        (F.col("s_suppkey") * 2 + 1).alias("dest_node_id"),
+        F.create_map(F.lit("highway"), highway,
+                     F.lit("name"), name).alias("props"),
+        F.lit(dataset_id).alias("dataset_id"))
+
+
 def tri_zones(spark: SparkSession, dataset_id: str = "tpch-tri") -> DataFrame:
     """Two triangles splitting the point lattice along the anti-diagonal
     u + v = 99999.5 (lattice units; all boundaries at half-lattice
