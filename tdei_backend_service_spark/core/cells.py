@@ -322,6 +322,9 @@ def cover_segments(x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarra
     false-positive candidates (removed by the exact refine phase), never
     false negatives, provided ``pad_deg`` >= the predicate's buffer.
     """
+    if np.size(x0) == 0:
+        empty = np.array([], dtype=np.int64)
+        return empty, empty
     lon_a = np.minimum(x0, x1) - pad_deg
     lon_b = np.maximum(x0, x1) + pad_deg
     lat_a = np.minimum(y0, y1) - pad_deg

@@ -100,7 +100,7 @@ def _dist_udf(lookup=None):
 
 
 def _tag_map_only(targets: DataFrame, edges: DataFrame, attr_cols: list[str],
-                  cutoff_m: float, depth: int, pk: str) -> DataFrame:
+                  cutoff_m: float, depth: int, pk: str) -> DataFrame | None:
     """Zero-shuffle kNN tagging for a broadcastable edge side.
 
     The DataFrame path costs two 16M-row exchanges at scale (the
@@ -114,6 +114,7 @@ def _tag_map_only(targets: DataFrame, edges: DataFrame, attr_cols: list[str],
     columns inline. Results are bit-identical to the join path (same
     encode, same distance kernel, same (dist, edge_id) tie-break).
     """
+    from ..core import join as _J
     rows = edges.select("edge_id", "geometry", *attr_cols).collect()
     wkbs = [bytes(r[1]) for r in rows]
     g = geom.parse_wkb_batch(wkbs)
@@ -123,27 +124,15 @@ def _tag_map_only(targets: DataFrame, edges: DataFrame, attr_cols: list[str],
                  for c in attr_cols}
     pad_deg = max(cells.meters_to_deg_lat(cutoff_m),
                   cells.meters_to_deg_lon(cutoff_m))
-    cell_lists: dict[int, list[int]] = {}
-    npts = g.n_points()
-    for i in range(len(g)):
-        if npts[i] == 0:
-            continue
-        if g.kinds[i] == geom.WKB_POLYGON or npts[i] == 1:
-            cs = cells.cover_bbox(box[i, 0] - pad_deg, box[i, 1] - pad_deg,
-                                  box[i, 2] + pad_deg, box[i, 3] + pad_deg,
-                                  depth)
-        else:
-            c = g.coords[g.offsets[i]:g.offsets[i + 1]]
-            _, cs = cells.cover_segments(c[:-1, 0], c[:-1, 1],
-                                         c[1:, 0], c[1:, 1], depth, pad_deg)
-            cs = np.unique(cs)
-        for v in cs:
-            cell_lists.setdefault(int(v), []).append(i)
-    cell_map = {k: np.asarray(v, dtype=np.int64)
-                for k, v in cell_lists.items()}
+    # vectorized build; None when the padded cover exceeds the entry cap
+    # — the caller then runs the distributed candidate-join path
+    cell_index = _J.build_cover_index(g, box, depth, pad_deg,
+                                      _J.COVER_INDEX_MAX_ENTRIES)
+    if cell_index is None:
+        return None
 
     bc = targets.sparkSession.sparkContext.broadcast({
-        "cell_map": cell_map,
+        "index": cell_index,
         "coords": g.coords, "offsets": g.offsets, "kinds": g.kinds,
         "box": box, "edge_ids": edge_ids, "attr_vals": attr_vals,
     })
@@ -160,7 +149,7 @@ def _tag_map_only(targets: DataFrame, edges: DataFrame, attr_cols: list[str],
     def _tag_batches(batches):
         v = bc.value
         gg = geom.RaggedGeoms(v["coords"], v["offsets"], v["kinds"])
-        cm, bx, eids = v["cell_map"], v["box"], v["edge_ids"]
+        ix, bx, eids = v["index"], v["box"], v["edge_ids"]
         avs = v["attr_vals"]
         for pdf in batches:
             n = len(pdf)
@@ -171,13 +160,8 @@ def _tag_map_only(targets: DataFrame, edges: DataFrame, attr_cols: list[str],
                 px = pdf[lon_name].to_numpy(np.float64)
                 py = pdf[lat_name].to_numpy(np.float64)
                 cell = cells.encode(px, py, depth)
-                lists = [cm.get(int(c)) for c in cell]
-                counts = np.array([0 if l is None else l.size for l in lists],
-                                  dtype=np.int64)
-                if counts.sum():
-                    pair_pt = np.repeat(np.arange(n, dtype=np.int64), counts)
-                    cand = np.concatenate(
-                        [l for l in lists if l is not None and l.size])
+                pair_pt, cand = ix.probe(cell)
+                if pair_pt.size:
                     keep = ((px[pair_pt] >= bx[cand, 0] - pad_lon)
                             & (px[pair_pt] <= bx[cand, 2] + pad_lon)
                             & (py[pair_pt] >= bx[cand, 1] - pad_lat)
@@ -272,13 +256,15 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
     k_cover = max(int(math.ceil(cutoff_m / cell_m)), 1)
     points = targets.select(pk, "lon", "lat")
 
+    out = None
     if k_cover <= 2 and lookup is not None:
         # broadcastable edges + small cutoff: the ZERO-SHUFFLE plan —
         # per-batch candidate probe against a broadcast cell index, tags
         # emitted inline with the target rows (no argmin exchange, no
-        # tag-back join; see _tag_map_only)
+        # tag-back join; see _tag_map_only). May decline (None) when the
+        # padded cover index exceeds the broadcast entry cap.
         out = _tag_map_only(targets, edges, attr_cols, cutoff_m, depth, pk)
-    elif k_cover <= 2:
+    if out is None and k_cover <= 2:
         # common case: the cutoff fits a small neighborhood -> ONE
         # candidate join. The pad goes on the SMALL side: edge covers are
         # padded by cutoff_m, points encode to a single cell — the big
@@ -321,7 +307,7 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
                 .select(pk, F.col("b.dist").alias("nearest_dist_m"),
                         F.col("b.edge_id").alias("nearest_edge_id"),
                         *[F.col(f"b.{c}").alias(c) for c in attr_cols]))
-    else:
+    elif out is None:
         # large cutoff: expand rings, settling targets whose best found
         # distance is within the per-point guaranteed radius (exact
         # distance to the searched square's boundary)
@@ -348,7 +334,7 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
         for p in best_parts[1:]:
             tags = tags.unionByName(p)
 
-    if not (k_cover <= 2 and lookup is not None):
+    if out is None:
         out = targets.join(tags, pk, "left")
     graft = F.create_map().cast("map<string,string>")
     for a, c in zip(attrs, attr_cols):

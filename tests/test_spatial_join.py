@@ -338,3 +338,119 @@ def test_broadcast_geoms_byte_bounded(spark, monkeypatch):
     assert J._maybe_broadcast_geoms(side) is not None
     monkeypatch.setattr(J, "BROADCAST_GEOM_MAX_BYTES", 100)
     assert J._maybe_broadcast_geoms(side) is None
+
+
+def _naive_cover_index(g, box, depth, pad_deg):
+    """The pre-r3 per-geometry driver loop, kept as the parity reference
+    for build_cover_index."""
+    from tdei_backend_service_spark.core import cells
+    cell_lists: dict[int, list[int]] = {}
+    npts = g.n_points()
+    for i in range(len(g)):
+        if npts[i] == 0:
+            continue
+        if g.kinds[i] == geom.WKB_POLYGON or npts[i] == 1:
+            cs = cells.cover_bbox(box[i, 0] - pad_deg, box[i, 1] - pad_deg,
+                                  box[i, 2] + pad_deg, box[i, 3] + pad_deg,
+                                  depth)
+        else:
+            c = g.coords[g.offsets[i]:g.offsets[i + 1]]
+            _, cs = cells.cover_segments(c[:-1, 0], c[:-1, 1],
+                                         c[1:, 0], c[1:, 1], depth, pad_deg)
+            cs = np.unique(cs)
+        for v in cs:
+            cell_lists.setdefault(int(v), []).append(i)
+    return {k: sorted(v) for k, v in cell_lists.items()}
+
+
+def test_build_cover_index_parity_and_gate():
+    """Vectorized cover index == the old per-geometry loop on a random
+    mix of points, multi-segment lines, and polygons; the entry gate
+    estimates before materializing and declines oversized covers."""
+    from tdei_backend_service_spark.core import join as J
+    rng = np.random.default_rng(11)
+    wkbs = []
+    for i in range(200):
+        x = -122.33 + rng.random() * 0.02
+        y = 47.64 + rng.random() * 0.02
+        kind = i % 3
+        if kind == 0:  # single point as a 1-vertex line (bbox cover path)
+            wkbs.append(geom.wkb_linestring([(x, y), (x, y)]))
+        elif kind == 1:  # multi-segment polyline
+            pts = [(x + rng.random() * 2e-3, y + rng.random() * 2e-3)
+                   for _ in range(rng.integers(2, 6))]
+            wkbs.append(geom.wkb_linestring(pts))
+        else:  # polygon
+            w, h = rng.random() * 1e-3, rng.random() * 1e-3
+            wkbs.append(geom.wkb_polygon(
+                [(x, y), (x + w, y), (x + w, y + h), (x, y + h), (x, y)]))
+    g = geom.parse_wkb_batch(wkbs)
+    box = geom.geom_bbox(g)
+    for depth, pad in ((16, 0.0), (17, 5e-4), (14, 2e-3)):
+        got = J.build_cover_index(g, box, depth, pad)
+        assert got is not None
+        got_sorted = {k: sorted(int(v) for v in arr)
+                      for k, arr in got.to_dict().items()}
+        assert got_sorted == _naive_cover_index(g, box, depth, pad)
+        # vectorized probe parity: each cell returns exactly its group
+        pt, gi = got.probe(got.cells)
+        probe_view = {int(got.cells[p]): [] for p in pt}
+        for p, gidx in zip(pt, gi):
+            probe_view[int(got.cells[p])].append(int(gidx))
+        assert {k: sorted(v) for k, v in probe_view.items()} == got_sorted
+        # misses return no candidates
+        miss = np.array([-1, 2**62], dtype=np.int64)
+        mp, mg = got.probe(miss)
+        assert mp.size == 0 and mg.size == 0
+    # the gate: a tiny cap must decline without materializing
+    assert J.build_cover_index(g, box, 17, 5e-4, max_entries=10) is None
+
+
+def test_fused_probe_matches_join_path(spark, monkeypatch):
+    """Differential (ADVICE r2 low #3): the fused zero-shuffle point
+    probe must equal the two-phase join path row-for-row on a randomized
+    fixture with polygon AND line targets plus carried source columns."""
+    from tdei_backend_service_spark.core import join as J
+    from tdei_backend_service_spark.datagen import (synth_edges_df,
+                                                    synth_images_df,
+                                                    synth_zones_df)
+    imgs = synth_images_df(spark, 1200, with_bytes=False, dataset_id="ds-a")
+    aggs = ["count(*) as n", "ARRAY_AGG(_id) as ids"]
+
+    for targets, dim, dsid in ((synth_edges_df(spark, 50, dataset_id="ds-e"),
+                                "edge", "ds-e"),
+                               (synth_zones_df(spark, 25, dataset_id="ds-z"),
+                                "zone", "ds-z")):
+        pred = "ST_DWithin(geometry_target, geometry_source, 150)"
+        fused = spatial_join(targets, dim, dsid, imgs, "point", "ds-a",
+                             pred, aggs).collect()
+        monkeypatch.setattr(J, "BROADCAST_GEOM_MAX_ROWS", 0)
+        joined = spatial_join(targets, dim, dsid, imgs, "point", "ds-a",
+                              pred, aggs).collect()
+        monkeypatch.undo()
+        pk = "edge_id" if dim == "edge" else "zone_id"
+        fa = {r[pk]: (r["props"].get("ext:n"),
+                      sorted(json.loads(r["props"].get("ext:ids", "[]"))))
+              for r in fused}
+        jb = {r[pk]: (r["props"].get("ext:n"),
+                      sorted(json.loads(r["props"].get("ext:ids", "[]"))))
+              for r in joined}
+        assert fa == jb and len(fa) > 0
+        assert any(v[0] is not None for v in fa.values())  # non-trivial
+
+
+def test_fused_probe_cover_gate_falls_back(spark, monkeypatch):
+    """When the cover-entry gate declines, two_phase_join silently runs
+    the distributed path and the answer is unchanged."""
+    from tdei_backend_service_spark.core import join as J
+    from tdei_backend_service_spark.datagen import synth_edges_df, synth_images_df
+    imgs = synth_images_df(spark, 400, with_bytes=False, dataset_id="ds-a")
+    edges = synth_edges_df(spark, 30, dataset_id="ds-e")
+    pred = "ST_DWithin(geometry_target, geometry_source, 100)"
+    base = spatial_join(edges, "edge", "ds-e", imgs, "point", "ds-a",
+                        pred, ["count(*) as n"]).collect()
+    monkeypatch.setattr(J, "COVER_INDEX_MAX_ENTRIES", 0)
+    gated = spatial_join(edges, "edge", "ds-e", imgs, "point", "ds-a",
+                         pred, ["count(*) as n"]).collect()
+    key = lambda rows: {r["edge_id"]: r["props"].get("ext:n") for r in rows}
+    assert key(base) == key(gated)
