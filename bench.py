@@ -43,6 +43,9 @@ def main() -> None:
         "spatial_join_count", "zone_pip_count", "knn_tag", "union_dedup",
         "groupby_pricing", "topk_customers", "token_count", "exact_dedup",
         "minhash_dedup", "winnow_fingerprint", "embedding_topk", "ivf_topk",
+        # r3 additions: angle predicate (cross-join + bounded paths) and
+        # the O5/O6 export line builders
+        "angle_join", "angle_buffer_join", "osm_ways", "geojson_lines",
     ]
 
     # input size for throughput: rows entering the spatial suite
