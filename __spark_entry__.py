@@ -376,6 +376,44 @@ def _q_geojson_lines(spark: SparkSession, sf: str) -> DataFrame:
     return feature_lines(edges)
 
 
+def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful STREAMING dedup (applyInPandasWithState, streaming/
+    dedup.py) driven end-to-end: two micro-batch drops — the documents
+    corpus, then planted cross-batch duplicates (+1e6 ids, same text)
+    plus genuinely-new docs (+3e6 ids, text suffixed) — through the
+    first-seen-wins stateful operator with a restart between drops (the
+    checkpoint carries keyed state). The admitted set is closed-form:
+    all originals + the new docs; every planted duplicate must be
+    dropped by state. Returned as a batch read of the sink, so the
+    custom stateful streaming op gets a FULL SQL oracle."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from tdei_backend_service_spark.streaming.dedup import start_dedup_ingest
+    base = tempfile.mkdtemp(prefix="stream_dedup_q_")
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    docs.write.mode("overwrite").parquet(landing)
+    q = start_dedup_ingest(spark, landing, out, ckpt, schema)
+    q.awaitTermination(120)
+    dups = (docs.filter(F.col("doc_id") % 5 == 0)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    fresh = (docs.filter(F.col("doc_id") % 11 == 0)
+             .select((F.col("doc_id") + 3_000_000).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit(" v2")).alias("text")))
+    dups.unionByName(fresh).write.mode("append").parquet(landing)
+    q = start_dedup_ingest(spark, landing, out, ckpt, schema)
+    q.awaitTermination(120)
+    return spark.read.parquet(out).select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -424,6 +462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "angle_buffer_join": _q_angle_buffer_join,
         "osm_ways": _q_osm_ways,
         "geojson_lines": _q_geojson_lines,
+        # custom stateful streaming operator, driven to a batch-readable
+        # sink so it still gets a full oracle
+        "streaming_dedup": _q_streaming_dedup,
     }
 
 
@@ -642,6 +683,15 @@ def oracle_sql() -> dict[str, str]:
                 || '","dataset_id":"tpch-sedges"}}}}' AS feature
             FROM (SELECT s_suppkey, {SQL_LON_S} AS lon, {SQL_LAT_S} AS lat
                   FROM supplier)
+        """,
+        # streaming first-seen-wins dedup over two planted drops: all
+        # originals admitted in batch 1; batch 2's +1e6 exact copies are
+        # dropped by keyed state, its +3e6 suffixed docs admitted
+        "streaming_dedup": """
+            SELECT doc_id FROM documents
+            UNION ALL
+            SELECT doc_id + 3000000 AS doc_id FROM documents
+            WHERE doc_id % 11 = 0
         """,
         # exact replica of pipeline/text.py with_winnow_fingerprint
         # (k=8, window=4): md5-gram hash -> sliding-window min -> xor of

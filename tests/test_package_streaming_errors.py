@@ -73,3 +73,43 @@ def test_streaming_ingest_batches(spark, tmp_path):
     assert "cell_r8" in got.columns  # enrichment applied in-stream
     lines = [json.loads(l) for l in open(manifest)]
     assert sum(e["rows"] for e in lines) == 150
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: in-batch dups collapse to
+    the lowest id, cross-batch dups are dropped by keyed state, and the
+    checkpoint carries the state across a restart."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tdei_backend_service_spark.streaming.dedup import start_dedup_ingest
+
+    landing = str(tmp_path / "sland")
+    out = str(tmp_path / "sdedup")
+    ckpt = str(tmp_path / "sckpt")
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+
+    def drop(rows, mode):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        spark.createDataFrame(pdf, schema=schema) \
+            .write.mode(mode).parquet(landing)
+
+    # batch 1: docs 0-9 plus an in-batch dup (100 repeats doc 0's text,
+    # with whitespace/case noise the normalizer must flatten)
+    rows1 = [(i, f"document number {i} body") for i in range(10)]
+    rows1.append((100, "  Document   NUMBER 0 body "))
+    drop(rows1, "overwrite")
+    q = start_dedup_ingest(spark, landing, out, ckpt, schema)
+    q.awaitTermination(120)
+    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got1 == set(range(10))  # 100 collapsed into 0
+
+    # batch 2 (restart, same checkpoint): dups of 0-4 + new docs 10-14
+    rows2 = [(200 + i, f"document number {i} body") for i in range(5)]
+    rows2 += [(i, f"document number {i} body") for i in range(10, 15)]
+    drop(rows2, "append")
+    q = start_dedup_ingest(spark, landing, out, ckpt, schema)
+    q.awaitTermination(120)
+    got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got2 == set(range(15))  # state dropped the 200-series dups
