@@ -376,6 +376,27 @@ def _q_geojson_lines(spark: SparkSession, sf: str) -> DataFrame:
     return feature_lines(edges)
 
 
+def _q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio path: PCM16 WAV blobs (codecs/audio.py, a public
+    container parsed with numpy alone) carrying planted square waves
+    with closed-form integer features (fixtures_tpch.supplier_audio) —
+    WAV parse + DSP get a full SQL oracle."""
+    from tdei_backend_service_spark.pipeline.multimodal import \
+        extract_audio_features
+    return extract_audio_features(FX.supplier_audio(spark, sf))
+
+
+def _q_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video frame sampling over the vraw container
+    (codecs/video.py): every 2nd frame of planted constant-fill videos;
+    sampled (idx, dims, pixel sum) are closed-form integers."""
+    from tdei_backend_service_spark.pipeline.multimodal import \
+        sample_video_frames
+    return (sample_video_frames(FX.supplier_videos(spark, sf), every_n=2)
+            .select("video_id", "frame_idx", "frame_w", "frame_h",
+                    "frame_sum"))
+
+
 def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Stateful STREAMING dedup (applyInPandasWithState, streaming/
     dedup.py) driven end-to-end: two micro-batch drops — the documents
@@ -465,6 +486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # custom stateful streaming operator, driven to a batch-readable
         # sink so it still gets a full oracle
         "streaming_dedup": _q_streaming_dedup,
+        # real audio (WAV) / video (vraw) payload operators over planted
+        # closed-form content
+        "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
     }
 
 
@@ -683,6 +708,31 @@ def oracle_sql() -> dict[str, str]:
                 || '","dataset_id":"tpch-sedges"}}}}' AS feature
             FROM (SELECT s_suppkey, {SQL_LON_S} AS lon, {SQL_LAT_S} AS lat
                   FROM supplier)
+        """,
+        # planted square wave (period p=2+k%7, length L=1000+k%100,
+        # amplitude a=1000+(k*37)%1000): every feature is closed-form —
+        # peak=rms=a, zero crossings=(L-1)//p
+        "audio_features": """
+            SELECT CAST(s_suppkey AS BIGINT) AS audio_id,
+                   CAST(1000 + s_suppkey % 100 AS BIGINT) AS n_samples,
+                   CAST(16000 AS BIGINT) AS sample_rate,
+                   CAST(1000 + (s_suppkey * 37) % 1000 AS BIGINT) AS peak,
+                   CAST(1000 + (s_suppkey * 37) % 1000 AS BIGINT) AS rms,
+                   CAST(((1000 + s_suppkey % 100) - 1)
+                        // (2 + s_suppkey % 7) AS BIGINT) AS zero_crossings
+            FROM supplier
+        """,
+        # F = 3 + k%5 frames; sampled every 2nd -> idx 0,2,...; frame f
+        # is 4x4x3 of constant (k+f)%256 -> pixel sum 48*((k+f)%256)
+        "video_frames": """
+            SELECT CAST(s_suppkey AS BIGINT) AS video_id,
+                   CAST(2 * f.range AS BIGINT) AS frame_idx,
+                   CAST(4 AS BIGINT) AS frame_w,
+                   CAST(4 AS BIGINT) AS frame_h,
+                   CAST(48 * ((s_suppkey + 2 * f.range) % 256) AS BIGINT)
+                     AS frame_sum
+            FROM supplier, range(4) f
+            WHERE 2 * f.range < 3 + s_suppkey % 5
         """,
         # streaming first-seen-wins dedup over two planted drops: all
         # originals admitted in batch 1; batch 2's +1e6 exact copies are

@@ -275,6 +275,66 @@ def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(copies).unionByName(neg))
 
 
+def supplier_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier -> (audio_id, bytes) of REAL PCM16 WAV blobs carrying a
+    square wave with closed-form features. For key k:
+      period p = 2 + k%7, length L = 1000 + k%100,
+      amplitude a = 1000 + (k*37)%1000,
+      s[i] = +a if (i//p) even else -a.
+    Exact features: n_samples=L, peak=a, rms=a (all |s|=a, so
+    isqrt(sum/L)=a), zero_crossings=(L-1)//p (one sign change at every
+    positive multiple of p below L) — a full SQL oracle over WAV parse
+    + numpy DSP."""
+    from pyspark.sql import types as T
+
+    from .codecs.audio import wav_bytes
+    import numpy as np
+
+    @F.pandas_udf(T.BinaryType())
+    def _wav(key: pd.Series) -> pd.Series:
+        out = []
+        for k in key:
+            k = int(k)
+            p, L, a = 2 + k % 7, 1000 + k % 100, 1000 + (k * 37) % 1000
+            i = np.arange(L, dtype=np.int64)
+            s = np.where((i // p) % 2 == 0, a, -a).astype(np.int16)
+            out.append(wav_bytes(s))
+        return pd.Series(out)
+
+    df = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return df.select(F.col("s_suppkey").cast("long").alias("audio_id"),
+                     _wav.asNondeterministic()(F.col("s_suppkey"))
+                     .alias("bytes"))
+
+
+def supplier_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier -> (video_id, bytes) of vraw containers with closed-form
+    frame content. For key k: F = 3 + k%5 frames of 4x4 RGB, frame f
+    filled with the constant byte (k + f) % 256, so a sampled frame's
+    integer pixel sum is exactly 48 * ((k + f) % 256)."""
+    from pyspark.sql import types as T
+
+    from .codecs.video import vraw_bytes
+    import numpy as np
+
+    @F.pandas_udf(T.BinaryType())
+    def _vid(key: pd.Series) -> pd.Series:
+        out = []
+        for k in key:
+            k = int(k)
+            n = 3 + k % 5
+            frames = np.stack([
+                np.full((4, 4, 3), (k + f) % 256, dtype=np.uint8)
+                for f in range(n)])
+            out.append(vraw_bytes(frames))
+        return pd.Series(out)
+
+    df = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return df.select(F.col("s_suppkey").cast("long").alias("video_id"),
+                     _vid.asNondeterministic()(F.col("s_suppkey"))
+                     .alias("bytes"))
+
+
 def customer_images(spark: SparkSession, sf_dir: str, side: str,
                     n_dups: int = 300) -> DataFrame:
     """customer -> image-like point records for the union fixture.

@@ -2,11 +2,14 @@
 over opaque binary columns, with typed metadata — the Spark plumbing a
 training-data pipeline needs for image/audio/video payloads.
 
-Real codecs exist for 'png' and 'qimg' (codecs/), so decode, resize and
-feature extraction are REAL and tested end-to-end. 'jpeg' decode and the
-audio/video paths are stubs (no codec libraries in this container) with
-production-shaped plumbing: schema, mapInPandas batch iteration, and
-per-row error capture are exactly what a real codec drop-in would use.
+Real codecs exist for 'png' and 'qimg' images (codecs/image.py), PCM16
+WAV audio (codecs/audio.py — a public uncompressed container numpy can
+parse alone), and the 'vraw' raw-RGB video container (codecs/video.py),
+so image decode/resize/features, audio feature extraction, and video
+frame sampling are all REAL and tested end-to-end. Only compressed
+codecs (jpeg, mp3/aac, h264/mp4) are environment stubs (no codec
+libraries in this container); they raise at parse inside the same
+mapInPandas hooks a production decoder drops into.
 
 Everything runs as mapInPandas over Arrow batches: one Python crossing
 per batch, numpy inside. bytes columns never pass through a shuffle —
@@ -158,17 +161,93 @@ def verify_payload_invariants(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(gen, schema=schema)
 
 
-def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """STUB — video frame sampling. No video codec exists in this
-    container; the Spark-side contract (binary column in, frame rows
-    out via mapInPandas) is what a real decoder would plug into."""
-    raise NotImplementedError(
-        "video decoding unavailable in this environment; plug a decoder "
-        "into the mapInPandas generator (same batch shape as image_features)")
+VIDEO_FRAMES_SCHEMA = T.StructType([
+    T.StructField("video_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("frame_w", T.LongType()),
+    T.StructField("frame_h", T.LongType()),
+    T.StructField("frame_sum", T.LongType()),
+    T.StructField("frame_bytes", T.BinaryType()),
+])
 
 
-def extract_audio_features(df: DataFrame) -> DataFrame:
-    """STUB — audio feature extraction (see sample_video_frames)."""
-    raise NotImplementedError(
-        "audio decoding unavailable in this environment; plug a decoder "
-        "into the mapInPandas generator (same batch shape as image_features)")
+def sample_video_frames(df: DataFrame, every_n: int = 10,
+                        id_col: str = "video_id",
+                        bytes_col: str = "bytes") -> DataFrame:
+    """Every ``every_n``-th frame of each video, exploded to one row per
+    sampled frame (idx, dims, integer pixel sum, raw RGB bytes).
+
+    REAL for the 'vraw' container (codecs/video.py — uncompressed frame
+    stack, pure numpy); compressed formats (h264/mp4) raise ValueError
+    at parse — production plugs a decoder into the same hook. Map-only
+    (mapInPandas); video bytes never shuffle."""
+    from ..codecs.video import parse_vraw
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, sums, blobs = [], [], [], [], [], []
+            for vid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                frames = parse_vraw(blob)
+                for fi in range(0, frames.shape[0], every_n):
+                    fr = frames[fi]
+                    ids.append(vid)
+                    idxs.append(fi)
+                    hs.append(fr.shape[0])
+                    ws.append(fr.shape[1])
+                    sums.append(int(fr.astype(np.int64).sum()))
+                    blobs.append(fr.tobytes())
+            yield pd.DataFrame({"video_id": pd.Series(ids, dtype="int64"),
+                                "frame_idx": pd.Series(idxs, dtype="int64"),
+                                "frame_w": pd.Series(ws, dtype="int64"),
+                                "frame_h": pd.Series(hs, dtype="int64"),
+                                "frame_sum": pd.Series(sums, dtype="int64"),
+                                "frame_bytes": blobs})
+
+    return (df.select(id_col, bytes_col)
+            .mapInPandas(gen, schema=VIDEO_FRAMES_SCHEMA))
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("audio_id", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("peak", T.LongType()),
+    T.StructField("rms", T.LongType()),
+    T.StructField("zero_crossings", T.LongType()),
+])
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "audio_id",
+                           bytes_col: str = "bytes") -> DataFrame:
+    """Per-clip audio features over PCM16 WAV blobs — REAL (WAV is a
+    public uncompressed container; codecs/audio.py parses it with numpy
+    alone): sample count, rate, peak |amplitude|, integer-floor RMS
+    (isqrt of the exact int64 energy mean), and sign-change count.
+    Integer outputs by design so planted waveforms have closed-form
+    oracles. Compressed audio raises ValueError at parse."""
+    import math
+
+    from ..codecs.audio import parse_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("audio_id", "n_samples", "sample_rate",
+                                   "peak", "rms", "zero_crossings")}
+            for aid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                s, rate = parse_wav(blob)
+                s64 = s.astype(np.int64)
+                n = s64.size
+                out["audio_id"].append(aid)
+                out["n_samples"].append(n)
+                out["sample_rate"].append(rate)
+                out["peak"].append(int(np.abs(s64).max()) if n else 0)
+                out["rms"].append(
+                    math.isqrt(int((s64 * s64).sum()) // n) if n else 0)
+                sign = np.sign(s64)
+                out["zero_crossings"].append(
+                    int((sign[1:] != sign[:-1]).sum()) if n > 1 else 0)
+            yield pd.DataFrame({k: pd.Series(v, dtype="int64")
+                                for k, v in out.items()})
+
+    return (df.select(id_col, bytes_col)
+            .mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA))

@@ -53,3 +53,63 @@ def test_ahash_stable_under_quantization():
     h2 = ahash64(decode_qimg(encode_qimg(img)))
     assert h1 == h2
     assert isinstance(h1, int)
+
+
+# ---------------------------------------------------------------------------
+# WAV (PCM16) and vraw codecs
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+
+    from tdei_backend_service_spark.codecs.audio import parse_wav, wav_bytes
+    rng = np.random.default_rng(4)
+    s = rng.integers(-30000, 30000, 777, dtype=np.int16)
+    blob = wav_bytes(s, 22050)
+    back, rate = parse_wav(blob)
+    assert rate == 22050 and np.array_equal(back, s)
+    # extra chunk BEFORE data must be skipped (word-aligned walk)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = blob[:36] + extra + blob[36:]
+    riff = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    back2, _ = parse_wav(riff)
+    assert np.array_equal(back2, s)
+    # stereo averages to mono
+    st = np.stack([s, s.astype(np.int32) + 2], axis=1).astype(np.int16)
+    hdr = wav_bytes(np.zeros(0, np.int16), 22050)
+    stereo = (hdr[:22] + struct.pack("<H", 2) + hdr[24:40]
+              + struct.pack("<I", st.size * 2) + st.astype("<i2").tobytes())
+    back3, _ = parse_wav(stereo)
+    assert np.array_equal(back3, (s.astype(np.int64) * 2 + 2) // 2)
+
+
+def test_wav_rejects_non_pcm():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from tdei_backend_service_spark.codecs.audio import parse_wav, wav_bytes
+    with pytest.raises(ValueError):
+        parse_wav(b"not audio at all")
+    blob = bytearray(wav_bytes(np.zeros(4, np.int16)))
+    blob[20:22] = struct.pack("<H", 3)  # float PCM tag
+    with pytest.raises(ValueError):
+        parse_wav(bytes(blob))
+
+
+def test_vraw_roundtrip_and_errors():
+    import numpy as np
+    import pytest
+
+    from tdei_backend_service_spark.codecs.video import parse_vraw, vraw_bytes
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (6, 3, 5, 3), dtype=np.uint8)
+    assert np.array_equal(parse_vraw(vraw_bytes(frames)), frames)
+    with pytest.raises(ValueError):
+        parse_vraw(b"MPEG....")
+    with pytest.raises(ValueError):
+        parse_vraw(vraw_bytes(frames)[:-10])  # truncated payload

@@ -122,9 +122,52 @@ def test_payload_invariants(spark):
     assert lossless and all(np.isinf(r.psnr_db) for r in lossless)
 
 
-def test_multimodal_stubs_raise(spark):
-    df = synth_images_df(spark, 1, with_bytes=False)
-    with pytest.raises(NotImplementedError):
-        MM.sample_video_frames(df)
-    with pytest.raises(NotImplementedError):
-        MM.extract_audio_features(df)
+def test_multimodal_compressed_formats_rejected(spark):
+    """Audio/video are REAL for the uncompressed containers (WAV, vraw);
+    compressed payloads (mp3/mp4-shaped bytes) raise ValueError at parse
+    inside the same mapInPandas hook a production decoder drops into."""
+    from pyspark.errors import PythonException
+    adf = spark.createDataFrame(
+        pd.DataFrame([(1, b"ID3\x03fake-mp3")], columns=["audio_id", "bytes"]))
+    with pytest.raises(PythonException, match="RIFF"):
+        MM.extract_audio_features(adf).collect()
+    vdf = spark.createDataFrame(
+        pd.DataFrame([(1, b"\x00\x00\x00 ftypisom")], columns=["video_id", "bytes"]))
+    with pytest.raises(PythonException, match="vraw"):
+        MM.sample_video_frames(vdf).collect()
+
+
+def test_audio_features_known_waveform(spark):
+    """Square wave with closed-form features through the full WAV
+    encode -> Spark mapInPandas -> parse -> DSP path."""
+    from tdei_backend_service_spark.codecs.audio import wav_bytes
+    rows = []
+    for k, (p, L, a) in enumerate([(2, 100, 500), (5, 999, 32000),
+                                   (7, 1000, 1)]):
+        i = np.arange(L)
+        s = np.where((i // p) % 2 == 0, a, -a).astype(np.int16)
+        rows.append((k, wav_bytes(s)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["audio_id", "bytes"]))
+    got = {r.audio_id: r for r in MM.extract_audio_features(df).collect()}
+    for k, (p, L, a) in enumerate([(2, 100, 500), (5, 999, 32000),
+                                   (7, 1000, 1)]):
+        r = got[k]
+        assert (r.n_samples, r.peak, r.rms) == (L, a, a)
+        assert r.zero_crossings == (L - 1) // p
+        assert r.sample_rate == 16000
+
+
+def test_video_frame_sampling(spark):
+    """vraw container end-to-end: every 3rd frame sampled, dims, sums,
+    and raw bytes round-trip."""
+    from tdei_backend_service_spark.codecs.video import vraw_bytes
+    frames = np.stack([np.full((2, 3, 3), f * 10, dtype=np.uint8)
+                       for f in range(7)])
+    df = spark.createDataFrame(
+        pd.DataFrame([(9, vraw_bytes(frames))], columns=["video_id", "bytes"]))
+    out = MM.sample_video_frames(df, every_n=3).collect()
+    assert sorted(r.frame_idx for r in out) == [0, 3, 6]
+    for r in out:
+        assert (r.frame_w, r.frame_h) == (3, 2)
+        assert r.frame_sum == 2 * 3 * 3 * r.frame_idx * 10 // 1
+        assert bytes(r.frame_bytes) == frames[r.frame_idx].tobytes()
