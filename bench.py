@@ -46,6 +46,7 @@ def main() -> None:
         # r3 additions: angle predicate (cross-join + bounded paths) and
         # the O5/O6 export line builders
         "angle_join", "angle_buffer_join", "osm_ways", "geojson_lines",
+        "audio_features", "video_frames",
     ]
 
     # input size for throughput: rows entering the spatial suite
