@@ -734,14 +734,25 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier, range(4) f
             WHERE 2 * f.range < 3 + s_suppkey % 5
         """,
-        # streaming first-seen-wins dedup over two planted drops: all
-        # originals admitted in batch 1; batch 2's +1e6 exact copies are
-        # dropped by keyed state, its +3e6 suffixed docs admitted
-        "streaming_dedup": """
-            SELECT doc_id FROM documents
+        # streaming first-seen-wins dedup over two planted drops. The
+        # admitted set is the TRUE first-seen closed form, robust to
+        # organic duplicate texts in the corpus (sf0.1 has 8): batch 1
+        # admits the min doc_id per normalized text; batch 2's +1e6
+        # exact copies always hit seen state; its +3e6 suffixed docs
+        # admit one min-id winner per new text group.
+        "streaming_dedup": f"""
+            WITH w1 AS (
+              SELECT MIN(doc_id) AS doc_id, md5({_NORM_TEXT}) AS h
+              FROM documents GROUP BY 2),
+            w2 AS (
+              SELECT MIN(doc_id + 3000000) AS doc_id,
+                     md5(regexp_replace(trim(lower(text || ' v2')),
+                                        '\\s+', ' ', 'g')) AS h
+              FROM documents WHERE doc_id % 11 = 0 GROUP BY 2)
+            SELECT doc_id FROM w1
             UNION ALL
-            SELECT doc_id + 3000000 AS doc_id FROM documents
-            WHERE doc_id % 11 = 0
+            SELECT w2.doc_id FROM w2
+            WHERE w2.h NOT IN (SELECT h FROM w1)
         """,
         # exact replica of pipeline/text.py with_winnow_fingerprint
         # (k=8, window=4): md5-gram hash -> sliding-window min -> xor of
