@@ -117,3 +117,44 @@ def test_qimg_psnr_invariant_random_payload(data):
     buf = np.frombuffer(padded, dtype=np.uint8).reshape(side, side, 3)
     out = decode_qimg(encode_qimg(buf))
     assert psnr(buf, out) >= 40.0
+
+
+@given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=0, max_size=500),
+       st.sampled_from([8000, 16000, 44100]))
+@settings(max_examples=150, deadline=None)
+def test_wav_roundtrip_prop(samples, rate):
+    from tdei_backend_service_spark.codecs.audio import parse_wav, wav_bytes
+    s = np.array(samples, dtype=np.int16)
+    back, r = parse_wav(wav_bytes(s, rate))
+    assert r == rate and np.array_equal(back, s)
+
+
+@given(st.integers(min_value=0, max_value=6),
+       st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=5),
+       st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=150, deadline=None)
+def test_vraw_roundtrip_prop(n, w, h, seed):
+    from tdei_backend_service_spark.codecs.video import parse_vraw, vraw_bytes
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    assert np.array_equal(parse_vraw(vraw_bytes(frames)), frames)
+
+
+@given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=1, max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_audio_feature_invariants_prop(samples):
+    """Pure-kernel invariants mirrored from the operator's math: rms
+    floor <= peak, zero crossings < n, and all exact for constants."""
+    import math
+    s = np.array(samples, dtype=np.int64)
+    peak = int(np.abs(s).max())
+    rms = math.isqrt(int((s * s).sum()) // s.size)
+    sign = np.sign(s)
+    zc = int((sign[1:] != sign[:-1]).sum())
+    assert 0 <= rms <= peak
+    assert 0 <= zc < s.size
+    if len(set(samples)) == 1:
+        assert zc == 0 and peak == abs(samples[0]) and rms == peak
