@@ -53,8 +53,6 @@ def streaming_exact_dedup(stream: DataFrame, text_col: str = "text",
 
     def _dedup(key: tuple, pdfs: Iterable[pd.DataFrame],
                state: GroupState) -> Iterable[pd.DataFrame]:
-        if ttl_minutes is not None:
-            state.setTimeoutDuration(ttl_minutes * 60_000)
         if state.hasTimedOut:
             state.remove()
             return
@@ -69,10 +67,15 @@ def streaming_exact_dedup(stream: DataFrame, text_col: str = "text",
                     best = cand
             if best is not None:
                 state.update((True,))
+                # set only AFTER update: timeouts attach to existing state
+                if ttl_minutes is not None:
+                    state.setTimeoutDuration(ttl_minutes * 60_000)
                 yield best[out_cols]
         else:
             for _ in pdfs:  # drain the iterator; everything is a dup
                 pass
+            if ttl_minutes is not None:  # refresh the window on re-sight
+                state.setTimeoutDuration(ttl_minutes * 60_000)
 
     timeout = (GroupStateTimeout.ProcessingTimeTimeout
                if ttl_minutes is not None else GroupStateTimeout.NoTimeout)

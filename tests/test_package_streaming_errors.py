@@ -113,3 +113,43 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     q.awaitTermination(120)
     got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got2 == set(range(15))  # state dropped the 200-series dups
+
+
+def test_streaming_dedup_with_ttl_runs(spark, tmp_path):
+    """TTL path smoke: ProcessingTimeTimeout configured, state updated
+    then timeout attached — must process cleanly end-to-end."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tdei_backend_service_spark.streaming.dedup import \
+        streaming_exact_dedup
+    landing = str(tmp_path / "tland")
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    pdf = pd.DataFrame([(0, "a doc"), (1, "a doc"), (2, "other")],
+                       columns=["doc_id", "text"])
+    spark.createDataFrame(pdf, schema=schema).write.parquet(landing)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    out = str(tmp_path / "tout")
+    q = (streaming_exact_dedup(stream, ttl_minutes=60)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "tckpt"))
+         .trigger(availableNow=True).start())
+    # with ProcessingTimeTimeout the engine keeps scheduling timeout
+    # batches, so availableNow may not self-terminate: poll for the
+    # sink output and stop explicitly
+    import time
+    deadline = time.time() + 60
+    got = []
+    while time.time() < deadline:
+        q.awaitTermination(5)
+        try:
+            got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        except Exception:
+            got = []
+        if got:
+            break
+    if q.isActive:
+        q.stop()
+    assert got == [0, 2]
