@@ -376,6 +376,18 @@ def _q_geojson_lines(spark: SparkSession, sf: str) -> DataFrame:
     return feature_lines(edges)
 
 
+def _q_union_cc(spark: SparkSession, sf: str) -> DataFrame:
+    """The engine's one ITERATIVE algorithm under the oracle: exact
+    connected components (union_dataset collapse='cc', pointer-jumped
+    min-label propagation with localCheckpoint lineage cuts) over
+    planted 4-member proximity CHAINS whose duplicate relation is a
+    path — the default min-winner pass would keep extra members; cc
+    must keep exactly the min-rank node per chain."""
+    imgs = FX.chain_images(spark, sf)
+    return (union_dataset(imgs, "ds-A", imgs, "ds-B", collapse="cc")
+            .select("image_id"))
+
+
 def _q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     """REAL audio path: PCM16 WAV blobs (codecs/audio.py, a public
     container parsed with numpy alone) carrying planted square waves
@@ -490,6 +502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # closed-form content
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
+        # iterative connected-components collapse over planted chains
+        "union_cc": _q_union_cc,
     }
 
 
@@ -708,6 +722,15 @@ def oracle_sql() -> dict[str, str]:
                 || '","dataset_id":"tpch-sedges"}}}}' AS feature
             FROM (SELECT s_suppkey, {SQL_LON_S} AS lon, {SQL_LAT_S} AS lat
                   FROM supplier)
+        """,
+        # planted 4-member proximity chains: cc keeps exactly the
+        # min-rank member (dataset A, id k*10) per chain; singles survive
+        "union_cc": """
+            SELECT CAST(c_custkey * 10 AS BIGINT) AS image_id
+            FROM customer WHERE c_custkey % 50 = 0
+            UNION ALL
+            SELECT CAST(c_custkey * 10 + 9 AS BIGINT) AS image_id
+            FROM customer WHERE c_custkey % 50 <> 0
         """,
         # planted square wave (period p=2+k%7, length L=1000+k%100,
         # amplitude a=1000+(k*37)%1000): every feature is closed-form —

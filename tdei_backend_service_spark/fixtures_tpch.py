@@ -275,6 +275,48 @@ def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(copies).unionByName(neg))
 
 
+def chain_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer -> image records with planted proximity CHAINS for the
+    exact connected-components collapse (union_dataset collapse='cc',
+    the engine's one iterative algorithm — pointer-jumped min-label
+    propagation, core/join has no analogue):
+
+    * c_custkey % 50 == 0: a 4-member chain at ids k*10+j (j=0..3),
+      alternating datasets A/B, adjacent members 0.4 m apart on the lat
+      axis (within the 0.5 m default proximity) and non-adjacent 0.8 m+
+      apart — so the duplicate relation is a PATH and only transitive
+      closure finds one survivor. All share phash=k, caption 'c'.
+    * other customers: one single record (id k*10+9, phash k+10^7).
+
+    Distinct phash per chain blocks cross-chain merges even when two
+    derived anchors land close, so the cc survivor set is closed-form:
+    min-rank member per chain (dataset A, lowest id = k*10) + all
+    singles."""
+    cust = derive_lonlat(spark.read.parquet(f"{sf_dir}/customer.parquet"),
+                         "c_custkey")
+    step = 0.4 / geom.M_PER_DEG_LAT
+    j = F.explode(F.array(*[F.lit(i) for i in range(4)]))
+    members = (cust.filter(F.col("c_custkey") % 50 == 0)
+               .select("c_custkey", "lon", "lat").withColumn("j", j)
+               .select((F.col("c_custkey") * 10 + F.col("j")).cast("long")
+                       .alias("image_id"),
+                       F.col("lon"),
+                       (F.col("lat") + F.col("j") * F.lit(step)).alias("lat"),
+                       F.col("c_custkey").cast("long").alias("phash"),
+                       F.lit("c").alias("caption"),
+                       F.when(F.col("j") % 2 == 0, F.lit("ds-A"))
+                        .otherwise(F.lit("ds-B")).alias("dataset_id")))
+    singles = (cust.filter(F.col("c_custkey") % 50 != 0)
+               .select((F.col("c_custkey") * 10 + 9).cast("long")
+                       .alias("image_id"),
+                       "lon", "lat",
+                       (F.col("c_custkey") + 10_000_000).cast("long")
+                       .alias("phash"),
+                       F.lit("c").alias("caption"),
+                       F.lit("ds-A").alias("dataset_id")))
+    return members.unionByName(singles)
+
+
 def supplier_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """supplier -> (audio_id, bytes) of REAL PCM16 WAV blobs carrying a
     square wave with closed-form features. For key k:
