@@ -376,6 +376,19 @@ def _q_geojson_lines(spark: SparkSession, sf: str) -> DataFrame:
     return feature_lines(edges)
 
 
+def _q_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-zoom tile rollup (z15 down to z11): the corpus aggregates
+    once at the base zoom, coarser levels integer-halve the previous
+    level's tile table — floor nesting makes each level bit-identical
+    to recomputing the tile formula at that zoom, so the whole pyramid
+    is oracle-exact."""
+    from tdei_backend_service_spark.operators.tiling import tile_pyramid
+    pts = FX.orders_points(spark, sf)
+    return (tile_pyramid(pts, TILE_Z, TILE_Z - 4)
+            .select(F.col("z").cast("int"), F.col("tile_x").cast("int"),
+                    F.col("tile_y").cast("int"), F.col("n").cast("long")))
+
+
 def _q_union_cc(spark: SparkSession, sf: str) -> DataFrame:
     """The engine's one ITERATIVE algorithm under the oracle: exact
     connected components (union_dataset collapse='cc', pointer-jumped
@@ -504,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": _q_video_frames,
         # iterative connected-components collapse over planted chains
         "union_cc": _q_union_cc,
+        # multi-zoom tile rollup (one corpus pass + per-level halving)
+        "tile_pyramid": _q_tile_pyramid,
     }
 
 
@@ -722,6 +737,24 @@ def oracle_sql() -> dict[str, str]:
                 || '","dataset_id":"tpch-sedges"}}}}' AS feature
             FROM (SELECT s_suppkey, {SQL_LON_S} AS lon, {SQL_LAT_S} AS lat
                   FROM supplier)
+        """,
+
+        # base tiles from the proven z15 formula; coarser levels are
+        # exact integer floor-division chains (floor nests)
+        "tile_pyramid": f"""
+            WITH t AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS INT) AS x,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS INT) AS y
+              FROM {_PTS})
+            SELECT CAST(15 AS INT) AS z, CAST(x // 1 AS INT) AS tile_x, CAST(y // 1 AS INT) AS tile_y, COUNT(*) AS n FROM t GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT CAST(14 AS INT) AS z, CAST(x // 2 AS INT) AS tile_x, CAST(y // 2 AS INT) AS tile_y, COUNT(*) AS n FROM t GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT CAST(13 AS INT) AS z, CAST(x // 4 AS INT) AS tile_x, CAST(y // 4 AS INT) AS tile_y, COUNT(*) AS n FROM t GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT CAST(12 AS INT) AS z, CAST(x // 8 AS INT) AS tile_x, CAST(y // 8 AS INT) AS tile_y, COUNT(*) AS n FROM t GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT CAST(11 AS INT) AS z, CAST(x // 16 AS INT) AS tile_x, CAST(y // 16 AS INT) AS tile_y, COUNT(*) AS n FROM t GROUP BY 1, 2, 3
         """,
         # planted 4-member proximity chains: cc keeps exactly the
         # min-rank member (dataset A, id k*10) per chain; singles survive

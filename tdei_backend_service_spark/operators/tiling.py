@@ -47,3 +47,37 @@ def tile_stats(df: DataFrame, z: int | None = None) -> DataFrame:
 def hot_tiles(df: DataFrame, top_k: int = 20) -> DataFrame:
     """Densest tiles (skew histogram) — input to salting decisions."""
     return tile_stats(df).orderBy(F.desc("n_rows")).limit(top_k)
+
+
+def tile_pyramid(df: DataFrame, z_base: int, z_min: int,
+                 lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Multi-zoom rollup: per-tile row counts at every zoom in
+    ``[z_min, z_base]`` as (z, tile_x, tile_y, n) — the tile-pyramid
+    aggregation a map-serving layout needs.
+
+    The corpus is scanned and aggregated ONCE (at z_base, map-side
+    partial combine); every coarser level aggregates the PREVIOUS
+    level's already-tiny tile table by integer-halving tile coords
+    (parent x = x // 2 — exact, and equal to recomputing the tile
+    formula at the coarser zoom since floor nests). At 10^12 rows this
+    is one full shuffle + (z_base - z_min) shuffles over at most 4^z
+    tile rows each; re-scanning the corpus per level would cost the
+    full pass times the level count."""
+    if z_min > z_base:
+        raise ValueError("z_min must be <= z_base")
+    base = (assign_tiles(df, z_base, lon_col, lat_col)
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("z", F.lit(z_base).cast("int")))
+    levels = [base]
+    cur = base
+    for z in range(z_base - 1, z_min - 1, -1):
+        cur = (cur.groupBy((F.col("tile_x") / 2).cast("int").alias("tile_x"),
+                           (F.col("tile_y") / 2).cast("int").alias("tile_y"))
+               .agg(F.sum("n").alias("n"))
+               .withColumn("z", F.lit(z).cast("int")))
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("z", "tile_x", "tile_y", "n")

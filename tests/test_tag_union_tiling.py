@@ -350,3 +350,26 @@ def test_tile_stats_counts(spark):
     total = stats.agg(F.sum("n_rows")).first()[0]
     assert total == 1000
     assert stats.filter(F.col("n_rows") <= 0).count() == 0
+
+
+def test_tile_pyramid_levels_consistent(spark):
+    """Every pyramid level's totals equal the row count, each level has
+    <= the previous level's tile count, and halving the base level by
+    hand reproduces level z-1 exactly."""
+    from tdei_backend_service_spark.operators.tiling import tile_pyramid
+    rows = [_img_row(i, -122.3 + (i % 57) * 1e-3, 47.60 + (i % 41) * 1e-3)
+            for i in range(800)]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=IMAGES_SCHEMA)
+    out = tile_pyramid(df, 15, 12).collect()
+    by_z = {}
+    for r in out:
+        by_z.setdefault(r.z, {})[(r.tile_x, r.tile_y)] = r.n
+    assert sorted(by_z) == [12, 13, 14, 15]
+    for z, tiles in by_z.items():
+        assert sum(tiles.values()) == 800, z
+    for z in (15, 14, 13):
+        manual = {}
+        for (x, y), n in by_z[z].items():
+            manual[(x // 2, y // 2)] = manual.get((x // 2, y // 2), 0) + n
+        assert manual == by_z[z - 1]
+    assert len(by_z[12]) <= len(by_z[13]) <= len(by_z[14]) <= len(by_z[15])
