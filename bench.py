@@ -46,7 +46,7 @@ def main() -> None:
         # r3 additions: angle predicate (cross-join + bounded paths) and
         # the O5/O6 export line builders
         "angle_join", "angle_buffer_join", "osm_ways", "geojson_lines",
-        "audio_features", "video_frames",
+        "audio_features", "video_frames", "tile_pyramid",
     ]
 
     # input size for throughput: rows entering the spatial suite
