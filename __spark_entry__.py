@@ -376,6 +376,41 @@ def _q_geojson_lines(spark: SparkSession, sf: str) -> DataFrame:
     return feature_lines(edges)
 
 
+def _q_windowed_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked windowed streaming aggregation driven end-to-end over
+    the events table (streaming/windows.py): 1-hour event-time windows,
+    30-minute watermark, APPEND mode — so the sink holds exactly the
+    windows whose end the final watermark (max ts - 30 min) passed.
+    That emission rule is closed-form over the static table, giving the
+    watermark/window operator a full SQL oracle."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from tdei_backend_service_spark.streaming.windows import \
+        run_windowed_counts
+    base = tempfile.mkdtemp(prefix="stream_win_q_")
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    schema = T.StructType([T.StructField("event_id", T.LongType()),
+                           T.StructField("ts", T.TimestampType()),
+                           T.StructField("event_type", T.StringType())])
+    (spark.read.parquet(f"{sf}/events.parquet")
+     .select("event_id", "ts", "event_type")
+     .write.mode("overwrite").parquet(landing))
+    run_windowed_counts(spark, landing, out, ckpt, schema)
+    # hour-aligned bounds as strings: pandas timestamp dtypes differ
+    # between Spark (ns) and DuckDB (us) even for identical values
+    return (spark.read.parquet(out)
+            .select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    F.date_format("window_end", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_end"),
+                    "event_type", F.col("n").cast("long")))
+
+
 def _q_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-zoom tile rollup (z15 down to z11): the corpus aggregates
     once at the base zoom, coarser levels integer-halve the previous
@@ -519,6 +554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_cc": _q_union_cc,
         # multi-zoom tile rollup (one corpus pass + per-level halving)
         "tile_pyramid": _q_tile_pyramid,
+        # watermarked windowed streaming aggregation (append-mode seals)
+        "windowed_events": _q_windowed_events,
     }
 
 
@@ -739,6 +776,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM supplier)
         """,
 
+        # append-mode emission rule is closed-form on a static table:
+        # exactly the hour windows whose end <= max(ts) - 30 minutes
+        "windowed_events": """
+            WITH m AS (SELECT MAX(ts) AS mx FROM events)
+            SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   strftime(window_end, '%Y-%m-%d %H:%M:%S') AS window_end,
+                   event_type, n FROM (
+              SELECT date_trunc('hour', ts) AS window_start,
+                     date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                     event_type, COUNT(*) AS n
+              FROM events GROUP BY 1, 2, 3) w, m
+            WHERE w.window_end <= m.mx - INTERVAL 30 MINUTE
+        """,
         # base tiles from the proven z15 formula; coarser levels are
         # exact integer floor-division chains (floor nests)
         "tile_pyramid": f"""

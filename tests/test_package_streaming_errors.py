@@ -153,3 +153,49 @@ def test_streaming_dedup_with_ttl_runs(spark, tmp_path):
     if q.isActive:
         q.stop()
     assert got == [0, 2]
+
+
+def test_windowed_counts_watermark_late_data(spark, tmp_path):
+    """Watermark semantics end-to-end (append mode): in-delay rows land
+    in their window before it seals; a row later than the delay for an
+    already-sealed window is dropped and the window is never revised."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tdei_backend_service_spark.streaming.windows import \
+        run_windowed_counts
+
+    landing = str(tmp_path / "wland")
+    out = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+    schema = T.StructType([T.StructField("event_id", T.LongType()),
+                           T.StructField("ts", T.TimestampType()),
+                           T.StructField("event_type", T.StringType())])
+
+    def drop(rows, mode):
+        pdf = pd.DataFrame(
+            [(i, dt.datetime(2024, 1, 1, h, m), k)
+             for i, (h, m, k) in enumerate(rows)],
+            columns=["event_id", "ts", "event_type"])
+        spark.createDataFrame(pdf, schema=schema) \
+            .write.mode(mode).parquet(landing)
+
+    # drop 1: max ts 12:40 -> watermark 12:10 -> seals [10,11) and [11,12)
+    drop([(10, 5, "A"), (10, 20, "A"), (11, 10, "B"), (12, 40, "C")],
+         "overwrite")
+    run_windowed_counts(spark, landing, out, ckpt, schema)
+    got1 = {(r.window_start.hour, r.event_type): r.n
+            for r in spark.read.parquet(out).collect()}
+    assert got1 == {(10, "A"): 2, (11, "B"): 1}
+
+    # drop 2: 11:45 "D" is LATER than the delay for its sealed window ->
+    # dropped; 12:50 "C" joins the open window; 14:10 "E" advances the
+    # watermark to 13:40, sealing [12,13) with n=2
+    drop([(11, 45, "D"), (12, 50, "C"), (14, 10, "E")], "append")
+    run_windowed_counts(spark, landing, out, ckpt, schema)
+    got2 = {(r.window_start.hour, r.event_type): r.n
+            for r in spark.read.parquet(out).collect()}
+    assert got2 == {(10, "A"): 2, (11, "B"): 1, (12, "C"): 2}
+    assert not any(k == "D" for _, k in got2)
