@@ -479,19 +479,30 @@ def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     schema = T.StructType([T.StructField("doc_id", T.LongType()),
                            T.StructField("text", T.StringType())])
+    def _drain(q, what: str) -> None:
+        # confirm the availableNow run actually finished before touching
+        # the checkpoint again — a silent q.stop() here would read a
+        # partial sink or break the second start (ADVICE r3 low #3)
+        q.awaitTermination(240)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"streaming dedup {what} drop did not "
+                               f"drain within 240s")
+
     docs = (spark.read.parquet(f"{sf}/documents.parquet")
             .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
-    docs.write.mode("overwrite").parquet(landing)
-    q = start_dedup_ingest(spark, landing, out, ckpt, schema)
-    q.awaitTermination(120)
+    # each drop lands as ONE file: the min-doc_id winner rule is
+    # per-micro-batch, so a drop must not be chunked across batches
+    docs.coalesce(1).write.mode("overwrite").parquet(landing)
+    _drain(start_dedup_ingest(spark, landing, out, ckpt, schema), "first")
     dups = (docs.filter(F.col("doc_id") % 5 == 0)
             .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
     fresh = (docs.filter(F.col("doc_id") % 11 == 0)
              .select((F.col("doc_id") + 3_000_000).alias("doc_id"),
                      F.concat(F.col("text"), F.lit(" v2")).alias("text")))
-    dups.unionByName(fresh).write.mode("append").parquet(landing)
-    q = start_dedup_ingest(spark, landing, out, ckpt, schema)
-    q.awaitTermination(120)
+    (dups.unionByName(fresh).coalesce(1)
+         .write.mode("append").parquet(landing))
+    _drain(start_dedup_ingest(spark, landing, out, ckpt, schema), "second")
     return spark.read.parquet(out).select("doc_id")
 
 

@@ -47,7 +47,11 @@ def parse_wav(blob: bytes) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack("<I", b[pos + 4:pos + 8])
         body = b[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
-            if size < 16:
+            # both the DECLARED size and the ACTUAL bytes must cover the
+            # 16-byte PCM header — a blob truncated mid-chunk otherwise
+            # surfaces struct.error instead of the documented ValueError
+            # (ADVICE r3 low #2)
+            if size < 16 or len(body) < 16:
                 raise ValueError("truncated fmt chunk")
             fmt_tag, channels, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16])

@@ -69,6 +69,10 @@ class Manifest:
         per-partition commit records; skip already-committed partitions."""
         st = self.stage(name)
         st["keys"] = keys  # recorded so read_stage can declare key types
+        # read_stage is addressed by OUTPUT DIRECTORY name; record it so a
+        # stage written with out_subdir != name still resolves its keys
+        # (ADVICE r3 low #1)
+        st["out_subdir"] = out_subdir or name
         out_dir = os.path.join(self.run_dir, out_subdir or name)
         if st["status"] == "complete":
             return {"skipped": True, "out_dir": out_dir,
@@ -139,6 +143,21 @@ class Manifest:
         return self.state
 
 
+def _partition_keys_from_layout(out_dir: str) -> list[str]:
+    """Key names from the first chain of ``key=value`` directories under
+    ``out_dir`` (the Hive layout the writer produces)."""
+    keys: list[str] = []
+    cur = out_dir
+    while os.path.isdir(cur):
+        sub = sorted(d for d in os.listdir(cur)
+                     if "=" in d and os.path.isdir(os.path.join(cur, d)))
+        if not sub:
+            break
+        keys.append(sub[0].split("=", 1)[0])
+        cur = os.path.join(cur, sub[0])
+    return keys
+
+
 def read_stage(spark: SparkSession, run_dir: str, name: str,
                keys: list[str] | None = None) -> DataFrame:
     """Read a stage's committed output. Partition key values round-trip
@@ -151,11 +170,25 @@ def read_stage(spark: SparkSession, run_dir: str, name: str,
     changed the read contract for unrelated callers (ADVICE r2 low #5).
 
     ``keys`` defaults to the key list the manifest recorded for the
-    stage; passing it explicitly skips the manifest lookup."""
+    stage; passing it explicitly skips the manifest lookup. ``name`` is
+    the OUTPUT DIRECTORY name: stages written with ``out_subdir != name``
+    are found via the recorded ``out_subdir`` (ADVICE r3 low #1), and a
+    manifest with no key record at all (pre-r3) falls back to deriving
+    the key names from the ``key=value`` directory layout — partition
+    values still come back as strings, never inferred bigint."""
     from pyspark.sql import types as T
     out_dir = os.path.join(run_dir, name)
     if keys is None:
-        keys = Manifest(run_dir).stage(name).get("keys") or []
+        stages = Manifest(run_dir).state["stages"]
+        st = stages.get(name)
+        if st is None:  # addressed by out_subdir of a differently-named stage
+            st = next((s for s in stages.values()
+                       if s.get("out_subdir") == name), None)
+        keys = (st or {}).get("keys") or []
+    if not keys:
+        # no record anywhere: derive key names from the directory layout
+        # so the explicit-string contract still holds
+        keys = _partition_keys_from_layout(out_dir)
     sample = None
     for root, _dirs, files in os.walk(out_dir):
         for fn in sorted(files):

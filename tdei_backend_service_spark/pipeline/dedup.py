@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from .similarity import _dot, _norm
+
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
@@ -359,11 +361,11 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
         F.min(F.struct(F.col(id_col).alias("i"),
                        F.col(vec_col).alias("v"))).alias("_a"))
     keyed = keyed.join(stats, ["_band", "_bkt"])
-    dot = F.aggregate(F.zip_with("l_v", "r_v", lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
-                                        F.lit(0.0), lambda acc, x: acc + x))
-    cos_ok = (dot / (norm(F.col("l_v")) * norm(F.col("r_v")))) >= threshold
+    # shared cast-first kernel (similarity._dot/_norm): each float32
+    # element is cast to double BEFORE multiplying, so the exact verify
+    # agrees bit-for-bit with a float64 oracle at boundary thresholds
+    cos_ok = (_dot(F.col("l_v"), F.col("r_v"))
+              / (_norm(F.col("l_v")) * _norm(F.col("r_v")))) >= threshold
     small = keyed.filter(F.col("_n") <= bucket_cap)
     l = small.select(F.col(id_col).alias("l_id"), F.col(vec_col).alias("l_v"),
                      "_band", "_bkt")

@@ -48,4 +48,11 @@ def run_windowed_counts(spark, landing_dir: str, out_dir: str,
          .trigger(availableNow=True).start())
     q.awaitTermination(timeout_s)
     if q.isActive:
+        # an availableNow run that has not drained by the deadline means
+        # the sink is INCOMPLETE — stopping silently would surface as an
+        # under-count downstream, so fail loudly (ADVICE r3 low #4)
         q.stop()
+        raise TimeoutError(
+            f"windowed aggregation still active after {timeout_s}s — "
+            f"sink at {out_dir} is partial; raise timeout_s for this "
+            f"input size")

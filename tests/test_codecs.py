@@ -113,3 +113,17 @@ def test_vraw_roundtrip_and_errors():
         parse_vraw(b"MPEG....")
     with pytest.raises(ValueError):
         parse_vraw(vraw_bytes(frames)[:-10])  # truncated payload
+
+
+def test_wav_truncated_fmt_raises_valueerror():
+    """A blob cut off mid-fmt-chunk (declared size 16, fewer body bytes
+    present) must raise the documented ValueError, not struct.error
+    (ADVICE r3 low #2)."""
+    import numpy as np
+    import pytest
+
+    from tdei_backend_service_spark.codecs.audio import parse_wav, wav_bytes
+    blob = wav_bytes(np.zeros(4, np.int16), 8000)
+    truncated = blob[:30]  # fmt body ends at offset 36; only 10 bytes left
+    with pytest.raises(ValueError):
+        parse_wav(truncated)

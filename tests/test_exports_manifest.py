@@ -144,3 +144,29 @@ def test_dynamic_query_join_and_select(spark):
     rows = out.collect()
     assert len(rows) == 5
     assert rows[3].extra == 6
+
+
+def test_read_stage_resolves_out_subdir_keys(spark, tmp_path):
+    """A stage written with out_subdir != name must still resolve its
+    partition keys when read back by DIRECTORY name — numeric-looking
+    key values stay strings (ADVICE r3 low #1)."""
+    run = str(tmp_path / "run3")
+    df = synth_images_df(spark, 60, with_bytes=False, dataset_id="20240101")
+    Manifest(run).run_stage("ingest-v2", df, keys=["dataset_id"],
+                            out_subdir="ingest")
+    back = read_stage(spark, run, "ingest")
+    assert dict(back.dtypes)["dataset_id"] == "string"
+    assert back.select("dataset_id").distinct().collect()[0][0] == "20240101"
+    assert back.count() == 60
+
+
+def test_read_stage_layout_fallback_keeps_strings(spark, tmp_path):
+    """No manifest key record at all (pre-r3 layout): key names derive
+    from the key=value directory chain and still read as strings."""
+    out = str(tmp_path / "bare" / "ingest")
+    df = synth_images_df(spark, 40, with_bytes=False, dataset_id="777")
+    df.write.partitionBy("dataset_id").parquet(out)
+    back = read_stage(spark, str(tmp_path / "bare"), "ingest")
+    assert dict(back.dtypes)["dataset_id"] == "string"
+    assert back.select("dataset_id").distinct().collect()[0][0] == "777"
+    assert back.count() == 40

@@ -249,3 +249,38 @@ def test_embedding_multiprobe_recall_uplift(spark):
     r_probe = recall(True)
     assert r_probe > r_plain + 0.1, (r_plain, r_probe)
     assert r_probe >= 0.4, r_probe
+
+
+def test_embedding_dedup_boundary_threshold(spark):
+    """Exact-cosine verify at threshold +/- 1e-6 agrees with a float64
+    oracle computed over the SAME float32-quantized vectors (VERDICT r3
+    wrong #1 / next #5): the kernel casts each element to double BEFORE
+    multiplying, so a borderline threshold cannot flip vs a float64
+    reference."""
+    rng = np.random.default_rng(9)
+    u = rng.standard_normal(32)
+    u /= np.linalg.norm(u)
+    w = rng.standard_normal(32)
+    w -= w @ u * u
+    w /= np.linalg.norm(w)
+    a32 = u.astype("float32")
+    b32 = (u + 0.01 * w).astype("float32")  # cos ~ 1 - 5e-5
+    # float64 oracle, mirroring the kernel's sequential fold order
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a32, b32):
+        dot += float(x) * float(y)
+        na += float(x) * float(x)
+        nb += float(y) * float(y)
+    c = dot / (na ** 0.5 * nb ** 0.5)
+    assert 0.9 < c < 1.0
+    df = spark.createDataFrame(pd.DataFrame(
+        [(0, [float(x) for x in a32]), (1, [float(x) for x in b32])],
+        columns=["vec_id", "embedding"]))
+    # threshold just BELOW the true cosine: pair merges, min id wins
+    below = D.embedding_dedup(df, threshold=c - 1e-6)
+    assert sorted(r.vec_id for r in below.collect()) == [0]
+    # threshold just ABOVE: pair must survive intact
+    above = D.embedding_dedup(df, threshold=c + 1e-6)
+    assert sorted(r.vec_id for r in above.collect()) == [0, 1]
