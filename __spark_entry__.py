@@ -457,6 +457,18 @@ def _q_video_frames(spark: SparkSession, sf: str) -> DataFrame:
                     "frame_sum"))
 
 
+def _q_decode_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode under the HASH oracle (VERDICT r3 next #7):
+    png/qimg blobs planted over part keys (fixtures_tpch.part_images)
+    are decoded by mapInPandas and ONLY decode-derived values are
+    emitted — dims from the decoded array, phash recomputed by ahash64.
+    The fixture's constant-row-block construction makes both closed-form
+    (ahash bits = bits of an even m, so the 64-bit hash is an integer
+    polynomial SQL can state), leaving only pixel PSNR to pytest."""
+    from tdei_backend_service_spark.pipeline.multimodal import decode_metadata
+    return decode_metadata(FX.part_images(spark, sf))
+
+
 def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Stateful STREAMING dedup (applyInPandasWithState, streaming/
     dedup.py) driven end-to-end: two micro-batch drops — the documents
@@ -561,6 +573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # closed-form content
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
+        # real image decode with decode-derived dims + recomputed ahash
+        # under the hash oracle (only pixel PSNR stays pytest-only)
+        "decode_meta": _q_decode_meta,
         # iterative connected-components collapse over planted chains
         "union_cc": _q_union_cc,
         # multi-zoom tile rollup (one corpus pass + per-level halving)
@@ -838,6 +853,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(((1000 + s_suppkey % 100) - 1)
                         // (2 + s_suppkey % 7) AS BIGINT) AS zero_crossings
             FROM supplier
+        """,
+        # planted constant-row-block images (part_images): decoded dims
+        # are 8s x 8s with s=1+k%3, and ahash64's pooled rows reproduce
+        # the bits of m=2*(1+k%127) -> phash is the integer polynomial
+        # sum_i bit_i(m)*255*2^(56-8i) (top byte 0, so int64-safe)
+        "decode_meta": """
+            WITH p AS (SELECT p_partkey AS k,
+                              2 * (1 + p_partkey % 127) AS m FROM part)
+            SELECT CAST(k AS BIGINT) AS image_id,
+                   CAST(8 * (1 + k % 3) AS INT) AS w,
+                   CAST(8 * (1 + k % 3) AS INT) AS h,
+                   CASE WHEN k % 2 = 0 THEN 'png' ELSE 'qimg' END AS fmt,
+                   CAST(((m // 2) % 2) * 255 * 281474976710656
+                      + ((m // 4) % 2) * 255 * 1099511627776
+                      + ((m // 8) % 2) * 255 * 4294967296
+                      + ((m // 16) % 2) * 255 * 16777216
+                      + ((m // 32) % 2) * 255 * 65536
+                      + ((m // 64) % 2) * 255 * 256
+                      + ((m // 128) % 2) * 255 AS BIGINT) AS phash
+            FROM p
         """,
         # F = 3 + k%5 frames; sampled every 2nd -> idx 0,2,...; frame f
         # is 4x4x3 of constant (k+f)%256 -> pixel sum 48*((k+f)%256)

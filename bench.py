@@ -47,6 +47,15 @@ def main() -> None:
         # the O5/O6 export line builders
         "angle_join", "angle_buffer_join", "osm_ways", "geojson_lines",
         "audio_features", "video_frames", "tile_pyramid",
+        # r4: every remaining contract query gets a wall-time row
+        # (VERDICT r3 missing #3) — relational/text/LSH/PIP variants,
+        # the iterative CC collapse, the real-decode metadata oracle,
+        # the payload-invariant sweep, and both streaming operators
+        "pagination", "proj_filter_join", "events_rollup",
+        "events_top_per_user", "langid", "text_quality", "fingerprint",
+        "simhash_dedup", "embedding_neardup", "tri_zone_pip",
+        "union_cc", "decode_meta", "payload_invariants",
+        "streaming_dedup", "windowed_events",
     ]
 
     # input size for throughput: rows entering the spatial suite

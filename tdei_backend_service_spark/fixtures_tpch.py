@@ -349,6 +349,44 @@ def supplier_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("bytes"))
 
 
+def part_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part -> (image_id, bytes, fmt) of REAL png/qimg blobs whose
+    DECODED metadata is closed-form. For key k:
+      m = 2*(1 + k%127) (even, so ahash's top byte is 0 -> int64-safe),
+      side s = 1 + k%3, dims = 8s x 8s,
+      image row rr filled with constant RGB 200 if bit (rr//s) of m is
+      set else 40, fmt png if k even else qimg.
+    Every pooled 8x8 row is then a constant strictly above/below the
+    pooled mean (qimg's mid-rise reconstruction 200->202 / 40->42 keeps
+    the ordering), so ahash64 = sum over i=1..7 of bit_i(m)*255*2^(56-8i)
+    and dims = 8s exactly — a full SQL oracle over the real decode."""
+    from pyspark.sql import types as T
+
+    from .codecs.image import encode_image
+    import numpy as np
+
+    @F.pandas_udf(T.BinaryType())
+    def _img(key: pd.Series) -> pd.Series:
+        out = []
+        for k in key:
+            k = int(k)
+            m = 2 * (1 + k % 127)
+            s = 1 + k % 3
+            px = 8 * s
+            img = np.zeros((px, px, 3), dtype=np.uint8)
+            for rr in range(px):
+                img[rr, :, :] = 200 if (m >> (rr // s)) & 1 else 40
+            out.append(encode_image(img, "png" if k % 2 == 0 else "qimg"))
+        return pd.Series(out)
+
+    df = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return df.select(F.col("p_partkey").cast("long").alias("image_id"),
+                     _img.asNondeterministic()(F.col("p_partkey"))
+                     .alias("bytes"),
+                     F.when(F.col("p_partkey") % 2 == 0, F.lit("png"))
+                     .otherwise(F.lit("qimg")).alias("fmt"))
+
+
 def supplier_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """supplier -> (video_id, bytes) of vraw containers with closed-form
     frame content. For key k: F = 3 + k%5 frames of 4x4 RGB, frame f

@@ -39,6 +39,50 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
 ])
 
 
+DECODE_META_SCHEMA = T.StructType([
+    T.StructField("image_id", T.LongType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def decode_metadata(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Decode every blob and emit ONLY decode-derived metadata
+    (dims + recomputed ahash64) — nothing copied from stored columns, so
+    a SQL oracle over closed-form fixtures puts the real decode path
+    under the hash-exact gate (VERDICT r3 next #7). Map-only: bytes
+    never shuffle; undecodable rows are dropped (count mismatches
+    surface them)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, fmts, hashes = [], [], [], [], []
+            for i in range(len(pdf)):
+                fmt = pdf["fmt"].iloc[i]
+                try:
+                    img = decode_image(pdf["bytes"].iloc[i], fmt)
+                except (NotImplementedError, ValueError):
+                    continue
+                h, w = img.shape[:2]
+                ids.append(pdf[id_col].iloc[i])
+                ws.append(w)
+                hs.append(h)
+                fmts.append(fmt)
+                hashes.append(ahash64(img))
+            yield pd.DataFrame({
+                "image_id": pd.array(ids, dtype="int64"),
+                "w": pd.array(ws, dtype="int32"),
+                "h": pd.array(hs, dtype="int32"),
+                "fmt": fmts,
+                "phash": pd.array(hashes, dtype="int64"),
+            })
+
+    return df.select(F.col(id_col).alias(id_col), "bytes", "fmt") \
+             .mapInPandas(gen, schema=DECODE_META_SCHEMA)
+
+
 def image_features(df: DataFrame) -> DataFrame:
     """Decode every image and extract channel means / contrast / a
     recomputed perceptual hash (verifies the stored phash — the

@@ -171,3 +171,30 @@ def test_video_frame_sampling(spark):
         assert (r.frame_w, r.frame_h) == (3, 2)
         assert r.frame_sum == 2 * 3 * 3 * r.frame_idx * 10 // 1
         assert bytes(r.frame_bytes) == frames[r.frame_idx].tobytes()
+
+
+def test_decode_metadata_matches_closed_form(spark):
+    """decode_metadata's output is decode-DERIVED (dims from the decoded
+    array, ahash recomputed) and matches the part_images closed form:
+    dims 8s, phash = sum_i bit_i(m)*255*2^(56-8i), m = 2*(1+k%127)."""
+    from tdei_backend_service_spark import fixtures_tpch as FX
+    imgs = FX.part_images(spark, "/root/testdata/sf0.001")
+    out = {r.image_id: r for r in MM.decode_metadata(imgs).collect()}
+    assert len(out) == 200  # every part decodes (zero false negatives)
+    for k, r in out.items():
+        m = 2 * (1 + k % 127)
+        s = 1 + k % 3
+        assert (r.w, r.h) == (8 * s, 8 * s)
+        assert r.fmt == ("png" if k % 2 == 0 else "qimg")
+        want = sum(((m >> i) & 1) * 255 * (1 << (56 - 8 * i))
+                   for i in range(8))
+        assert r.phash == want
+
+
+def test_decode_metadata_drops_undecodable(spark):
+    import pandas as pd
+    rows = [(1, b"garbage", "png"), (2, b"\x00\x01", "qimg"),
+            (3, None, "jpeg")]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"]))
+    assert MM.decode_metadata(df).count() == 0
