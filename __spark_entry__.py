@@ -469,6 +469,22 @@ def _q_decode_meta(spark: SparkSession, sf: str) -> DataFrame:
     return decode_metadata(FX.part_images(spark, sf))
 
 
+def _q_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-dedup by PERCEPTUAL HASH — the canonical image-corpus
+    dedup for training data — run over the REAL decode path: part_images
+    blobs -> mapInPandas decode + ahash64 recompute (decode_metadata) ->
+    generic banded-hamming LSH dedup (pipeline/dedup.hash_neardup, the
+    same core simhash_dedup uses). Keys sharing k%127 are planted
+    pixel-identical duplicates; the survivor set is closed-form
+    (min key per residue class) because cross-class hashes sit >= 17
+    bits apart and every class owns its own bucket in all 4 bands."""
+    from tdei_backend_service_spark.pipeline.dedup import hash_neardup
+    from tdei_backend_service_spark.pipeline.multimodal import decode_metadata
+    meta = decode_metadata(FX.part_images(spark, sf))
+    return (hash_neardup(meta, "phash", "image_id", max_hamming=3)
+            .select("image_id"))
+
+
 def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Stateful STREAMING dedup (applyInPandasWithState, streaming/
     dedup.py) driven end-to-end: two micro-batch drops — the documents
@@ -576,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real image decode with decode-derived dims + recomputed ahash
         # under the hash oracle (only pixel PSNR stays pytest-only)
         "decode_meta": _q_decode_meta,
+        # perceptual-hash image dedup over the real decode path
+        "image_phash_dedup": _q_image_phash_dedup,
         # iterative connected-components collapse over planted chains
         "union_cc": _q_union_cc,
         # multi-zoom tile rollup (one corpus pass + per-level halving)
@@ -854,25 +872,31 @@ def oracle_sql() -> dict[str, str]:
                         // (2 + s_suppkey % 7) AS BIGINT) AS zero_crossings
             FROM supplier
         """,
-        # planted constant-row-block images (part_images): decoded dims
-        # are 8s x 8s with s=1+k%3, and ahash64's pooled rows reproduce
-        # the bits of m=2*(1+k%127) -> phash is the integer polynomial
-        # sum_i bit_i(m)*255*2^(56-8i) (top byte 0, so int64-safe)
+        # planted pixel-block images (part_images): decoded dims are
+        # 8s x 8s with s=1+k%3, and ahash64's pooled 8x8 grid reproduces
+        # the 64 bits of V = ((k%127+1) * golden-ratio-odd) % 2^61
+        # MSB-first -> the recomputed phash IS V (HUGEINT intermediate:
+        # the product overflows int64 before the modulo)
         "decode_meta": """
-            WITH p AS (SELECT p_partkey AS k,
-                              2 * (1 + p_partkey % 127) AS m FROM part)
-            SELECT CAST(k AS BIGINT) AS image_id,
-                   CAST(8 * (1 + k % 3) AS INT) AS w,
-                   CAST(8 * (1 + k % 3) AS INT) AS h,
-                   CASE WHEN k % 2 = 0 THEN 'png' ELSE 'qimg' END AS fmt,
-                   CAST(((m // 2) % 2) * 255 * 281474976710656
-                      + ((m // 4) % 2) * 255 * 1099511627776
-                      + ((m // 8) % 2) * 255 * 4294967296
-                      + ((m // 16) % 2) * 255 * 16777216
-                      + ((m // 32) % 2) * 255 * 65536
-                      + ((m // 64) % 2) * 255 * 256
-                      + ((m // 128) % 2) * 255 AS BIGINT) AS phash
-            FROM p
+            SELECT CAST(p_partkey AS BIGINT) AS image_id,
+                   CAST(8 * (1 + p_partkey % 3) AS INT) AS w,
+                   CAST(8 * (1 + p_partkey % 3) AS INT) AS h,
+                   CASE WHEN p_partkey % 2 = 0 THEN 'png'
+                        ELSE 'qimg' END AS fmt,
+                   CAST((CAST(p_partkey % 127 + 1 AS HUGEINT)
+                         * 11400714819323198485)
+                        % 2305843009213693952 AS BIGINT) AS phash
+            FROM part
+        """,
+        # perceptual-hash near-dedup over the REAL decode path: keys
+        # sharing k%127 carry identical planted pixels -> identical
+        # recomputed ahash (hamming 0); cross-class hashes are >= 17
+        # bits apart and every class owns a dedicated 16-bit bucket per
+        # band (verified offline, fixtures_tpch.phash_class_value), so
+        # the survivor set is exactly the min part key per residue class
+        "image_phash_dedup": """
+            SELECT CAST(MIN(p_partkey) AS BIGINT) AS image_id
+            FROM part GROUP BY p_partkey % 127
         """,
         # F = 3 + k%5 frames; sampled every 2nd -> idx 0,2,...; frame f
         # is 4x4x3 of constant (k+f)%256 -> pixel sum 48*((k+f)%256)

@@ -54,7 +54,8 @@ def main() -> None:
         "pagination", "proj_filter_join", "events_rollup",
         "events_top_per_user", "langid", "text_quality", "fingerprint",
         "simhash_dedup", "embedding_neardup", "tri_zone_pip",
-        "union_cc", "decode_meta", "payload_invariants",
+        "union_cc", "decode_meta", "image_phash_dedup",
+        "payload_invariants",
         "streaming_dedup", "windowed_events",
     ]
 

@@ -349,17 +349,34 @@ def supplier_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("bytes"))
 
 
+PHASH_MULT = 11400714819323198485  # 64-bit golden-ratio odd constant
+PHASH_MOD = 1 << 61
+
+
+def phash_class_value(c: int) -> int:
+    """Closed-form planted perceptual hash for phash class ``c`` (the
+    k%127 residue). Verified offline over all 127 classes: min pairwise
+    hamming 17 (so no cross-class pair can pass a small max_hamming
+    verify) and all four 16-bit bands fully distinct (so every class
+    owns a dedicated LSH bucket per band — star-capped hot buckets keep
+    the min-per-class closed form deterministic)."""
+    return ((c + 1) * PHASH_MULT) % PHASH_MOD
+
+
 def part_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part -> (image_id, bytes, fmt) of REAL png/qimg blobs whose
     DECODED metadata is closed-form. For key k:
-      m = 2*(1 + k%127) (even, so ahash's top byte is 0 -> int64-safe),
+      V = phash_class_value(k % 127)  (< 2^61, int64-safe),
       side s = 1 + k%3, dims = 8s x 8s,
-      image row rr filled with constant RGB 200 if bit (rr//s) of m is
-      set else 40, fmt png if k even else qimg.
-    Every pooled 8x8 row is then a constant strictly above/below the
+      pixel block (i, j) (each s x s) filled with constant RGB 200 if
+      bit 63-(8i+j) of V is set else 40, fmt png if k even else qimg.
+    Every pooled 8x8 cell is then a constant strictly above/below the
     pooled mean (qimg's mid-rise reconstruction 200->202 / 40->42 keeps
-    the ordering), so ahash64 = sum over i=1..7 of bit_i(m)*255*2^(56-8i)
-    and dims = 8s exactly — a full SQL oracle over the real decode."""
+    the ordering) and ahash64 builds its value MSB-first from
+    pooled[0,0], so the recomputed phash equals V EXACTLY and dims = 8s
+    — a full SQL oracle over the real decode. Keys sharing k%127 are
+    planted perceptual duplicates (identical pixels up to scale/codec
+    never flip a pooled bit -> identical phash)."""
     from pyspark.sql import types as T
 
     from .codecs.image import encode_image
@@ -370,12 +387,15 @@ def part_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = []
         for k in key:
             k = int(k)
-            m = 2 * (1 + k % 127)
+            v = phash_class_value(k % 127)
             s = 1 + k % 3
             px = 8 * s
-            img = np.zeros((px, px, 3), dtype=np.uint8)
-            for rr in range(px):
-                img[rr, :, :] = 200 if (m >> (rr // s)) & 1 else 40
+            cell = np.array([[(v >> (63 - (8 * i + j))) & 1
+                              for j in range(8)] for i in range(8)],
+                            dtype=np.uint8)
+            img = np.repeat(np.repeat(np.where(cell == 1, 200, 40), s, 0),
+                            s, 1).astype(np.uint8)
+            img = np.stack([img] * 3, axis=-1)
             out.append(encode_image(img, "png" if k % 2 == 0 else "qimg"))
         return pd.Series(out)
 

@@ -164,7 +164,21 @@ def union_dataset(df_one: DataFrame, dataset_id_one: str,
     return both.join(losers, ["_rank"], "left_anti").drop("_rank")
 
 
-def _cc_losers(pairs: DataFrame) -> DataFrame:
+def _driver_rss_mb() -> float:
+    """Current driver-process resident set (MiB) from /proc — the stress
+    harness charts this per cc round to prove localCheckpoint keeps the
+    logical plan (and thus driver heap) flat across iterations."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return round(int(line.split()[1]) / 1024, 1)
+    except OSError:
+        pass
+    return float("nan")
+
+
+def _cc_losers(pairs: DataFrame, stats: dict | None = None) -> DataFrame:
     """Exact connected components by min-label propagation over the
     match graph (nodes = the unique ``_rank`` sort keys). Returns the
     non-minimum members of every component as (_rank) rows.
@@ -174,7 +188,11 @@ def _cc_losers(pairs: DataFrame) -> DataFrame:
     — a 2^64-long chain would converge inside the 64-round cap. If the
     cap is somehow hit without convergence, raise instead of silently
     returning labels that would violate the documented one-survivor-per-
-    cluster contract (ADVICE r1, union_dataset.py:150)."""
+    cluster contract (ADVICE r1, union_dataset.py:150).
+
+    ``stats``, if given, receives {"rounds": n, "rss_mb": [per-round
+    driver RSS]} so the stress harness (tools/cc_stress.py) can assert
+    O(log d) rounds and flat driver memory (VERDICT r3 next #4)."""
     edges = (pairs.select(F.col("l_rank").alias("a"), F.col("r_rank").alias("b"))
              .unionByName(pairs.select(F.col("r_rank").alias("a"),
                                        F.col("l_rank").alias("b"))))
@@ -206,6 +224,9 @@ def _cc_losers(pairs: DataFrame) -> DataFrame:
                                    "node")
                    .filter(F.col("label") != F.col("old")).count())
         labels = new_labels
+        if stats is not None:
+            stats.setdefault("rss_mb", []).append(_driver_rss_mb())
+            stats["rounds"] = stats.get("rounds", 0) + 1
         if changed == 0:
             break
     if changed != 0:

@@ -252,12 +252,14 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     return df.withColumn("simhash", _sim.asNondeterministic()(F.col(text_col)))
 
 
-def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3,
-                  bucket_cap: int = BUCKET_CAP) -> DataFrame:
-    """Near-dedup via SimHash: band the 64-bit hash into 4 x 16-bit keys
+def hash_neardup(df: DataFrame, hash_col: str, id_col: str,
+                 max_hamming: int = 3,
+                 bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """Near-dedup over an EXISTING 64-bit hash column (SimHash, image
+    perceptual hash, ...): band the hash into 4 x 16-bit LSH keys
     (pigeonhole: any pair within hamming distance 3 shares at least one
-    intact band), verify hamming distance JVM-side with bit_count.
+    intact band), verify hamming distance JVM-side with bit_count, drop
+    the larger id of every verified pair.
 
     The hamming verify runs BEFORE the pair distinct, so the distinct
     exchange only carries verified (l_id, r_id) pairs — rare by
@@ -265,29 +267,29 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     signatures. Buckets larger than ``bucket_cap`` switch to the star
     pattern around the bucket's min-id anchor (see _banded_pairs) so an
     adversarial hot bucket stays O(n)."""
-    # persist: stats + clique l/r + star all consume the banded sigs —
-    # without the cache each branch re-runs the simhash UDF (see
-    # minhash_dedup)
-    sigs = simhash_signatures(df, text_col).select(id_col, "simhash").persist()
+    # persist: stats + clique l/r + star all consume the banded rows —
+    # without the cache each branch re-runs the upstream plan (which for
+    # simhash is the signature UDF, for phash the image decode)
+    sigs = df.select(id_col, F.col(hash_col).alias("_hc")).persist()
     banded = sigs.select(
-        id_col, "simhash",
+        id_col, "_hc",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                     F.shiftright(F.col("_hc"), b * 16).bitwiseAND(F.lit(0xFFFF))
                       .alias("bucket"))
             for b in range(4)])).alias("bb")
-    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    ).select(id_col, "_hc", "bb.band", "bb.bucket")
     stats = banded.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(F.struct(F.col(id_col).alias("i"),
-                       F.col("simhash").alias("sh"))).alias("_a"))
+                       F.col("_hc").alias("sh"))).alias("_a"))
     keyed = banded.join(stats, ["band", "bucket"])
     hamming_ok = (F.bit_count(F.col("l_sh").bitwiseXOR(F.col("r_sh")))
                   <= max_hamming)
     small = keyed.filter(F.col("_n") <= bucket_cap)
-    l = small.select(F.col(id_col).alias("l_id"), F.col("simhash").alias("l_sh"),
+    l = small.select(F.col(id_col).alias("l_id"), F.col("_hc").alias("l_sh"),
                      "band", "bucket")
-    r = small.select(F.col(id_col).alias("r_id"), F.col("simhash").alias("r_sh"),
+    r = small.select(F.col(id_col).alias("r_id"), F.col("_hc").alias("r_sh"),
                      "band", "bucket")
     clique = (l.join(r, ["band", "bucket"])
               .filter(F.col("l_id") < F.col("r_id"))
@@ -295,11 +297,22 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     star = (keyed.filter((F.col("_n") > bucket_cap)
                          & (F.col(id_col) != F.col("_a.i")))
             .select(F.col("_a.i").alias("l_id"), F.col("_a.sh").alias("l_sh"),
-                    F.col(id_col).alias("r_id"), F.col("simhash").alias("r_sh"))
+                    F.col(id_col).alias("r_id"), F.col("_hc").alias("r_sh"))
             .filter(hamming_ok).select("l_id", "r_id"))
     losers = (clique.unionByName(star)
               .select(F.col("r_id").alias(id_col)).distinct())
     return df.join(losers, id_col, "left_anti")
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3,
+                  bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """Near-dedup via SimHash: signatures (simhash_signatures) +
+    the generic banded-hamming core (hash_neardup)."""
+    sigs = simhash_signatures(df, text_col).select(id_col, "simhash")
+    survivors = hash_neardup(sigs, "simhash", id_col,
+                             max_hamming=max_hamming, bucket_cap=bucket_cap)
+    return df.join(survivors.select(id_col), id_col, "inner")
 
 
 # ---------------------------------------------------------------------------

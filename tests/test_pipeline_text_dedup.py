@@ -284,3 +284,32 @@ def test_embedding_dedup_boundary_threshold(spark):
     # threshold just ABOVE: pair must survive intact
     above = D.embedding_dedup(df, threshold=c + 1e-6)
     assert sorted(r.vec_id for r in above.collect()) == [0, 1]
+
+
+def test_hash_neardup_generic_int64_column(spark):
+    """The banded-hamming core works over ANY 64-bit hash column: exact
+    matches and hamming<=3 neighbors collapse to the min id; a hash 17+
+    bits away survives (the planted phash-class separation)."""
+    base = 0x0123456789ABCDE
+    rows = [
+        (10, base),
+        (11, base),                # exact dup of 10
+        (12, base ^ 0b101),        # hamming 2 -> dup of 10
+        (20, base ^ ((1 << 40) - 1)),  # 40 bits away -> survives
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "h"]))
+    out = D.hash_neardup(df, "h", "vec_id", max_hamming=3)
+    assert sorted(r.vec_id for r in out.collect()) == [10, 20]
+
+
+def test_image_phash_dedup_star_capped(spark):
+    """Perceptual-hash dedup keeps the min-per-class closed form even
+    when every bucket is star-capped (bucket_cap=1 forces the star path
+    everywhere): class-dedicated band buckets make the anchor the class
+    min."""
+    from tdei_backend_service_spark.fixtures_tpch import phash_class_value
+    rows = [(k, phash_class_value(k % 5)) for k in range(1, 40)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "phash"]))
+    out = D.hash_neardup(df, "phash", "image_id", max_hamming=3,
+                         bucket_cap=1)
+    assert sorted(r.image_id for r in out.collect()) == [1, 2, 3, 4, 5]

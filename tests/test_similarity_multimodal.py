@@ -176,19 +176,16 @@ def test_video_frame_sampling(spark):
 def test_decode_metadata_matches_closed_form(spark):
     """decode_metadata's output is decode-DERIVED (dims from the decoded
     array, ahash recomputed) and matches the part_images closed form:
-    dims 8s, phash = sum_i bit_i(m)*255*2^(56-8i), m = 2*(1+k%127)."""
+    dims 8s, phash = phash_class_value(k % 127)."""
     from tdei_backend_service_spark import fixtures_tpch as FX
     imgs = FX.part_images(spark, "/root/testdata/sf0.001")
     out = {r.image_id: r for r in MM.decode_metadata(imgs).collect()}
     assert len(out) == 200  # every part decodes (zero false negatives)
     for k, r in out.items():
-        m = 2 * (1 + k % 127)
         s = 1 + k % 3
         assert (r.w, r.h) == (8 * s, 8 * s)
         assert r.fmt == ("png" if k % 2 == 0 else "qimg")
-        want = sum(((m >> i) & 1) * 255 * (1 << (56 - 8 * i))
-                   for i in range(8))
-        assert r.phash == want
+        assert r.phash == FX.phash_class_value(k % 127)
 
 
 def test_decode_metadata_drops_undecodable(spark):
