@@ -71,6 +71,61 @@ COMMENTARY = {
                           "Python, no exchange — the md5-gram/window-min/xor "
                           "pipeline stays in a single WholeStageCodegen span "
                           "via let-bound higher-order functions.",
+    "cell_grid_agg": "Cell rollup: expression-level Morton encode in the "
+                     "projection (codegen, no UDF), partial HashAggregate "
+                     "before the one exchange.",
+    "tile_assign": "Tile id from lon/lat in pure Catalyst (arcsinh form), "
+                   "partial agg -> exchange -> final agg.",
+    "tile_pyramid": "ONE corpus pass at base zoom, then integer-halving "
+                    "rollups of the tiny per-tile table — each level is a "
+                    "partial agg over the previous level, never the corpus.",
+    "zone_pip_count": "PIP via the fused probe: broadcast zone index, "
+                      "envelope prefilter, exact ray-cast refine in the map "
+                      "stage; partial count before one tiny exchange.",
+    "pagination": "ORDER BY + LIMIT-OFFSET cap 50: TakeOrderedAndProject, "
+                  "no full sort.",
+    "proj_filter_join": "Projection + filter pushed to both scans, "
+                        "broadcast hash join on the small side.",
+    "topk_customers": "Partial agg -> exchange -> TakeOrderedAndProject.",
+    "events_rollup": "Partial agg with map-side combine over events.",
+    "events_top_per_user": "Window rank per user partition: one exchange "
+                           "on the partition key, codegen window.",
+    "token_count": "Pure Catalyst tokenization (regexp splits), map-only.",
+    "text_quality": "Quality score as one codegen projection, no Python.",
+    "langid": "N-gram heuristic in Catalyst expressions + partial agg.",
+    "fingerprint": "md5 of normalized text, map-only codegen.",
+    "exact_dedup": "Hash-groupBy min-winner + broadcast anti-join back.",
+    "simhash_dedup": "Signature UDF once (persisted), 4x16-bit band "
+                     "explode, bucket stats with map-side combine, "
+                     "bit_count hamming verify BEFORE the pair distinct.",
+    "embedding_neardup": "N independent hyperplane band sets, bucket "
+                         "equi-join candidates, JVM cast-first cosine "
+                         "verify, star-capped hot buckets.",
+    "ivf_topk": "Centroid assign as one Arrow UDF pass, bucketed int "
+                "equi-join (probed centroids only), window top-k.",
+    "union_cc": "Final collapse plan after pointer-jumped label "
+                "propagation (the iterative rounds run eagerly with "
+                "localCheckpoint lineage cuts; this is the surviving "
+                "anti-join).",
+    "decode_meta": "Real decode confined to ONE MapInPandas over "
+                   "(id, bytes, fmt) — map-only, bytes never shuffle.",
+    "image_phash_dedup": "Decode once (persisted after the MapInPandas), "
+                         "then the generic banded-hamming LSH core: band "
+                         "explode, bucket stats, bit_count verify, "
+                         "anti-join. Bytes never pass an exchange.",
+    "payload_invariants": "Decode + PSNR/phash verify in one MapInPandas; "
+                          "filter on the boolean output.",
+    "audio_features": "WAV parse + DSP in one MapInPandas, map-only.",
+    "video_frames": "vraw parse + frame sample in MapInPandas + explode.",
+    "streaming_dedup": "UNSTARTED streaming plan (the template the "
+                       "micro-batch engine instantiates): stateful "
+                       "FlatMapGroupsInPandasWithState keyed by the md5 "
+                       "fingerprint — state partitioned like a shuffle "
+                       "key, one boolean+winner cell per key.",
+    "windowed_events": "UNSTARTED streaming plan: EventTimeWatermark -> "
+                       "windowed partial agg -> StateStoreRestore/Save -> "
+                       "final agg — append-mode emission when the "
+                       "watermark seals a window.",
 }
 
 
@@ -87,12 +142,44 @@ def main() -> None:
            "scan line (PushedFilters / PartitionFilters), BroadcastHashJoin for\n"
            "small sides, partial aggregation before exchanges, and wide\n"
            "WholeStageCodegen spans with Python confined to the refine UDFs.\n"]
-    for name in ["bbox_points", "bbox_edges", "spatial_join_count",
-                 "tri_zone_pip", "knn_tag", "union_dedup", "minhash_dedup",
-                 "winnow_fingerprint", "groupby_pricing", "embedding_topk",
-                 "angle_join", "angle_buffer_join", "osm_ways",
-                 "geojson_lines"]:
-        df = qs[name](spark, SF)
+    import tempfile
+
+    from pyspark.sql import functions as F, types as T
+
+    def _streaming_df(name):
+        """Representative UNSTARTED streaming DataFrames — executing the
+        contract query would only show the trivial sink scan; the plan
+        that matters is the stateful streaming template itself."""
+        if name == "streaming_dedup":
+            from tdei_backend_service_spark.streaming.dedup import \
+                streaming_exact_dedup
+            schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                                   T.StructField("text", T.StringType())])
+            land = tempfile.mkdtemp(prefix="plans_sd_")
+            stream = spark.readStream.schema(schema).parquet(land)
+            return streaming_exact_dedup(stream)
+        if name == "windowed_events":
+            from tdei_backend_service_spark.streaming.windows import \
+                windowed_event_counts
+            schema = T.StructType([T.StructField("event_id", T.LongType()),
+                                   T.StructField("ts", T.TimestampType()),
+                                   T.StructField("event_type", T.StringType())])
+            land = tempfile.mkdtemp(prefix="plans_we_")
+            stream = spark.readStream.schema(schema).parquet(land)
+            return windowed_event_counts(stream)
+        return None
+
+    # every bench.py headline query gets an audited plan (VERDICT r3 #2)
+    names = []
+    with open("/root/repo/bench.py") as bf:
+        src = bf.read()
+    start = src.index("headline = [")
+    for m in re.finditer(r'"([a-z_0-9]+)"', src[start:src.index("]", start)]):
+        names.append(m.group(1))
+    for name in names:
+        df = _streaming_df(name)
+        if df is None:
+            df = qs[name](spark, SF)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted") \
             if hasattr(df._sc._jvm, "PythonSQLUtils") else None
