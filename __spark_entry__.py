@@ -469,6 +469,31 @@ def _q_decode_meta(spark: SparkSession, sf: str) -> DataFrame:
     return decode_metadata(FX.part_images(spark, sf))
 
 
+def _q_pack_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing (pipeline/curation.pack_documents): shard ->
+    window token-cumsum -> document-boundary block pack assignment.
+    Pure Catalyst window arithmetic over the same ws-token expression the
+    token_count oracle pins, so every (shard, pack_id, pack_offset) is
+    SQL-exact."""
+    from tdei_backend_service_spark.pipeline.curation import pack_documents
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = TX.with_token_counts(docs).select(
+        "doc_id", F.col("n_tokens_ws").cast("long").alias("n_tokens"))
+    return (pack_documents(toks, budget=256, n_shards=8)
+            .select("doc_id", "n_tokens", "shard", "pack_id", "pack_offset"))
+
+
+def _q_sample_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling (pipeline/curation.
+    sample_per_key): 20 docs per source domain, ranked by a seeded
+    integer scramble both engines compute bit-identically — the
+    reproducible eval-set construction op."""
+    from tdei_backend_service_spark.pipeline.curation import sample_per_key
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (sample_per_key(docs, "source", k=20)
+            .select("doc_id", "source"))
+
+
 def _q_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Image near-dedup by PERCEPTUAL HASH — the canonical image-corpus
     dedup for training data — run over the REAL decode path: part_images
@@ -594,6 +619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_meta": _q_decode_meta,
         # perceptual-hash image dedup over the real decode path
         "image_phash_dedup": _q_image_phash_dedup,
+        # corpus curation: sequence packing + stratified sampling
+        "pack_docs": _q_pack_docs,
+        "sample_per_key": _q_sample_per_key,
         # iterative connected-components collapse over planted chains
         "union_cc": _q_union_cc,
         # multi-zoom tile rollup (one corpus pass + per-level halving)
@@ -887,6 +915,39 @@ def oracle_sql() -> dict[str, str]:
                          * 11400714819323198485)
                         % 2305843009213693952 AS BIGINT) AS phash
             FROM part
+        """,
+        # document-boundary block packing: shard by id%8, window token
+        # cumsum in doc_id order, pack = start div budget — the same ws
+        # token expression the token_count oracle pins
+        "pack_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(lower(text),
+                         '\s+'), x -> x <> '')) AS n_tokens,
+                     doc_id % 8 AS shard
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens, shard,
+                     SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS start
+              FROM t)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(shard AS BIGINT) AS shard,
+                   CAST(start // 256 AS BIGINT) AS pack_id,
+                   CAST(start % 256 AS BIGINT) AS pack_offset
+            FROM c
+        """,
+        # stratified sample: row_number per source ordered by the seeded
+        # Knuth scramble (bit-identical integer arithmetic), ties on id
+        "sample_per_key": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY ((doc_id + 7) * 2654435761) % 4294967296,
+                                doc_id) AS rk
+              FROM documents) WHERE rk <= 20
         """,
         # perceptual-hash near-dedup over the REAL decode path: keys
         # sharing k%127 carry identical planted pixels -> identical

@@ -1,0 +1,59 @@
+import pandas as pd
+
+from tdei_backend_service_spark.pipeline.curation import (pack_documents,
+                                                          sample_per_key)
+
+
+def test_pack_documents_block_assignment(spark):
+    # one shard (n_shards=1): starts are a plain prefix cumsum
+    rows = [(0, 100), (1, 100), (2, 100), (3, 700), (4, 50)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "n_tokens"]))
+    out = {r.doc_id: r for r in
+           pack_documents(df, budget=256, n_shards=1).collect()}
+    # starts: 0, 100, 200, 300, 1000
+    assert (out[0].pack_id, out[0].pack_offset) == (0, 0)
+    assert (out[1].pack_id, out[1].pack_offset) == (0, 100)
+    assert (out[2].pack_id, out[2].pack_offset) == (0, 200)
+    # doc 3 starts in pack 1 and is longer than the budget
+    assert (out[3].pack_id, out[3].pack_offset) == (1, 44)
+    assert (out[4].pack_id, out[4].pack_offset) == (3, 232)
+    assert all(r.shard == 0 for r in out.values())
+
+
+def test_pack_documents_shards_are_independent(spark):
+    rows = [(i, 64) for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "n_tokens"]))
+    out = pack_documents(df, budget=128, n_shards=4).collect()
+    # each shard holds ids i%4==s in id order: starts 0,64,128,... ->
+    # pack flips every 2 docs, independent of other shards
+    for r in out:
+        assert r.shard == r.doc_id % 4
+        rank_in_shard = r.doc_id // 4
+        assert r.pack_id == rank_in_shard // 2
+        assert r.pack_offset == (rank_in_shard % 2) * 64
+
+
+def test_sample_per_key_deterministic_and_bounded(spark):
+    rows = [(i, f"src{i % 3}") for i in range(200)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    a = sorted((r.source, r.doc_id)
+               for r in sample_per_key(df, "source", k=5).collect())
+    b = sorted((r.source, r.doc_id)
+               for r in sample_per_key(df, "source", k=5).collect())
+    assert a == b  # reproducible
+    per_key = {}
+    for s, d in a:
+        per_key.setdefault(s, []).append(d)
+    assert set(per_key) == {"src0", "src1", "src2"}
+    assert all(len(v) == 5 for v in per_key.values())
+    # a different seed picks a different (still deterministic) set
+    c = sorted((r.source, r.doc_id)
+               for r in sample_per_key(df, "source", k=5, seed=99).collect())
+    assert c != a
+
+
+def test_sample_per_key_small_groups_pass_through(spark):
+    rows = [(1, "only"), (2, "only")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    out = sample_per_key(df, "source", k=10).collect()
+    assert sorted(r.doc_id for r in out) == [1, 2]

@@ -117,6 +117,12 @@ COMMENTARY = {
                           "filter on the boolean output.",
     "audio_features": "WAV parse + DSP in one MapInPandas, map-only.",
     "video_frames": "vraw parse + frame sample in MapInPandas + explode.",
+    "pack_docs": "Sequence packing: token expression in codegen, ONE "
+                 "exchange on the shard key, window cumsum + integer "
+                 "div pack assignment inside each shard partition.",
+    "sample_per_key": "Stratified sample: one exchange on the "
+                      "stratification key, row_number window over the "
+                      "seeded integer scramble, bounded prefix filter.",
     "streaming_dedup": "UNSTARTED streaming plan (the template the "
                        "micro-batch engine instantiates): stateful "
                        "FlatMapGroupsInPandasWithState keyed by the md5 "
