@@ -505,7 +505,10 @@ def _q_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     bits apart and every class owns its own bucket in all 4 bands."""
     from tdei_backend_service_spark.pipeline.dedup import hash_neardup
     from tdei_backend_service_spark.pipeline.multimodal import decode_metadata
-    meta = decode_metadata(FX.part_images(spark, sf))
+    # persist the decode output: hash_neardup's final anti-join
+    # re-evaluates its input plan, and a second pass here would mean
+    # decoding every image twice
+    meta = decode_metadata(FX.part_images(spark, sf)).persist()
     return (hash_neardup(meta, "phash", "image_id", max_hamming=3)
             .select("image_id"))
 

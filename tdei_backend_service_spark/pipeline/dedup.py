@@ -309,7 +309,11 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """Near-dedup via SimHash: signatures (simhash_signatures) +
     the generic banded-hamming core (hash_neardup)."""
-    sigs = simhash_signatures(df, text_col).select(id_col, "simhash")
+    # persist the narrow signature frame: hash_neardup's final
+    # anti-join re-evaluates its input plan, and without the cache that
+    # means a second signature-UDF pass over the corpus
+    sigs = (simhash_signatures(df, text_col)
+            .select(id_col, "simhash").persist())
     survivors = hash_neardup(sigs, "simhash", id_col,
                              max_hamming=max_hamming, bucket_cap=bucket_cap)
     return df.join(survivors.select(id_col), id_col, "inner")
