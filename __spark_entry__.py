@@ -494,6 +494,21 @@ def _q_sample_per_key(spark: SparkSession, sf: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+def _q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain quality-percentile cut (pipeline/curation.
+    filter_top_fraction): keep the top HALF of each source domain by
+    the pinned quality_score — the keep rule is integer rank
+    arithmetic, so the survivor set is SQL-exact (score values are
+    engine-identical per the text_quality oracle; ties break on id)."""
+    from tdei_backend_service_spark.pipeline.curation import \
+        filter_top_fraction
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    scored = TX.with_quality(docs)
+    return (filter_top_fraction(scored, "quality_score", "source",
+                                num=1, den=2)
+            .select("doc_id", "source"))
+
+
 def _q_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Image near-dedup by PERCEPTUAL HASH — the canonical image-corpus
     dedup for training data — run over the REAL decode path: part_images
@@ -625,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus curation: sequence packing + stratified sampling
         "pack_docs": _q_pack_docs,
         "sample_per_key": _q_sample_per_key,
+        "quality_filter": _q_quality_filter,
         # iterative connected-components collapse over planted chains
         "union_cc": _q_union_cc,
         # multi-zoom tile rollup (one corpus pass + per-level halving)
@@ -952,6 +968,17 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id) AS rk
               FROM documents) WHERE rk <= 20
         """,
+        # per-domain top-half quality cut: integer rank rule over the
+        # pinned quality_score replica (ties on doc_id)
+        "quality_filter": f"""
+            WITH q AS ({_quality_sql(", source")}),
+            r AS (SELECT doc_id, source,
+                    ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY quality_score DESC, doc_id) AS rk,
+                    COUNT(*) OVER (PARTITION BY source) AS n
+                  FROM q)
+            SELECT doc_id, source FROM r WHERE rk * 2 <= n
+        """,
         # perceptual-hash near-dedup over the REAL decode path: keys
         # sharing k%127 carry identical planted pixels -> identical
         # recomputed ahash (hamming 0); cross-class hashes are >= 17
@@ -1044,17 +1071,19 @@ _TOPK_SQL = """
 """
 
 
-def _quality_sql() -> str:
+def _quality_sql(extra: str = "") -> str:
+    """Exact SQL replica of with_quality; ``extra`` threads additional
+    passthrough columns (e.g. ', source') through both SELECTs."""
     sw = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
     return rf"""
-        SELECT doc_id, n_chars_m, stopword_hits,
+        SELECT doc_id{extra}, n_chars_m, stopword_hits,
                ROUND(LEAST(n_chars_m / 200.0, 1.0) * 0.3
                    + GREATEST(0.0, 1.0 - punct_ratio * 4) * 0.25
                    + GREATEST(0.0, 1.0 - digit_ratio * 4) * 0.25
                    + LEAST(CAST(stopword_hits AS DOUBLE) / 3.0, 1.0) * 0.2,
                  6) AS quality_score
         FROM (
-          SELECT doc_id, length(text) AS n_chars_m,
+          SELECT doc_id{extra}, length(text) AS n_chars_m,
             (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
               / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))

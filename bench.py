@@ -55,7 +55,8 @@ def main() -> None:
         "events_top_per_user", "langid", "text_quality", "fingerprint",
         "simhash_dedup", "embedding_neardup", "tri_zone_pip",
         "union_cc", "decode_meta", "image_phash_dedup",
-        "pack_docs", "sample_per_key", "payload_invariants",
+        "pack_docs", "sample_per_key", "quality_filter",
+        "payload_invariants",
         "streaming_dedup", "windowed_events",
     ]
 

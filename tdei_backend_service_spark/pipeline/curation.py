@@ -49,6 +49,26 @@ def pack_documents(df: DataFrame, budget: int, n_shards: int = 8,
             .drop("_start"))
 
 
+def filter_top_fraction(df: DataFrame, score_col: str, key_col: str,
+                        num: int = 1, den: int = 2,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-key quality-percentile cut: keep each key's top ``num/den``
+    fraction of rows by ``score_col`` (descending; ties on the id) —
+    the "keep the best half of every domain" filter a webtext pipeline
+    runs on its quality scores. The keep rule is pure INTEGER
+    arithmetic, ``rank * den <= n * num``, so the survivor set is exact
+    in any engine (no float percentile boundary).
+
+    One exchange on the key; both windows share the partitioning."""
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
+    n = Window.partitionBy(key_col)
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(n))
+            .filter(F.col("_rk") * F.lit(int(den)) <= F.col("_n") * F.lit(int(num)))
+            .drop("_rk", "_n"))
+
+
 def sample_per_key(df: DataFrame, key_col: str, k: int,
                    id_col: str = "doc_id", seed: int = 7) -> DataFrame:
     """Deterministic stratified sample: k rows per ``key_col`` value,

@@ -57,3 +57,24 @@ def test_sample_per_key_small_groups_pass_through(spark):
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
     out = sample_per_key(df, "source", k=10).collect()
     assert sorted(r.doc_id for r in out) == [1, 2]
+
+
+def test_filter_top_fraction_integer_rule(spark):
+    from tdei_backend_service_spark.pipeline.curation import \
+        filter_top_fraction
+    # key A: 5 rows -> keep floor-style rk*2 <= 5 -> ranks 1,2
+    # key B: 4 rows -> ranks 1,2
+    rows = ([(i, "A", float(100 - i)) for i in range(5)]
+            + [(10 + i, "B", float(50 - i)) for i in range(4)])
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "score"]))
+    out = sorted((r.source, r.doc_id) for r in
+                 filter_top_fraction(df, "score", "source").collect())
+    assert out == [("A", 0), ("A", 1), ("B", 10), ("B", 11)]
+    # ties: equal scores break on lower id
+    rows2 = [(1, "C", 1.0), (2, "C", 1.0), (3, "C", 1.0), (4, "C", 0.5)]
+    df2 = spark.createDataFrame(
+        pd.DataFrame(rows2, columns=["doc_id", "source", "score"]))
+    out2 = sorted(r.doc_id for r in
+                  filter_top_fraction(df2, "score", "source").collect())
+    assert out2 == [1, 2]

@@ -123,6 +123,9 @@ COMMENTARY = {
     "sample_per_key": "Stratified sample: one exchange on the "
                       "stratification key, row_number window over the "
                       "seeded integer scramble, bounded prefix filter.",
+    "quality_filter": "Per-domain quality cut: score expression in "
+                      "codegen, one exchange on the key, two windows "
+                      "sharing the partitioning, integer rank filter.",
     "streaming_dedup": "UNSTARTED streaming plan (the template the "
                        "micro-batch engine instantiates): stateful "
                        "FlatMapGroupsInPandasWithState keyed by the md5 "
