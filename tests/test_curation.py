@@ -1,6 +1,7 @@
 import pandas as pd
 
-from tdei_backend_service_spark.pipeline.curation import (pack_documents,
+from tdei_backend_service_spark.pipeline.curation import (filter_top_fraction,
+                                                          pack_documents,
                                                           sample_per_key)
 
 
@@ -78,3 +79,74 @@ def test_filter_top_fraction_integer_rule(spark):
     out2 = sorted(r.doc_id for r in
                   filter_top_fraction(df2, "score", "source").collect())
     assert out2 == [1, 2]
+
+
+# -- property-based parity vs pure-python references ----------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_docs = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(0, 500),
+              st.sampled_from(["a", "b", "c"])),
+    min_size=1, max_size=60, unique_by=lambda t: t[0])
+
+
+@settings(max_examples=10, deadline=None)
+@given(_docs, st.integers(1, 300), st.integers(1, 4))
+def test_pack_documents_matches_reference(spark, docs, budget, n_shards):
+    import pandas as pd
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "n_tokens", "src"]))
+    got = {r.doc_id: (r.shard, r.pack_id, r.pack_offset)
+           for r in pack_documents(df, budget, n_shards).collect()}
+    shards: dict = {}
+    for d, t, _ in sorted(docs):
+        shards.setdefault(d % n_shards, []).append((d, t))
+    want = {}
+    for s, members in shards.items():
+        cum = 0
+        for d, t in members:
+            want[d] = (s, cum // budget, cum % budget)
+            cum += t
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(_docs, st.integers(1, 3), st.integers(1, 4))
+def test_filter_top_fraction_matches_reference(spark, docs, num, den):
+    import pandas as pd
+    if num > den:
+        num = den  # fraction <= 1
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "score", "src"]))
+    got = sorted(r.doc_id for r in
+                 filter_top_fraction(df, "score", "src", num, den).collect())
+    want = []
+    by_key: dict = {}
+    for d, sc, k in docs:
+        by_key.setdefault(k, []).append((d, sc))
+    for k, members in by_key.items():
+        members.sort(key=lambda t: (-t[1], t[0]))
+        n = len(members)
+        want += [d for d, _ in members[: (n * num) // den]]
+    assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_docs, st.integers(1, 8), st.integers(0, 100))
+def test_sample_per_key_matches_reference(spark, docs, k, seed):
+    import pandas as pd
+    from tdei_backend_service_spark.pipeline.curation import PACK_SCRAMBLE
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "n", "src"]))
+    got = sorted(r.doc_id for r in
+                 sample_per_key(df, "src", k, seed=seed).collect())
+    by_key: dict = {}
+    for d, _, kk in docs:
+        by_key.setdefault(kk, []).append(d)
+    want = []
+    for kk, ids in by_key.items():
+        ids.sort(key=lambda d: (((d + seed) * PACK_SCRAMBLE) % (1 << 32), d))
+        want += ids[:k]
+    assert got == sorted(want)
