@@ -494,6 +494,25 @@ def _q_sample_per_key(spark: SparkSession, sf: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+def _q_quantize_vecs(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 embedding quantization (similarity.quantize_embeddings) —
+    pure Catalyst, every step a deterministic IEEE double op, so the
+    per-vector integer summaries of the codes (sum / min / max / L1)
+    are SQL-exact over the organic embeddings table."""
+    q = SIM.quantize_embeddings(
+        spark.read.parquet(f"{sf}/embeddings.parquet"))
+    code = F.col("q_embedding")
+    as_long = F.transform(code, lambda x: x.cast("long"))
+    return q.select(
+        "vec_id",
+        F.aggregate(as_long, F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("q_sum"),
+        F.array_min(code).cast("long").alias("q_min"),
+        F.array_max(code).cast("long").alias("q_max"),
+        F.aggregate(as_long, F.lit(0).cast("long"),
+                    lambda a, x: a + F.abs(x)).alias("q_l1"))
+
+
 def _q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     """Per-domain quality-percentile cut (pipeline/curation.
     filter_top_fraction): keep the top HALF of each source domain by
@@ -641,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_docs": _q_pack_docs,
         "sample_per_key": _q_sample_per_key,
         "quality_filter": _q_quality_filter,
+        "quantize_vecs": _q_quantize_vecs,
         # iterative connected-components collapse over planted chains
         "union_cc": _q_union_cc,
         # multi-zoom tile rollup (one corpus pass + per-level halving)
@@ -967,6 +987,31 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ((doc_id + 7) * 2654435761) % 4294967296,
                                 doc_id) AS rk
               FROM documents) WHERE rk <= 20
+        """,
+        # int8 symmetric quantization: q_i = floor(x/s*127 + 0.5) with
+        # s = max|x| — identical IEEE double ops in both engines; the
+        # oracle pins integer summaries of the codes
+        "quantize_vecs": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS sc
+              FROM embeddings),
+            q AS (
+              SELECT vec_id,
+                     CASE WHEN sc = 0
+                       THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / sc * 127.0
+                                         + 0.5) AS BIGINT)) END AS qv
+              FROM s)
+            SELECT vec_id,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   CAST(list_min(qv) AS BIGINT) AS q_min,
+                   CAST(list_max(qv) AS BIGINT) AS q_max,
+                   CAST(list_sum(list_transform(qv, x -> abs(x)))
+                        AS BIGINT) AS q_l1
+            FROM q
         """,
         # per-domain top-half quality cut: integer rank rule over the
         # pinned quality_score replica (ties on doc_id)

@@ -55,7 +55,7 @@ def main() -> None:
         "events_top_per_user", "langid", "text_quality", "fingerprint",
         "simhash_dedup", "embedding_neardup", "tri_zone_pip",
         "union_cc", "decode_meta", "image_phash_dedup",
-        "pack_docs", "sample_per_key", "quality_filter",
+        "pack_docs", "sample_per_key", "quality_filter", "quantize_vecs",
         "payload_invariants",
         "streaming_dedup", "windowed_events",
     ]

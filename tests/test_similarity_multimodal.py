@@ -195,3 +195,26 @@ def test_decode_metadata_drops_undecodable(spark):
     df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"]))
     assert MM.decode_metadata(df).count() == 0
+
+
+def test_quantize_embeddings_reconstruction_and_edges(spark):
+    import pandas as pd
+    from tdei_backend_service_spark.pipeline.similarity import \
+        quantize_embeddings
+    rows = [
+        (0, [0.5, -1.0, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),          # zero vector edge
+        (2, [3.0]),                          # single max element
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    # codes in [-127, 127]; max-|x| element quantizes to +/-127 exactly
+    assert out[0].q_embedding == [64, -127, 32, 0]
+    assert out[0].q_scale == 1.0
+    assert out[1].q_embedding == [0, 0, 0, 0] and out[1].q_scale == 0.0
+    assert out[2].q_embedding == [127]
+    # reconstruction error bound: |q*s/127 - x| <= s/254 per element
+    for r in (out[0], out[2]):
+        s = r.q_scale
+        for q, x in zip(r.q_embedding, dict(rows)[r.vec_id]):
+            assert abs(q * s / 127.0 - x) <= s / 254.0 + 1e-12

@@ -123,6 +123,9 @@ COMMENTARY = {
     "sample_per_key": "Stratified sample: one exchange on the "
                       "stratification key, row_number window over the "
                       "seeded integer scramble, bounded prefix filter.",
+    "quantize_vecs": "Int8 quantization entirely in codegen "
+                     "(transform/array_max/aggregate) — map-only, no "
+                     "Python, no exchange.",
     "quality_filter": "Per-domain quality cut: score expression in "
                       "codegen, one exchange on the key, two windows "
                       "sharing the partitioning, integer rank filter.",
