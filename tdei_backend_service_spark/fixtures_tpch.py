@@ -384,19 +384,28 @@ def part_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.BinaryType())
     def _img(key: pd.Series) -> pd.Series:
+        # fixture-synth memoization: only 127 classes x 3 sizes x 2
+        # formats = 762 distinct blobs exist, so encode each once per
+        # Arrow batch. (The DECODE side stays per-row — that is the
+        # operator under test; this cache only removes synth overhead.)
+        cache: dict = {}
         out = []
         for k in key:
             k = int(k)
-            v = phash_class_value(k % 127)
-            s = 1 + k % 3
-            px = 8 * s
-            cell = np.array([[(v >> (63 - (8 * i + j))) & 1
-                              for j in range(8)] for i in range(8)],
-                            dtype=np.uint8)
-            img = np.repeat(np.repeat(np.where(cell == 1, 200, 40), s, 0),
-                            s, 1).astype(np.uint8)
-            img = np.stack([img] * 3, axis=-1)
-            out.append(encode_image(img, "png" if k % 2 == 0 else "qimg"))
+            ck = (k % 127, k % 3, k % 2)
+            blob = cache.get(ck)
+            if blob is None:
+                v = phash_class_value(k % 127)
+                s = 1 + k % 3
+                cell = np.array([[(v >> (63 - (8 * i + j))) & 1
+                                  for j in range(8)] for i in range(8)],
+                                dtype=np.uint8)
+                img = np.repeat(np.repeat(np.where(cell == 1, 200, 40),
+                                          s, 0), s, 1).astype(np.uint8)
+                img = np.stack([img] * 3, axis=-1)
+                blob = encode_image(img, "png" if k % 2 == 0 else "qimg")
+                cache[ck] = blob
+            out.append(blob)
         return pd.Series(out)
 
     df = spark.read.parquet(f"{sf_dir}/part.parquet")
