@@ -494,6 +494,15 @@ def _q_sample_per_key(spark: SparkSession, sf: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+def _q_ngram_top(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus bigram statistics (pipeline/text.ngram_counts): top 50
+    bigrams with counts — transform-over-sequence n-gram build on the
+    pinned whitespace split, one partial-aggregated exchange,
+    TakeOrderedAndProject top-k with a deterministic tie-break."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return TX.ngram_counts(docs, n=2, top_k=50)
+
+
 def _q_quantize_vecs(spark: SparkSession, sf: str) -> DataFrame:
     """Int8 embedding quantization (similarity.quantize_embeddings) —
     pure Catalyst, every step a deterministic IEEE double op, so the
@@ -661,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_key": _q_sample_per_key,
         "quality_filter": _q_quality_filter,
         "quantize_vecs": _q_quantize_vecs,
+        "ngram_top": _q_ngram_top,
         # iterative connected-components collapse over planted chains
         "union_cc": _q_union_cc,
         # multi-zoom tile rollup (one corpus pass + per-level halving)
@@ -987,6 +997,20 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ((doc_id + 7) * 2654435761) % 4294967296,
                                 doc_id) AS rk
               FROM documents) WHERE rk <= 20
+        """,
+        # bigram build mirrored as a list comprehension over the same
+        # whitespace split; deterministic (count desc, ngram asc) top-k
+        "ngram_top": f"""
+            WITH w AS (
+              SELECT list_filter(regexp_split_to_array(lower(text),
+                     '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+            g AS (
+              SELECT unnest([ws[i] || ' ' || ws[i + 1]
+                             for i in range(1, len(ws))]) AS ngram
+              FROM w WHERE len(ws) >= 2)
+            SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n FROM g
+            GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 50
         """,
         # int8 symmetric quantization: q_i = floor(x/s*127 + 0.5) with
         # s = max|x| — identical IEEE double ops in both engines; the

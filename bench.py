@@ -56,6 +56,7 @@ def main() -> None:
         "simhash_dedup", "embedding_neardup", "tri_zone_pip",
         "union_cc", "decode_meta", "image_phash_dedup",
         "pack_docs", "sample_per_key", "quality_filter", "quantize_vecs",
+        "ngram_top",
         "payload_invariants",
         "streaming_dedup", "windowed_events",
     ]

@@ -170,3 +170,30 @@ def with_winnow_fingerprint(df: DataFrame, text_col: str = "text",
 
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^\x20-\x7e]", "")
     return df.withColumn("winnow_fp", _let(norm, _fp))
+
+
+def ngram_counts(df: DataFrame, n: int = 2, top_k: int | None = None,
+                 text_col: str = "text") -> DataFrame:
+    """Corpus n-gram statistics — the classic distributed LM-data job:
+    whitespace words (same split the token counters pin), sliding
+    word-n-grams per document, global counts, optionally the top_k most
+    frequent (count desc, n-gram asc — a deterministic tie-break).
+
+    Pure Catalyst: the n-gram build is transform-over-sequence (no
+    Python), the count is one partial-aggregated exchange on the n-gram
+    key, and top-k is a TakeOrderedAndProject — no full sort. Documents
+    shorter than n contribute nothing."""
+    n = int(n)
+    words = words_col(F.col(text_col))
+    # guard the short-document case explicitly: Spark's sequence(1, 0)
+    # DESCENDS ([1, 0]) rather than being empty
+    starts = F.when(F.size(words) >= n,
+                    F.sequence(F.lit(1), F.size(words) - (n - 1))) \
+              .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(starts,
+                        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    out = (df.select(F.explode(grams).alias("ngram"))
+           .groupBy("ngram").agg(F.count(F.lit(1)).alias("n")))
+    if top_k is not None:
+        out = out.orderBy(F.desc("n"), F.asc("ngram")).limit(int(top_k))
+    return out

@@ -313,3 +313,15 @@ def test_image_phash_dedup_star_capped(spark):
     out = D.hash_neardup(df, "phash", "image_id", max_hamming=3,
                          bucket_cap=1)
     assert sorted(r.image_id for r in out.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_ngram_counts_basic_and_short_docs(spark):
+    rows = [(0, "a b a b c"), (1, "a b"), (2, "solo"), (3, "")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r.ngram: r.n for r in X.ngram_counts(df, n=2).collect()}
+    # doc 0: "a b","b a","a b","b c"; doc 1: "a b"; docs 2,3: nothing
+    assert got == {"a b": 3, "b a": 1, "b c": 1}
+    top = X.ngram_counts(df, n=2, top_k=2).collect()
+    assert [(r.ngram, r.n) for r in top] == [("a b", 3), ("b a", 1)]
+    # trigrams over a 2-word doc: empty (sequence guard)
+    assert X.ngram_counts(df.filter("doc_id = 1"), n=3).count() == 0

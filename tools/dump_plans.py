@@ -123,6 +123,9 @@ COMMENTARY = {
     "sample_per_key": "Stratified sample: one exchange on the "
                       "stratification key, row_number window over the "
                       "seeded integer scramble, bounded prefix filter.",
+    "ngram_top": "Bigram stats: transform-over-sequence n-gram build "
+                 "in codegen, partial agg before the one exchange, "
+                 "TakeOrderedAndProject top-k (no full sort).",
     "quantize_vecs": "Int8 quantization entirely in codegen "
                      "(transform/array_max/aggregate) — map-only, no "
                      "Python, no exchange.",
