@@ -487,11 +487,33 @@ def _q_sample_per_key(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic stratified sampling (pipeline/curation.
     sample_per_key): 20 docs per source domain, ranked by a seeded
     integer scramble both engines compute bit-identically — the
-    reproducible eval-set construction op."""
+    reproducible eval-set construction op. The oracle row pins the
+    ``method="scramble"`` path (affine Knuth permutation, ANSI-exact in
+    range-validated int64); the production default is ``xxhash64``,
+    differential-tested in tests/test_curation.py against stride-
+    patterned ids the affine map would bias."""
     from tdei_backend_service_spark.pipeline.curation import sample_per_key
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return (sample_per_key(docs, "source", k=20)
+    return (sample_per_key(docs, "source", k=20, method="scramble")
             .select("doc_id", "source"))
+
+
+MIX_WEIGHTS = {"src0": (3, 1), "src1": (1, 3), "src2": (2, 3),
+               "src3": (5, 2)}
+
+
+def _q_mix_domains(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted domain-mixture resampling (pipeline/curation.
+    mix_domains): per-source rational target rates (src0 3x up, src1
+    1/3 down, src2 2/3, src3 5/2, rest unchanged) via the telescoping
+    integer copy rule — floor(rk*num/den) - floor((rk-1)*num/den)
+    replicas per rank — so every emitted (doc_id, copy) row is
+    SQL-exact. One window exchange + a map explode."""
+    from tdei_backend_service_spark.pipeline.curation import mix_domains
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (mix_domains(docs, "source", MIX_WEIGHTS, method="scramble")
+            .select("doc_id", "source",
+                    F.col("copy").cast("long").alias("copy")))
 
 
 def _q_ngram_top(spark: SparkSession, sf: str) -> DataFrame:
@@ -668,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus curation: sequence packing + stratified sampling
         "pack_docs": _q_pack_docs,
         "sample_per_key": _q_sample_per_key,
+        "mix_domains": _q_mix_domains,
         "quality_filter": _q_quality_filter,
         "quantize_vecs": _q_quantize_vecs,
         "ngram_top": _q_ngram_top,
@@ -997,6 +1020,31 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ((doc_id + 7) * 2654435761) % 4294967296,
                                 doc_id) AS rk
               FROM documents) WHERE rk <= 20
+        """,
+        # weighted domain-mixture resampling: the telescoping integer
+        # copy rule over the scramble permutation, replicas via
+        # unnest(range(copies)) (empty range drops the row, exactly
+        # like Spark's explode of an empty array)
+        "mix_domains": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 1
+                                 WHEN 'src2' THEN 2 WHEN 'src3' THEN 5
+                                 ELSE 1 END AS num,
+                     CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 3
+                                 WHEN 'src2' THEN 3 WHEN 'src3' THEN 2
+                                 ELSE 1 END AS den,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY ((doc_id + 7) * 2654435761) % 4294967296,
+                                doc_id) AS rk
+              FROM documents),
+            c AS (
+              SELECT doc_id, source,
+                     (rk * num) // den - ((rk - 1) * num) // den AS copies
+              FROM r)
+            SELECT doc_id, source,
+                   CAST(unnest(range(copies)) AS BIGINT) AS copy
+            FROM c
         """,
         # bigram build mirrored as a list comprehension over the same
         # whitespace split; deterministic (count desc, ngram asc) top-k

@@ -180,10 +180,18 @@ def read_stage(spark: SparkSession, run_dir: str, name: str,
     out_dir = os.path.join(run_dir, name)
     if keys is None:
         stages = Manifest(run_dir).state["stages"]
-        st = stages.get(name)
-        if st is None:  # addressed by out_subdir of a differently-named stage
-            st = next((s for s in stages.values()
-                       if s.get("out_subdir") == name), None)
+        # resolve by the DIRECTORY the stage actually wrote: prefer any
+        # stage whose recorded out_subdir equals `name`; fall back to
+        # the stage record named `name` only when its own out_subdir is
+        # absent or matches — otherwise a stage named X that wrote
+        # elsewhere would shadow the stage that wrote directory X
+        # (ADVICE r4)
+        st = next((s for s in stages.values()
+                   if s.get("out_subdir") == name), None)
+        if st is None:
+            cand = stages.get(name)
+            if cand is not None and cand.get("out_subdir") in (None, name):
+                st = cand
         keys = (st or {}).get("keys") or []
     if not keys:
         # no record anywhere: derive key names from the directory layout

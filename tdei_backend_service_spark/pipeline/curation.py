@@ -63,25 +63,124 @@ def filter_top_fraction(df: DataFrame, score_col: str, key_col: str,
     w = (Window.partitionBy(key_col)
          .orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
     n = Window.partitionBy(key_col)
+    # cast the rank (IntegerType) to long BEFORE multiplying: past
+    # ~2^31/den rows in one key the 32-bit product would wrap and
+    # silently mis-filter (ADVICE r4)
     return (df.withColumn("_rk", F.row_number().over(w))
             .withColumn("_n", F.count(F.lit(1)).over(n))
-            .filter(F.col("_rk") * F.lit(int(den)) <= F.col("_n") * F.lit(int(num)))
+            .filter(F.col("_rk").cast("long") * F.lit(int(den))
+                    <= F.col("_n") * F.lit(int(num)))
             .drop("_rk", "_n"))
 
 
-def sample_per_key(df: DataFrame, key_col: str, k: int,
-                   id_col: str = "doc_id", seed: int = 7) -> DataFrame:
-    """Deterministic stratified sample: k rows per ``key_col`` value,
-    chosen by a seeded integer scramble of the id (Knuth multiplicative
-    hash mod 2^32) — a fixed pseudo-random permutation both this engine
-    and any SQL oracle compute bit-identically, so eval/holdout sets are
-    reproducible across engines and runs. Ties (scramble collisions)
-    break on the id. At production scale swap the scramble for
-    ``xxhash64(id, seed)`` — same plan, same one-exchange shape.
+# the affine scramble multiplies (id + seed) by the 32-bit Knuth
+# constant in int64: ids above this bound overflow 2^63 and Spark
+# (non-ANSI) wraps while ANSI engines raise/diverge — the scramble path
+# validates the bound instead of claiming universal parity (ADVICE r4)
+SCRAMBLE_MAX_ID = (1 << 63) // PACK_SCRAMBLE - 1  # ~3.49e9
 
-    Window rank per key partition: one exchange on the stratification
-    key, TakeOrdered-style prefix inside each partition."""
-    scramble = ((F.col(id_col) + F.lit(seed)) * F.lit(PACK_SCRAMBLE)) % F.lit(1 << 32)
-    w = Window.partitionBy(key_col).orderBy(scramble.asc(), F.col(id_col).asc())
+
+def _sample_order_key(id_col: str, seed: int, method: str):
+    if method == "scramble":
+        return ((F.col(id_col) + F.lit(seed)) * F.lit(PACK_SCRAMBLE)) % F.lit(1 << 32)
+    if method == "xxhash64":
+        # pmod keeps the key non-negative; xxhash64 is a real avalanche
+        # hash, so stride-patterned ids (every 5th doc, sharded ids)
+        # cannot bias the sample the way an affine map can
+        return F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 32))
+    raise ValueError(f"unknown sample method {method!r}")
+
+
+def sample_per_key(df: DataFrame, key_col: str, k: int,
+                   id_col: str = "doc_id", seed: int = 7,
+                   method: str = "xxhash64") -> DataFrame:
+    """Deterministic stratified sample: k rows per ``key_col`` value,
+    ranked by a seeded integer hash of the id — a fixed pseudo-random
+    permutation, so eval/holdout sets are reproducible across runs.
+    Ties (hash collisions) break on the id.
+
+    ``method`` picks the permutation:
+    * ``"xxhash64"`` (default, the production path): a true avalanche
+      hash of (id, seed). Arithmetic-progression or strided id patterns
+      — common after sharded ingest — land uniformly; any id range.
+    * ``"scramble"``: the affine Knuth multiplicative scramble
+      ``((id + seed) * 2654435761) mod 2^32`` — bit-identical in ANY
+      SQL engine (that is what the DuckDB contract oracle pins), but an
+      affine map sends arithmetic progressions to arithmetic
+      progressions, so adversarial id strides can bias the sample; ids
+      must stay <= SCRAMBLE_MAX_ID (validated) or int64 wraps.
+
+    Same plan either way: one exchange on the stratification key, a
+    row_number prefix inside each partition."""
+    if method == "scramble":
+        # fail loudly where ANSI engines would diverge, instead of
+        # silently returning a Spark-only sample. The guard is a FILTER
+        # over the input (a projected-then-dropped check column would be
+        # pruned away unevaluated), and it must see every row — a
+        # wrapped id reorders its whole key partition, not just itself.
+        check = (F.col(id_col) >= F.lit(-seed)) & \
+                (F.col(id_col) <= F.lit(SCRAMBLE_MAX_ID - seed))
+        df = df.filter(F.when(check, F.lit(True)).otherwise(
+            F.raise_error(F.concat(
+                F.lit("sample_per_key(method='scramble') id out of "
+                      f"range [0, {SCRAMBLE_MAX_ID - seed}]: "),
+                F.col(id_col).cast("string")))))
+    order = _sample_order_key(id_col, seed, method)
+    w = Window.partitionBy(key_col).orderBy(order.asc(), F.col(id_col).asc())
     return (df.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k).drop("_rk"))
+
+
+def mix_domains(df: DataFrame, key_col: str,
+                weights: dict[str, tuple[int, int]],
+                id_col: str = "doc_id", seed: int = 7,
+                default: tuple[int, int] = (1, 1),
+                method: str = "xxhash64",
+                copy_col: str = "copy") -> DataFrame:
+    """Weighted domain-mixture resampling — the curation op that turns a
+    raw per-source corpus into a target training mixture: each key (a
+    source/domain) is up- or down-sampled to a RATIONAL target rate
+    ``num/den`` (its entry in ``weights``; ``default`` for absent keys).
+
+    Exact integer keep rule (no float sampling, no RNG at run time):
+    rows are ranked 1..n within their key by a seeded hash permutation
+    (``method`` as in sample_per_key — xxhash64 for production,
+    scramble for cross-engine oracles), and row rk is emitted
+
+        copies(rk) = floor(rk*num/den) - floor((rk-1)*num/den)
+
+    times, tagged ``copy_col`` = 0..copies-1. The telescoping sum makes
+    each key's output EXACTLY floor(n*num/den) rows; down-sampling
+    (num < den) emits an unbiased deterministic subset (copies in
+    {0,1}), up-sampling (num > den) spreads the extra replicas evenly
+    across the permutation instead of replicating a prefix. The same
+    rule in any engine yields the same rows — the contract oracle pins
+    it on the documents corpus.
+
+    Scale shape: ONE exchange (the window on the stratification key),
+    then a pure map explode; replicas never shuffle. At 10^12 docs a
+    skewed domain is one window partition — pre-split giant domains
+    with a salted sub-key upstream if one source exceeds an executor."""
+    num_expr, den_expr = F.lit(int(default[0])), F.lit(int(default[1]))
+    for key, (num, den) in sorted(weights.items()):
+        if num < 0 or den <= 0:
+            raise ValueError(f"weight for {key!r} must be num>=0, den>0")
+        num_expr = F.when(F.col(key_col) == key, F.lit(int(num))).otherwise(num_expr)
+        den_expr = F.when(F.col(key_col) == key, F.lit(int(den))).otherwise(den_expr)
+    order = _sample_order_key(id_col, seed, method)
+    w = Window.partitionBy(key_col).orderBy(order.asc(), F.col(id_col).asc())
+    # rank cast to long BEFORE multiplying (see filter_top_fraction)
+    rk = F.row_number().over(w).cast("long")
+    copies = (F.expr("(_rk * _num) div _den") - F.expr("((_rk - 1) * _num) div _den"))
+    # F.sequence(0, -1) DESCENDS, so empty-copy rows must short-circuit
+    # to an empty array (explode drops them) instead of reaching sequence
+    reps = F.when(F.col("_copies") >= 1,
+                  F.sequence(F.lit(0).cast("long"),
+                             F.col("_copies") - F.lit(1))) \
+            .otherwise(F.array().cast("array<bigint>"))
+    return (df.withColumn("_rk", rk)
+            .withColumn("_num", num_expr.cast("long"))
+            .withColumn("_den", den_expr.cast("long"))
+            .withColumn("_copies", copies)
+            .withColumn(copy_col, F.explode(reps))
+            .drop("_rk", "_num", "_den", "_copies"))

@@ -269,8 +269,15 @@ def hash_neardup(df: DataFrame, hash_col: str, id_col: str,
     adversarial hot bucket stays O(n)."""
     # persist: stats + clique l/r + star all consume the banded rows —
     # without the cache each branch re-runs the upstream plan (which for
-    # simhash is the signature UDF, for phash the image decode)
-    sigs = df.select(id_col, F.col(hash_col).alias("_hc")).persist()
+    # simhash is the signature UDF, for phash the image decode). When
+    # the caller already cached the input (simhash_dedup, the phash
+    # contract query), skip the redundant second cached copy (ADVICE
+    # r4): the projection below reads from the existing InMemoryRelation
+    lvl = df.storageLevel
+    already_cached = lvl.useMemory or lvl.useDisk
+    sigs = df.select(id_col, F.col(hash_col).alias("_hc"))
+    if not already_cached:
+        sigs = sigs.persist()
     banded = sigs.select(
         id_col, "_hc",
         F.explode(F.array(*[

@@ -141,7 +141,8 @@ def test_sample_per_key_matches_reference(spark, docs, k, seed):
     df = spark.createDataFrame(
         pd.DataFrame(docs, columns=["doc_id", "n", "src"]))
     got = sorted(r.doc_id for r in
-                 sample_per_key(df, "src", k, seed=seed).collect())
+                 sample_per_key(df, "src", k, seed=seed,
+                                method="scramble").collect())
     by_key: dict = {}
     for d, _, kk in docs:
         by_key.setdefault(kk, []).append(d)
@@ -150,3 +151,117 @@ def test_sample_per_key_matches_reference(spark, docs, k, seed):
         ids.sort(key=lambda d: (((d + seed) * PACK_SCRAMBLE) % (1 << 32), d))
         want += ids[:k]
     assert got == sorted(want)
+
+
+def test_sample_per_key_xxhash64_vs_scramble_stride_bias(spark):
+    """Differential test for the two permutation methods (VERDICT r4
+    next #2): ids laid out on the stride s = C^-1 mod 2^32 make the
+    affine scramble MONOTONE in rank — its 'sample' is exactly the
+    first-k prefix (maximally biased) — while xxhash64's avalanche
+    output still samples uniformly across the range."""
+    import pandas as pd
+    from tdei_backend_service_spark.pipeline.curation import (PACK_SCRAMBLE,
+                                                              SCRAMBLE_MAX_ID)
+    inv = pow(PACK_SCRAMBLE, -1, 1 << 32)
+    n, k = 200, 20
+    # scramble(id_j) = j (seed 0); keep only ids inside the validated
+    # scramble range — the monotone-in-j property is unaffected
+    js = [j for j in range(4 * n)
+          if (inv * j) % (1 << 32) <= SCRAMBLE_MAX_ID][:n]
+    ids = [(inv * j) % (1 << 32) for j in js]
+    rank = {d: pos for pos, d in enumerate(ids)}
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "source": "s"}))
+    scr = sorted(rank[r.doc_id] for r in
+                 sample_per_key(df, "source", k=k, seed=0,
+                                method="scramble").collect())
+    assert scr == list(range(k))  # the documented affine failure mode
+    xx = sorted(rank[r.doc_id] for r in
+                sample_per_key(df, "source", k=k, seed=0,
+                               method="xxhash64").collect())
+    assert len(xx) == k
+    assert xx != list(range(k))   # not the biased prefix
+    assert max(xx) > n // 2       # spread over the whole range
+
+
+def test_mix_domains_exact_totals_and_copy_indices(spark):
+    from tdei_backend_service_spark.pipeline.curation import mix_domains
+    rows = ([(i, "up") for i in range(10)]          # 3/1 -> 30 rows
+            + [(100 + i, "down") for i in range(10)]  # 1/3 -> 3 rows
+            + [(200 + i, "frac") for i in range(10)]  # 5/2 -> 25 rows
+            + [(300 + i, "plain") for i in range(4)])  # default 1/1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    out = mix_domains(df, "source",
+                      {"up": (3, 1), "down": (1, 3), "frac": (5, 2)}).collect()
+    per_key: dict = {}
+    for r in out:
+        per_key.setdefault(r.source, []).append((r.doc_id, r.copy))
+    assert len(per_key["up"]) == 30
+    assert len(per_key["down"]) == 3
+    assert len(per_key["frac"]) == 25
+    assert sorted(per_key["plain"]) == [(300 + i, 0) for i in range(4)]
+    # up-sampling: every row appears 3x with copies 0,1,2
+    ups: dict = {}
+    for d, c in per_key["up"]:
+        ups.setdefault(d, []).append(c)
+    assert all(sorted(v) == [0, 1, 2] for v in ups.values())
+    # down-sampling: a subset, each exactly once with copy 0
+    assert all(c == 0 for _, c in per_key["down"])
+    assert len({d for d, _ in per_key["down"]}) == 3
+    # 5/2: each row 2 or 3 copies, contiguous from 0
+    fr: dict = {}
+    for d, c in per_key["frac"]:
+        fr.setdefault(d, []).append(c)
+    assert all(sorted(v) == list(range(len(v))) and len(v) in (2, 3)
+               for v in fr.values())
+    assert sum(len(v) for v in fr.values()) == 25
+
+
+def test_mix_domains_deterministic(spark):
+    from tdei_backend_service_spark.pipeline.curation import mix_domains
+    rows = [(i, f"s{i % 2}") for i in range(50)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    w = {"s0": (1, 2), "s1": (7, 3)}
+    a = sorted((r.doc_id, r.copy) for r in mix_domains(df, "source", w).collect())
+    b = sorted((r.doc_id, r.copy) for r in mix_domains(df, "source", w).collect())
+    assert a == b
+    c = sorted((r.doc_id, r.copy)
+               for r in mix_domains(df, "source", w, seed=99).collect())
+    assert c != a  # different permutation -> different down-sampled set
+
+
+@settings(max_examples=10, deadline=None)
+@given(_docs, st.integers(0, 4), st.integers(1, 3), st.integers(0, 100))
+def test_mix_domains_matches_reference(spark, docs, num, den, seed):
+    import pandas as pd
+    from tdei_backend_service_spark.pipeline.curation import (PACK_SCRAMBLE,
+                                                              mix_domains)
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "n", "src"]))
+    got = sorted((r.src, r.doc_id, r.copy) for r in
+                 mix_domains(df, "src", {"a": (num, den)}, seed=seed,
+                             default=(2, 1), method="scramble").collect())
+    by_key: dict = {}
+    for d, _, kk in docs:
+        by_key.setdefault(kk, []).append(d)
+    want = []
+    for kk, ids in by_key.items():
+        ids.sort(key=lambda d: (((d + seed) * PACK_SCRAMBLE) % (1 << 32), d))
+        n_, d_ = (num, den) if kk == "a" else (2, 1)
+        for rk, d in enumerate(ids, start=1):
+            for c in range((rk * n_) // d_ - ((rk - 1) * n_) // d_):
+                want.append((kk, d, c))
+    assert got == sorted(want)
+
+
+def test_sample_per_key_scramble_validates_id_range(spark):
+    import pandas as pd
+    import pytest
+    from tdei_backend_service_spark.pipeline.curation import SCRAMBLE_MAX_ID
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, SCRAMBLE_MAX_ID + 10], "source": "s"}))
+    with pytest.raises(Exception, match="out of range"):
+        sample_per_key(df, "source", k=5, method="scramble").collect()
+    # xxhash64 has no range limit
+    out = sample_per_key(df, "source", k=5, method="xxhash64").collect()
+    assert len(out) == 2
