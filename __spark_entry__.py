@@ -578,6 +578,21 @@ def _q_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .select("image_id"))
 
 
+def _q_cross_modal_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-modal (image OR caption) dedup in one pass
+    (pipeline/dedup.cross_modal_dedup): real decode -> recomputed-phash
+    banded-hamming losers, UNIONed with exact caption-fingerprint
+    losers, one anti-join. The planted fixture makes the modalities
+    disagree on purpose (pixel classes k%127 vs caption classes k%89),
+    so the survivor set is closed-form: keys that are the minimum of
+    BOTH classes. Decode runs exactly once (plan-pinned in
+    tests/test_dedup.py)."""
+    from tdei_backend_service_spark.pipeline.dedup import cross_modal_dedup
+    imgs = FX.part_images_captioned(spark, sf)
+    return (cross_modal_dedup(imgs, "image_id", "caption", max_hamming=3)
+            .select("image_id"))
+
+
 def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Stateful STREAMING dedup (applyInPandasWithState, streaming/
     dedup.py) driven end-to-end: two micro-batch drops — the documents
@@ -687,6 +702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_meta": _q_decode_meta,
         # perceptual-hash image dedup over the real decode path
         "image_phash_dedup": _q_image_phash_dedup,
+        # one-pass cross-modal (phash OR caption) dedup composition
+        "cross_modal_dedup": _q_cross_modal_dedup,
         # corpus curation: sequence packing + stratified sampling
         "pack_docs": _q_pack_docs,
         "sample_per_key": _q_sample_per_key,
@@ -1105,6 +1122,18 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_dedup": """
             SELECT CAST(MIN(p_partkey) AS BIGINT) AS image_id
             FROM part GROUP BY p_partkey % 127
+        """,
+        # cross-modal survivor rule: a key survives iff it is the min of
+        # BOTH its pixel class (k%127, recomputed-phash relation) and
+        # its caption class (k%89, exact-fingerprint relation) — the
+        # two modalities disagree on purpose (127 vs 89 moduli)
+        "cross_modal_dedup": """
+            SELECT CAST(p_partkey AS BIGINT) AS image_id FROM (
+              SELECT p_partkey,
+                     MIN(p_partkey) OVER (PARTITION BY p_partkey % 127) AS mp,
+                     MIN(p_partkey) OVER (PARTITION BY p_partkey % 89) AS mc
+              FROM part)
+            WHERE p_partkey = mp AND p_partkey = mc
         """,
         # F = 3 + k%5 frames; sampled every 2nd -> idx 0,2,...; frame f
         # is 4x4x3 of constant (k+f)%256 -> pixel sum 48*((k+f)%256)

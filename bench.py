@@ -57,6 +57,8 @@ def main() -> None:
         "union_cc", "decode_meta", "image_phash_dedup",
         "pack_docs", "sample_per_key", "quality_filter", "quantize_vecs",
         "ngram_top",
+        # r5: cross-modal composition + domain-mixture resampling
+        "cross_modal_dedup", "mix_domains",
         "payload_invariants",
         "streaming_dedup", "windowed_events",
     ]

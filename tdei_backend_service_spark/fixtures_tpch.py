@@ -497,6 +497,22 @@ def supplier_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
                    lambda: _synth_supplier_videos(spark, sf_dir))
 
 
+def part_images_captioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part_images plus a caption whose duplicate classes deliberately
+    DISAGREE with the pixel classes: caption = 'cap-' || (k % 89) while
+    pixels repeat per k % 127 — so plenty of pairs match on exactly one
+    modality (same caption / different image, same image / different
+    caption). cross_modal_dedup's survivor set is then closed-form: a
+    key survives iff it is the minimum of BOTH its pixel class (k % 127)
+    and its caption class (k % 89), which is pure integer SQL. Caption
+    derivation is a string expression over the cached blob table — the
+    cache carries only synthesis-heavy columns."""
+    imgs = part_images(spark, sf_dir)
+    return imgs.withColumn(
+        "caption", F.concat(F.lit("cap-"),
+                            (F.col("image_id") % 89).cast("string")))
+
+
 def customer_images(spark: SparkSession, sf_dir: str, side: str,
                     n_dups: int = 300) -> DataFrame:
     """customer -> image-like point records for the union fixture.

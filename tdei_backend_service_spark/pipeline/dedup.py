@@ -252,16 +252,17 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     return df.withColumn("simhash", _sim.asNondeterministic()(F.col(text_col)))
 
 
-def hash_neardup(df: DataFrame, hash_col: str, id_col: str,
-                 max_hamming: int = 3,
-                 bucket_cap: int = BUCKET_CAP) -> DataFrame:
-    """Near-dedup over an EXISTING 64-bit hash column (SimHash, image
-    perceptual hash, ...): band the hash into 4 x 16-bit LSH keys
-    (pigeonhole: any pair within hamming distance 3 shares at least one
-    intact band), verify hamming distance JVM-side with bit_count, drop
-    the larger id of every verified pair.
+def hash_neardup_losers(df: DataFrame, hash_col: str, id_col: str,
+                        max_hamming: int = 3,
+                        bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """LOSER ids (the larger id of every verified near-dup pair) for a
+    64-bit hash column — the reusable core of hash_neardup, exposed so
+    composed operators (cross_modal_dedup) can union loser sets from
+    several modalities before one final anti-join.
 
-    The hamming verify runs BEFORE the pair distinct, so the distinct
+    Banding: 4 x 16-bit LSH keys (pigeonhole: any pair within hamming
+    distance 3 shares at least one intact band); hamming verified
+    JVM-side with bit_count BEFORE the pair distinct, so the distinct
     exchange only carries verified (l_id, r_id) pairs — rare by
     construction — instead of every banded candidate with both 64-bit
     signatures. Buckets larger than ``bucket_cap`` switch to the star
@@ -306,8 +307,60 @@ def hash_neardup(df: DataFrame, hash_col: str, id_col: str,
             .select(F.col("_a.i").alias("l_id"), F.col("_a.sh").alias("l_sh"),
                     F.col(id_col).alias("r_id"), F.col("_hc").alias("r_sh"))
             .filter(hamming_ok).select("l_id", "r_id"))
-    losers = (clique.unionByName(star)
-              .select(F.col("r_id").alias(id_col)).distinct())
+    return (clique.unionByName(star)
+            .select(F.col("r_id").alias(id_col)).distinct())
+
+
+def hash_neardup(df: DataFrame, hash_col: str, id_col: str,
+                 max_hamming: int = 3,
+                 bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """Near-dedup over an EXISTING 64-bit hash column (SimHash, image
+    perceptual hash, ...): drop the larger id of every verified pair
+    found by the banded-hamming core (hash_neardup_losers)."""
+    losers = hash_neardup_losers(df, hash_col, id_col,
+                                 max_hamming=max_hamming,
+                                 bucket_cap=bucket_cap)
+    return df.join(losers, id_col, "left_anti")
+
+
+def cross_modal_dedup(df: DataFrame, id_col: str = "image_id",
+                      caption_col: str = "caption",
+                      max_hamming: int = 3,
+                      bucket_cap: int = BUCKET_CAP,
+                      meta: DataFrame | None = None) -> DataFrame:
+    """Dedup (image, caption) records when EITHER modality matches: the
+    image's RECOMPUTED perceptual hash is within ``max_hamming`` of a
+    smaller-id record (banded-hamming core), OR the normalized caption
+    fingerprint matches a smaller-id record exactly (exact core). The
+    loser relation is the union of both modalities' pair relations, and
+    the min-id winner rule applies per pair — exactly the semantics of
+    running both dedups, but in ONE pass:
+
+    * the blob decode (pipeline/multimodal.decode_metadata) runs ONCE —
+      the narrow (id, phash) frame is persisted and every banding/
+      stats/clique/star branch reads the cache (plan-pinned in
+      tests/test_dedup.py: exactly one MapInPandas node);
+    * captions never need the decode at all — the exact fingerprint
+      path reads (id, caption) straight off the input;
+    * the two loser sets union (distinct on narrow ids) into one final
+      anti-join against the ORIGINAL frame, so undecodable rows pass
+      through (they can only lose by caption).
+
+    Scale shape: decode is map-only (bytes never shuffle); both loser
+    paths exchange only narrow (id/hash/fingerprint) rows."""
+    from .multimodal import decode_metadata
+    if meta is None:
+        meta = decode_metadata(df, id_col)
+    sigs = meta.select(id_col, "phash").persist()
+    phash_losers = hash_neardup_losers(sigs, "phash", id_col,
+                                       max_hamming=max_hamming,
+                                       bucket_cap=bucket_cap)
+    norm = F.regexp_replace(F.trim(F.lower(F.col(caption_col))), r"\s+", " ")
+    keyed = df.select(id_col, F.md5(norm).alias("_fp"))
+    winners = keyed.groupBy("_fp").agg(F.min(id_col).alias("_w"))
+    cap_losers = (keyed.join(winners, "_fp")
+                  .filter(F.col(id_col) != F.col("_w")).select(id_col))
+    losers = phash_losers.unionByName(cap_losers).distinct()
     return df.join(losers, id_col, "left_anti")
 
 

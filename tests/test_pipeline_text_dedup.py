@@ -315,6 +315,69 @@ def test_image_phash_dedup_star_capped(spark):
     assert sorted(r.image_id for r in out.collect()) == [1, 2, 3, 4, 5]
 
 
+def _planted_image_bytes(cls: int, fmt: str = "png") -> bytes:
+    """8x8-block image whose ahash64 equals phash_class_value(cls)
+    exactly (the part_images construction)."""
+    import numpy as np
+    from tdei_backend_service_spark.codecs.image import encode_image
+    from tdei_backend_service_spark.fixtures_tpch import phash_class_value
+    v = phash_class_value(cls)
+    cell = np.array([[(v >> (63 - (8 * i + j))) & 1 for j in range(8)]
+                     for i in range(8)], dtype=np.uint8)
+    img = np.stack([np.where(cell == 1, 200, 40).astype(np.uint8)] * 3,
+                   axis=-1)
+    return encode_image(img, fmt)
+
+
+def test_cross_modal_dedup_union_semantics(spark):
+    """A record loses when EITHER modality ties it to a smaller id:
+    planted rows where phash and caption deliberately disagree, plus an
+    undecodable blob that can only lose by caption."""
+    a, b, c = (_planted_image_bytes(k) for k in (1, 2, 3))
+    rows = [
+        (1, a, "png", "x"),        # survivor (min of both classes)
+        (2, a, "png", "y"),        # loser: image matches 1
+        (3, b, "png", "x"),        # loser: caption matches 1
+        (4, b, "png", "z"),        # loser: image matches 3
+        (5, c, "png", "w"),        # survivor: unique on both
+        (6, b"not an image", "png", "u"),   # undecodable -> passthrough
+        (7, b"also garbage", "png", "u"),   # loser: caption matches 6
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "fmt", "caption"]))
+    out = D.cross_modal_dedup(df, "image_id", "caption", max_hamming=3)
+    assert sorted(r.image_id for r in out.collect()) == [1, 5, 6]
+
+
+def test_cross_modal_dedup_single_decode_in_plan(spark):
+    """The composition runs the blob decode EXACTLY once: the physical
+    plan contains one MapInPandas node (decode_metadata), everything
+    downstream reads the persisted narrow (id, phash) frame."""
+    rows = [(k, _planted_image_bytes(k % 3), "png", f"cap-{k % 2}")
+            for k in range(1, 20)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "fmt", "caption"]))
+    out = D.cross_modal_dedup(df, "image_id", "caption")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every MapInPandas occurrence in the plan text is a REPRINT of the
+    # one cached decode child (InMemoryRelation repeats its child plan
+    # at every scan site): all carry the same UDF expression id, and
+    # each sits under an InMemoryRelation — so the decode is a single
+    # plan instance materialized once into the cache
+    import re
+    sigs = set(re.findall(r"MapInPandas \S+#\d+", plan))
+    assert len(sigs) == 1, sigs
+    assert plan.count("MapInPandas") == plan.count("InMemoryRelation")
+    # min of both classes: pixel classes {1,2,3(->0 is k%3 of 3)} and
+    # caption classes {0,1} -> survivors = keys minimal in both
+    got = sorted(r.image_id for r in out.collect())
+    mins_p = {m: min(k for k in range(1, 20) if k % 3 == m) for m in range(3)}
+    mins_c = {m: min(k for k in range(1, 20) if k % 2 == m) for m in range(2)}
+    want = sorted(k for k in range(1, 20)
+                  if k == mins_p[k % 3] and k == mins_c[k % 2])
+    assert got == want
+
+
 def test_ngram_counts_basic_and_short_docs(spark):
     rows = [(0, "a b a b c"), (1, "a b"), (2, "solo"), (3, "")]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
