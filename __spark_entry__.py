@@ -246,6 +246,20 @@ def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
             .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank")))
 
 
+def _q_ivf_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantized IVF (similarity.ivf_topk_quantized): the bucket scan
+    reads int8 codes + scale only (4x smaller), the exact float kernel
+    re-ranks the best 32 candidates per query. At nprobe = n_centroids
+    the result is the exact brute-force top-k, so the memory-optimized
+    scan plan shares the brute-force SQL oracle."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return (SIM.ivf_topk_quantized(emb, queries, k=5, n_centroids=8,
+                                   nprobe=8, rerank=32)
+            .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank")))
+
+
 def _payload_rows_for(sf: str) -> int:
     """Synthesized-image count scales with the scale factor (VERDICT r2
     next #8): sf0.001 -> 200, sf0.01 -> 2000, sf0.1 -> 20000."""
@@ -678,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash,
         "embedding_neardup": _q_embed_neardup,
         "ivf_topk": _q_ivf_topk,
+        # int8-scan + float-rerank IVF (exact at full probe)
+        "ivf_quantized_topk": _q_ivf_quantized,
         # rows-only: pixel decode invariants are genuinely non-SQL
         "payload_invariants": _q_payload_invariants,
         "winnow_fingerprint": _q_winnow,
@@ -832,6 +848,8 @@ def oracle_sql() -> dict[str, str]:
         # IVF with nprobe = n_centroids is exact, so the scale-path plan
         # shares the brute-force oracle.
         "ivf_topk": _TOPK_SQL,
+        # quantized scan + exact float re-rank at full probe: also exact
+        "ivf_quantized_topk": _TOPK_SQL,
         # Planted-corpus dedup survivor sets (closed-form; see
         # fixtures_tpch.planted_documents / planted_embeddings for why
         # removal AND survival are deterministic, not probabilistic).

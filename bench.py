@@ -57,8 +57,9 @@ def main() -> None:
         "union_cc", "decode_meta", "image_phash_dedup",
         "pack_docs", "sample_per_key", "quality_filter", "quantize_vecs",
         "ngram_top",
-        # r5: cross-modal composition + domain-mixture resampling
-        "cross_modal_dedup", "mix_domains",
+        # r5: cross-modal composition, domain-mixture resampling, and
+        # the int8-scan + float-rerank IVF path
+        "cross_modal_dedup", "mix_domains", "ivf_quantized_topk",
         "payload_invariants",
         "streaming_dedup", "windowed_events",
     ]

@@ -53,6 +53,41 @@ def test_ivf_recall(spark, vectors):
     assert recall >= 0.9  # clustered data, 3 of 8 probes
 
 
+def test_ivf_quantized_exact_at_full_probe(spark, vectors):
+    """With every bucket probed and the exact float re-rank, the
+    int8-scan path returns the exact brute-force top-k (the contract-
+    row configuration)."""
+    df, _ = vectors
+    queries = df.limit(5).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = S.brute_force_topk(df, queries, k=5)
+    quant = S.ivf_topk_quantized(df, queries, k=5, n_centroids=8, nprobe=8,
+                                 rerank=32)
+    e = sorted((r.q_id, r.rank, r.vec_id) for r in exact.collect())
+    q = sorted((r.q_id, r.rank, r.vec_id) for r in quant.collect())
+    assert e == q
+
+
+def test_ivf_quantized_recall_not_below_ivf_minus_eps(spark, vectors):
+    """At nprobe < n_centroids the quantized scan+rerank recalls at
+    least (within one hit) what the float IVF path recalls — the int8
+    approximation must not cost recall beyond the epsilon the re-rank
+    absorbs."""
+    df, _ = vectors
+    queries = df.sample(0.1, seed=4).limit(8).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    exact = {(r.q_id, r.vec_id)
+             for r in S.brute_force_topk(df, queries, k=10).collect()}
+    ivf = {(r.q_id, r.vec_id)
+           for r in S.ivf_topk(df, queries, k=10, n_centroids=8,
+                               nprobe=3).collect()}
+    quant = {(r.q_id, r.vec_id)
+             for r in S.ivf_topk_quantized(df, queries, k=10, n_centroids=8,
+                                           nprobe=3, rerank=40).collect()}
+    r_ivf = len(exact & ivf) / len(exact)
+    r_quant = len(exact & quant) / len(exact)
+    assert r_quant >= r_ivf - 1 / len(exact)
+
+
 def test_ivf_scans_fraction_of_corpus(spark, vectors):
     df, _ = vectors
     C = S.train_centroids(df, 8)
