@@ -132,6 +132,21 @@ COMMENTARY = {
     "quality_filter": "Per-domain quality cut: score expression in "
                       "codegen, one exchange on the key, two windows "
                       "sharing the partitioning, integer rank filter.",
+    "cross_modal_dedup": "Decode ONCE into a persisted narrow (id, "
+                         "phash) frame; banded-hamming losers and exact "
+                         "caption-fingerprint losers union (narrow ids "
+                         "only) into one anti-join. Every MapInPandas "
+                         "occurrence in the text is a cached-child "
+                         "reprint of the single decode.",
+    "mix_domains": "Domain-mixture resampling: one exchange on the "
+                   "stratification key, window rank, telescoping "
+                   "integer copy rule in codegen, map-side explode of "
+                   "the replica sequence.",
+    "ivf_quantized_topk": "Int8 scan: bucket equi-join carries (codes, "
+                          "scale) only; reconstruction + approx cosine "
+                          "in codegen; window cut to rerank candidates; "
+                          "narrow id-join back to float vectors for the "
+                          "exact re-rank window.",
     "streaming_dedup": "UNSTARTED streaming plan (the template the "
                        "micro-batch engine instantiates): stateful "
                        "FlatMapGroupsInPandasWithState keyed by the md5 "
