@@ -380,7 +380,12 @@ def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     tag = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(root, f"v{_CACHE_VERSION}", tag, name)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build().write.mode("overwrite").parquet(path)
+        # spread the cache over many files: the source TPC-H parquet is
+        # a single small file (one task), and blob tables must read back
+        # with enough splits that downstream decode stages parallelize —
+        # parquet's open-cost accounting gives one task per small file
+        n_shards = int(spark.sparkContext.defaultParallelism) or 8
+        build().repartition(n_shards).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
