@@ -148,10 +148,34 @@ BROADCAST_TEXTS_MAX_ROWS = 2_000_000
 BROADCAST_TEXTS_MAX_BYTES = 512 << 20  # est. corpus bytes gate (VERDICT r1 #7)
 
 
+def _finalize_losers(losers: DataFrame, caches: list[DataFrame],
+                     release_cache: bool) -> DataFrame:
+    """Bound cache lifetime (ADVICE r4): eagerly materialize the NARROW
+    loser-id relation via localCheckpoint — ids only, tiny next to the
+    signature/vector frame it lets us drop — then release the wide
+    caches this operator created. Without this, every dedup call in a
+    long-lived session leaks its cached signature frame (memory +
+    disk blocks that LRU eviction never reclaims once spilled).
+
+    The checkpointed ids stay as executor-local blocks until the
+    DataFrame is garbage-collected; on executor loss they are NOT
+    recomputable. Pass ``release_cache=False`` to keep the classic lazy
+    lineage instead (the caller then owns the persisted frames'
+    lifecycle) — e.g. on preemptible clusters, or when pinning plans
+    for inspection."""
+    if not release_cache:
+        return losers
+    losers = losers.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return losers
+
+
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.8, num_hashes: int = 64,
                   bands: int = 8, shingle_k: int = 5,
-                  broadcast_texts: bool | None = None) -> DataFrame:
+                  broadcast_texts: bool | None = None,
+                  release_cache: bool = True) -> DataFrame:
     """Near-dedup: MinHash LSH candidates -> exact n-gram Jaccard verify
     (>= threshold) -> drop the larger id of each verified pair.
 
@@ -191,10 +215,12 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                      .agg(F.sum("sz")).first()[0]) or 0
             broadcast_texts = total <= BROADCAST_TEXTS_MAX_BYTES
 
+    bcast = None
     if broadcast_texts:
         rows = df.select(id_col, text_col).collect()
         lookup = df.sparkSession.sparkContext.broadcast(
             {r[0]: r[1] for r in rows})
+        bcast = lookup
 
         @F.pandas_udf(T.DoubleType())
         def _jac_by_id(l_id: pd.Series, r_id: pd.Series) -> pd.Series:
@@ -220,6 +246,10 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         verified = pairs.filter(jac(F.col("l_text"), F.col("r_text")) >= threshold)
 
     losers = verified.select(F.col("r_id").alias(id_col)).distinct()
+    losers = _finalize_losers(losers, [sig_narrow], release_cache)
+    if release_cache and bcast is not None:
+        # losers are materialized, so the executors' text dict can go too
+        bcast.unpersist()
     return df.join(losers, id_col, "left_anti")
 
 
@@ -254,7 +284,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 def hash_neardup_losers(df: DataFrame, hash_col: str, id_col: str,
                         max_hamming: int = 3,
-                        bucket_cap: int = BUCKET_CAP) -> DataFrame:
+                        bucket_cap: int = BUCKET_CAP,
+                        release_cache: bool = True) -> DataFrame:
     """LOSER ids (the larger id of every verified near-dup pair) for a
     64-bit hash column — the reusable core of hash_neardup, exposed so
     composed operators (cross_modal_dedup) can union loser sets from
@@ -307,19 +338,26 @@ def hash_neardup_losers(df: DataFrame, hash_col: str, id_col: str,
             .select(F.col("_a.i").alias("l_id"), F.col("_a.sh").alias("l_sh"),
                     F.col(id_col).alias("r_id"), F.col("_hc").alias("r_sh"))
             .filter(hamming_ok).select("l_id", "r_id"))
-    return (clique.unionByName(star)
-            .select(F.col("r_id").alias(id_col)).distinct())
+    losers = (clique.unionByName(star)
+              .select(F.col("r_id").alias(id_col)).distinct())
+    # only finalize a cache WE created; when the caller cached the input
+    # (simhash_dedup, cross_modal_dedup, the phash contract query) the
+    # losers stay lazy and the caller owns the lifecycle
+    return _finalize_losers(losers, [sigs],
+                            release_cache and not already_cached)
 
 
 def hash_neardup(df: DataFrame, hash_col: str, id_col: str,
                  max_hamming: int = 3,
-                 bucket_cap: int = BUCKET_CAP) -> DataFrame:
+                 bucket_cap: int = BUCKET_CAP,
+                 release_cache: bool = True) -> DataFrame:
     """Near-dedup over an EXISTING 64-bit hash column (SimHash, image
     perceptual hash, ...): drop the larger id of every verified pair
     found by the banded-hamming core (hash_neardup_losers)."""
     losers = hash_neardup_losers(df, hash_col, id_col,
                                  max_hamming=max_hamming,
-                                 bucket_cap=bucket_cap)
+                                 bucket_cap=bucket_cap,
+                                 release_cache=release_cache)
     return df.join(losers, id_col, "left_anti")
 
 
@@ -327,7 +365,8 @@ def cross_modal_dedup(df: DataFrame, id_col: str = "image_id",
                       caption_col: str = "caption",
                       max_hamming: int = 3,
                       bucket_cap: int = BUCKET_CAP,
-                      meta: DataFrame | None = None) -> DataFrame:
+                      meta: DataFrame | None = None,
+                      release_cache: bool = True) -> DataFrame:
     """Dedup (image, caption) records when EITHER modality matches: the
     image's RECOMPUTED perceptual hash is within ``max_hamming`` of a
     smaller-id record (banded-hamming core), OR the normalized caption
@@ -339,7 +378,9 @@ def cross_modal_dedup(df: DataFrame, id_col: str = "image_id",
     * the blob decode (pipeline/multimodal.decode_metadata) runs ONCE —
       the narrow (id, phash) frame is persisted and every banding/
       stats/clique/star branch reads the cache (plan-pinned in
-      tests/test_dedup.py: exactly one MapInPandas node);
+      tests/test_pipeline_text_dedup.py with release_cache=False:
+      exactly one MapInPandas node; the default eagerly materializes
+      the loser ids and releases the cache, see _finalize_losers);
     * captions never need the decode at all — the exact fingerprint
       path reads (id, caption) straight off the input;
     * the two loser sets union (distinct on narrow ids) into one final
@@ -361,22 +402,28 @@ def cross_modal_dedup(df: DataFrame, id_col: str = "image_id",
     cap_losers = (keyed.join(winners, "_fp")
                   .filter(F.col(id_col) != F.col("_w")).select(id_col))
     losers = phash_losers.unionByName(cap_losers).distinct()
+    losers = _finalize_losers(losers, [sigs], release_cache)
     return df.join(losers, id_col, "left_anti")
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3,
-                  bucket_cap: int = BUCKET_CAP) -> DataFrame:
+                  bucket_cap: int = BUCKET_CAP,
+                  release_cache: bool = True) -> DataFrame:
     """Near-dedup via SimHash: signatures (simhash_signatures) +
-    the generic banded-hamming core (hash_neardup)."""
-    # persist the narrow signature frame: hash_neardup's final
-    # anti-join re-evaluates its input plan, and without the cache that
-    # means a second signature-UDF pass over the corpus
+    the generic banded-hamming core (hash_neardup_losers), one final
+    anti-join against the ORIGINAL frame (loser ids are a subset of the
+    input's, so no survivor re-join is needed)."""
+    # persist the narrow signature frame: every banding/stats/clique/
+    # star branch re-evaluates its input plan, and without the cache
+    # that means repeated signature-UDF passes over the corpus
     sigs = (simhash_signatures(df, text_col)
             .select(id_col, "simhash").persist())
-    survivors = hash_neardup(sigs, "simhash", id_col,
-                             max_hamming=max_hamming, bucket_cap=bucket_cap)
-    return df.join(survivors.select(id_col), id_col, "inner")
+    losers = hash_neardup_losers(sigs, "simhash", id_col,
+                                 max_hamming=max_hamming,
+                                 bucket_cap=bucket_cap)
+    losers = _finalize_losers(losers, [sigs], release_cache)
+    return df.join(losers, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -388,7 +435,8 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
                     id_col: str = "vec_id", threshold: float = 0.98,
                     planes: int = 16, bands: int = 2, seed: int = 11,
                     bucket_cap: int = BUCKET_CAP,
-                    multiprobe: bool = False) -> DataFrame:
+                    multiprobe: bool = False,
+                    release_cache: bool = True) -> DataFrame:
     """Near-dup vectors: ``bands`` independent random-hyperplane LSH
     keys per vector (each over its own ``planes`` hyperplanes), exact
     cosine verify JVM-side via zip_with/aggregate, drop larger ids.
@@ -475,4 +523,5 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
                        .filter(cos_ok).select("l_id", "r_id"))
         pairs = pairs.unionByName(probe_pairs)
     losers = pairs.select(F.col("r_id").alias(id_col)).distinct()
+    losers = _finalize_losers(losers, [keyed], release_cache)
     return df.join(losers, id_col, "left_anti")

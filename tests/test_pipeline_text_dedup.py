@@ -357,7 +357,11 @@ def test_cross_modal_dedup_single_decode_in_plan(spark):
             for k in range(1, 20)]
     df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["image_id", "bytes", "fmt", "caption"]))
-    out = D.cross_modal_dedup(df, "image_id", "caption")
+    # release_cache=False keeps the lazy composition so the plan can be
+    # inspected; the default eagerly materializes the loser ids and the
+    # decode disappears from the final plan entirely (see
+    # test_dedup_release_cache_bounds_session_memory)
+    out = D.cross_modal_dedup(df, "image_id", "caption", release_cache=False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     # every MapInPandas occurrence in the plan text is a REPRINT of the
     # one cached decode child (InMemoryRelation repeats its child plan
@@ -388,3 +392,45 @@ def test_ngram_counts_basic_and_short_docs(spark):
     assert [(r.ngram, r.n) for r in top] == [("a b", 3), ("b a", 1)]
     # trigrams over a 2-word doc: empty (sequence guard)
     assert X.ngram_counts(df.filter("doc_id = 1"), n=3).count() == 0
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_dedup_release_cache_bounds_session_memory(spark, docs):
+    """Default release_cache=True: each dedup call leaves AT MOST one
+    persistent block behind — the localCheckpointed narrow loser-id
+    relation (freed when the result is GC'd) — never the wide
+    signature/vector cache (ADVICE r4: long-lived sessions leaked two
+    cached frames per call)."""
+    docs.count()  # materialize the fixture cache into the baseline
+    base = _n_persistent(spark)
+
+    out1 = D.simhash_dedup(docs, max_hamming=3)
+    assert out1.count() > 0
+    assert _n_persistent(spark) <= base + 1
+
+    out2 = D.minhash_dedup(docs, threshold=0.8)
+    assert out2.count() > 0
+    assert _n_persistent(spark) <= base + 2
+
+    # uncached input exercises hash_neardup_losers' OWN persist path
+    hashed = docs.select("doc_id", F.xxhash64("text").alias("h"))
+    out3 = D.hash_neardup(hashed, "h", "doc_id", max_hamming=0)
+    assert out3.count() > 0
+    assert _n_persistent(spark) <= base + 3
+
+    emb = docs.sparkSession.createDataFrame(
+        pd.DataFrame({"vec_id": range(6),
+                      "embedding": [[float(i), 1.0, 0.5] for i in range(6)]}))
+    out4 = D.embedding_dedup(emb, threshold=0.98)
+    assert out4.count() > 0
+    assert _n_persistent(spark) <= base + 4
+
+    # release_cache=False keeps the classic lazy lineage: the caller
+    # owns (and here releases) the persisted frames
+    before = _n_persistent(spark)
+    out5 = D.simhash_dedup(docs, max_hamming=3, release_cache=False)
+    assert out5.count() > 0
+    assert _n_persistent(spark) >= before + 1
