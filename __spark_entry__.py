@@ -592,6 +592,30 @@ def _q_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .select("image_id"))
 
 
+def _q_incremental_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest dedup (pipeline/dedup.incremental_hash_neardup)
+    over the REAL decode path: the committed corpus is the stored narrow
+    phash relation of classes k%127 < 80; a new drop delivers classes
+    k%127 >= 60 — 20 classes overlap (re-delivery; every such batch row
+    loses to the corpus, no id comparison), classes >= 80 are new (the
+    ordinary within-batch min-id rule admits one winner each). Survivors
+    = min part key per batch-only class, closed-form because classes are
+    pixel-identical within and >= 17 hamming bits apart across
+    (fixtures_tpch.phash_class_value)."""
+    from tdei_backend_service_spark.pipeline.dedup import \
+        incremental_hash_neardup
+    from tdei_backend_service_spark.pipeline.multimodal import decode_metadata
+    # decode once, split after: the corpus side only needs the narrow
+    # (phash) relation, exactly what a previous drop would have stored
+    meta = decode_metadata(FX.part_images(spark, sf)).persist()
+    corpus = meta.filter(F.col("image_id") % 127 < 80).select("phash")
+    batch = (meta.filter(F.col("image_id") % 127 >= 60)
+             .select("image_id", "phash"))
+    return (incremental_hash_neardup(batch, corpus, "phash", "image_id",
+                                     max_hamming=3)
+            .select("image_id"))
+
+
 def _q_cross_modal_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-modal (image OR caption) dedup in one pass
     (pipeline/dedup.cross_modal_dedup): real decode -> recomputed-phash
@@ -720,6 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dedup": _q_image_phash_dedup,
         # one-pass cross-modal (phash OR caption) dedup composition
         "cross_modal_dedup": _q_cross_modal_dedup,
+        # incremental ingest dedup vs a committed corpus (no history re-pair)
+        "incremental_phash_dedup": _q_incremental_phash_dedup,
         # corpus curation: sequence packing + stratified sampling
         "pack_docs": _q_pack_docs,
         "sample_per_key": _q_sample_per_key,
@@ -1140,6 +1166,15 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_dedup": """
             SELECT CAST(MIN(p_partkey) AS BIGINT) AS image_id
             FROM part GROUP BY p_partkey % 127
+        """,
+        # incremental ingest dedup: batch = classes k%127 >= 60; the
+        # 20 overlapping classes (60..79) lose to the committed corpus
+        # (classes < 80), so survivors are exactly the min batch key of
+        # each batch-only class (>= 80)
+        "incremental_phash_dedup": """
+            SELECT CAST(MIN(p_partkey) AS BIGINT) AS image_id
+            FROM part WHERE p_partkey % 127 >= 80
+            GROUP BY p_partkey % 127
         """,
         # cross-modal survivor rule: a key survives iff it is the min of
         # BOTH its pixel class (k%127, recomputed-phash relation) and

@@ -59,7 +59,8 @@ def main() -> None:
         "ngram_top",
         # r5: cross-modal composition, domain-mixture resampling, and
         # the int8-scan + float-rerank IVF path
-        "cross_modal_dedup", "mix_domains", "ivf_quantized_topk",
+        "cross_modal_dedup", "incremental_phash_dedup",
+        "mix_domains", "ivf_quantized_topk",
         "payload_invariants",
         "streaming_dedup", "windowed_events",
     ]

@@ -282,6 +282,21 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     return df.withColumn("simhash", _sim.asNondeterministic()(F.col(text_col)))
 
 
+def _banded16(sigs: DataFrame, cols: list[str]) -> DataFrame:
+    """Explode a frame carrying ``_hc: bigint`` into 4 x 16-bit LSH band
+    rows (band, bucket): the pigeonhole banding every 64-bit-hash dedup
+    path shares — any pair within hamming distance 3 agrees on at least
+    one intact band."""
+    return (sigs.select(
+        *cols, "_hc",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright(F.col("_hc"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                      .alias("bucket"))
+            for b in range(4)])).alias("bb"))
+        .select(*cols, "_hc", "bb.band", "bb.bucket"))
+
+
 def hash_neardup_losers(df: DataFrame, hash_col: str, id_col: str,
                         max_hamming: int = 3,
                         bucket_cap: int = BUCKET_CAP,
@@ -310,14 +325,7 @@ def hash_neardup_losers(df: DataFrame, hash_col: str, id_col: str,
     sigs = df.select(id_col, F.col(hash_col).alias("_hc"))
     if not already_cached:
         sigs = sigs.persist()
-    banded = sigs.select(
-        id_col, "_hc",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.shiftright(F.col("_hc"), b * 16).bitwiseAND(F.lit(0xFFFF))
-                      .alias("bucket"))
-            for b in range(4)])).alias("bb")
-    ).select(id_col, "_hc", "bb.band", "bb.bucket")
+    banded = _banded16(sigs, [id_col])
     stats = banded.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(F.struct(F.col(id_col).alias("i"),
@@ -359,6 +367,57 @@ def hash_neardup(df: DataFrame, hash_col: str, id_col: str,
                                  bucket_cap=bucket_cap,
                                  release_cache=release_cache)
     return df.join(losers, id_col, "left_anti")
+
+
+def incremental_hash_neardup(batch: DataFrame, corpus: DataFrame,
+                             hash_col: str, id_col: str,
+                             max_hamming: int = 3,
+                             bucket_cap: int = BUCKET_CAP,
+                             release_cache: bool = True) -> DataFrame:
+    """Dedup a NEW ingest batch against an already-committed corpus
+    without re-deduping the corpus — the operator that keeps continuous
+    ingestion O(|batch| + |corpus hashes touched|) at 10^12-row scale,
+    where re-pairing history against itself on every drop is not a plan.
+
+    A batch row loses when EITHER
+      * its hash is within ``max_hamming`` of ANY corpus hash — the
+        corpus always wins (its rows are already published), so there is
+        no id comparison on this path; or
+      * it loses the ordinary min-id rule WITHIN the batch
+        (hash_neardup_losers), so one drop containing its own near-dups
+        still admits exactly one winner per group.
+
+    ``corpus`` needs only the stored narrow hash relation (any frame
+    carrying ``hash_col``; ids are not read) — in a real pipeline that
+    is the signature table the previous drops committed, not the blobs.
+
+    Scale shape: the corpus side collapses to DISTINCT hashes per
+    (band, bucket) before the equi-join, so an identical-hash flood
+    (the adversarial hot bucket) contributes ONE corpus row per band;
+    the hamming verify runs JVM-side (bit_count) BEFORE the per-id
+    distinct, so only matched batch ids cross the final exchange.
+    Existence-vs-corpus semantics admit no star-anchor shortcut: a
+    bucket with many DISTINCT corpus hashes is processed in full
+    (|batch_bucket| x |distinct corpus hashes| verified candidates);
+    with 4 x 16-bit bands that requires corpus hash diversity
+    approaching the bucket space itself."""
+    batch_sigs = batch.select(id_col, F.col(hash_col).alias("_hc")).persist()
+    # within-batch min-id rule; batch_sigs is cached, so the losers stay
+    # lazy and this function owns the cache lifecycle
+    within = hash_neardup_losers(batch_sigs, "_hc", id_col,
+                                 max_hamming=max_hamming,
+                                 bucket_cap=bucket_cap)
+    corpus_b = (_banded16(corpus.select(F.col(hash_col).alias("_hc")), [])
+                .dropDuplicates(["band", "bucket", "_hc"])
+                .select("band", "bucket", F.col("_hc").alias("_ch")))
+    batch_b = _banded16(batch_sigs, [id_col])
+    cross = (batch_b.join(corpus_b, ["band", "bucket"])
+             .filter(F.bit_count(F.col("_hc").bitwiseXOR(F.col("_ch")))
+                     <= max_hamming)
+             .select(id_col))
+    losers = within.unionByName(cross).distinct()
+    losers = _finalize_losers(losers, [batch_sigs], release_cache)
+    return batch.join(losers, id_col, "left_anti")
 
 
 def cross_modal_dedup(df: DataFrame, id_col: str = "image_id",

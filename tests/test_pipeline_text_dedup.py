@@ -434,3 +434,51 @@ def test_dedup_release_cache_bounds_session_memory(spark, docs):
     out5 = D.simhash_dedup(docs, max_hamming=3, release_cache=False)
     assert out5.count() > 0
     assert _n_persistent(spark) >= before + 1
+
+
+def test_incremental_hash_neardup_semantics(spark):
+    """Batch rows lose to ANY corpus hash within the hamming budget
+    (no id comparison — the corpus is already published) and to the
+    ordinary min-id rule within the batch; everything else survives.
+    The corpus frame carries ONLY the hash column, proving the stored
+    narrow signature relation is all the operator needs."""
+    HA = 0x0F0F0F0F0F0F0F0F
+    HB = 0x00FF00FF00FF00FF
+    corpus = spark.createDataFrame(pd.DataFrame({"h": [HA]}))
+    rows = [
+        (1, HA),            # exact corpus match -> loses
+        (2, HA ^ 0b11),     # hamming 2 from corpus -> loses
+        (3, HB),            # within-batch winner -> survives
+        (4, HB),            # within-batch dup of 3 -> loses
+        (5, HA ^ 0x1111),   # hamming 4 from corpus, far from HB -> survives
+    ]
+    batch = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "h"]))
+    out = D.incremental_hash_neardup(batch, corpus, "h", "doc_id",
+                                     max_hamming=3)
+    assert sorted(r.doc_id for r in out.collect()) == [3, 5]
+
+
+def test_incremental_hash_neardup_empty_corpus_matches_batch_dedup(spark):
+    rows = [(i, (i % 3) * 0x1000_0000_0000_0001) for i in range(30)]
+    batch = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "h"]))
+    corpus = batch.select("h").filter(F.lit(False))
+    inc = D.incremental_hash_neardup(batch, corpus, "h", "doc_id",
+                                     max_hamming=0)
+    plain = D.hash_neardup(batch, "h", "doc_id", max_hamming=0)
+    assert (sorted(r.doc_id for r in inc.collect())
+            == sorted(r.doc_id for r in plain.collect()) == [0, 1, 2])
+
+
+def test_incremental_hash_neardup_corpus_flood_collapses(spark):
+    """An identical-hash flood in the corpus (the adversarial hot
+    bucket) collapses to one distinct hash per band before the join —
+    the batch still dedups exactly, and smaller batch ids than every
+    corpus id still lose (corpus wins without id comparison)."""
+    flood = spark.createDataFrame(
+        pd.DataFrame({"h": [0x1234_5678_9ABC_DEF0] * 5000}))
+    rows = [(0, 0x1234_5678_9ABC_DEF0),   # id 0 < all corpus rows: loses anyway
+            (1, 0x7654_3210_0FED_CBA9)]   # unrelated: survives
+    batch = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "h"]))
+    out = D.incremental_hash_neardup(batch, flood, "h", "doc_id",
+                                     max_hamming=3)
+    assert sorted(r.doc_id for r in out.collect()) == [1]

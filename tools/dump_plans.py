@@ -138,6 +138,13 @@ COMMENTARY = {
                          "only) into one anti-join. Every MapInPandas "
                          "occurrence in the text is a cached-child "
                          "reprint of the single decode.",
+    "incremental_phash_dedup": "Incremental ingest dedup: decode once; "
+                               "corpus side collapses to DISTINCT "
+                               "hashes per (band, bucket) before the "
+                               "equi-join, bit_count verify before the "
+                               "id distinct; within-batch losers union "
+                               "in; one anti-join. History is never "
+                               "re-paired against itself.",
     "mix_domains": "Domain-mixture resampling: one exchange on the "
                    "stratification key, window rank, telescoping "
                    "integer copy rule in codegen, map-side explode of "
