@@ -26,7 +26,8 @@ from tdei_backend_service_spark.operators.pagination import dynamic_query
 from tdei_backend_service_spark.operators.spatial_join import spatial_join
 from tdei_backend_service_spark.operators.tag_road import dataset_tag_road
 from tdei_backend_service_spark.operators.tiling import assign_tiles
-from tdei_backend_service_spark.operators.union_dataset import union_dataset
+from tdei_backend_service_spark.operators.union_dataset import (
+    incremental_union_dataset, union_dataset)
 from tdei_backend_service_spark.pipeline import dedup as DD
 from tdei_backend_service_spark.pipeline import similarity as SIM
 from tdei_backend_service_spark.pipeline import text as TX
@@ -616,6 +617,36 @@ def _q_incremental_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .select("image_id"))
 
 
+def _q_incremental_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Geospatial incremental ingest: admit a new drop into an
+    already-unioned dataset (operators/union_dataset.
+    incremental_union_dataset) — a batch record loses to any committed
+    record within proximity sharing the payload keys (no rank rule), or
+    to the min-winner rule within the drop. Scenarios per custkey % 4
+    exercise corpus-proximity loss, payload-key mismatch survival,
+    within-batch loss, and distance survival — see
+    fixtures_tpch.planted_union_batch."""
+    corpus, batch = FX.planted_union_batch(spark, sf)
+    return (incremental_union_dataset(batch, corpus)
+            .select("image_id"))
+
+
+def _q_incremental_embedding_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector-side incremental ingest dedup
+    (pipeline/dedup.incremental_embedding_dedup): the committed corpus
+    is the base embeddings table (vector-only relation); the new drop
+    carries exact copies of corpus vectors (lose to the corpus, no id
+    rule), negated vectors (cos = -1 vs parent — far from the whole
+    corpus), and exact copies of those negated vectors (lose WITHIN the
+    batch to the smaller id). Survivors = the negated rows exactly —
+    see fixtures_tpch.planted_embedding_batch."""
+    from tdei_backend_service_spark.pipeline.dedup import \
+        incremental_embedding_dedup
+    corpus, batch = FX.planted_embedding_batch(spark, sf)
+    return (incremental_embedding_dedup(batch, corpus, threshold=0.98)
+            .select("vec_id"))
+
+
 def _q_cross_modal_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-modal (image OR caption) dedup in one pass
     (pipeline/dedup.cross_modal_dedup): real decode -> recomputed-phash
@@ -746,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_modal_dedup": _q_cross_modal_dedup,
         # incremental ingest dedup vs a committed corpus (no history re-pair)
         "incremental_phash_dedup": _q_incremental_phash_dedup,
+        "incremental_embedding_dedup": _q_incremental_embedding_dedup,
+        "incremental_union": _q_incremental_union,
         # corpus curation: sequence packing + stratified sampling
         "pack_docs": _q_pack_docs,
         "sample_per_key": _q_sample_per_key,
@@ -1175,6 +1208,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(MIN(p_partkey) AS BIGINT) AS image_id
             FROM part WHERE p_partkey % 127 >= 80
             GROUP BY p_partkey % 127
+        """,
+        # geospatial incremental ingest: scenario table per custkey % 4
+        # (see fixtures_tpch.planted_union_batch) — survivors are the
+        # payload-mismatch record, the within-batch min winner, and the
+        # out-of-proximity record
+        "incremental_union": """
+            SELECT CAST(c_custkey * 10 + 1 AS BIGINT) AS image_id
+            FROM customer WHERE c_custkey % 4 IN (1, 2)
+            UNION ALL
+            SELECT CAST(c_custkey * 10 + 3 AS BIGINT) AS image_id
+            FROM customer WHERE c_custkey % 4 = 3
+        """,
+        # vector-side incremental dedup: copies of corpus vectors lose
+        # to the corpus, negated vectors are far from everything
+        # (|cos| bounded ~0.6 organically), their batch-internal copies
+        # lose to the smaller id -> survivors = the negated rows
+        "incremental_embedding_dedup": """
+            SELECT CAST(vec_id + 2000000 AS BIGINT) AS vec_id
+            FROM embeddings WHERE vec_id % 7 = 3
         """,
         # cross-modal survivor rule: a key survives iff it is the min of
         # BOTH its pixel class (k%127, recomputed-phash relation) and

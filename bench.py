@@ -60,6 +60,7 @@ def main() -> None:
         # r5: cross-modal composition, domain-mixture resampling, and
         # the int8-scan + float-rerank IVF path
         "cross_modal_dedup", "incremental_phash_dedup",
+        "incremental_embedding_dedup", "incremental_union",
         "mix_domains", "ivf_quantized_topk",
         "payload_invariants",
         "streaming_dedup", "windowed_events",

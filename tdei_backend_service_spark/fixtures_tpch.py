@@ -275,6 +275,94 @@ def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(copies).unionByName(neg))
 
 
+PLANT_WITHIN_OFFSET = 5_000_000  # batch-internal dup -> must lose in-batch
+
+
+def planted_embedding_batch(spark: SparkSession, sf_dir: str):
+    """(corpus, batch) pair for incremental_embedding_dedup with a
+    closed-form batch survivor set (organic pairwise |cos| on the
+    driver's synthetic embeddings is bounded ~0.6, far below the 0.98
+    threshold, so planted rows fully determine the answer):
+
+    * corpus = the base embeddings table — the committed survivors of
+      previous drops, passed as a vector-only relation (ids unread);
+    * batch:
+      - vec_id % 5 == 0: exact copy at +PLANT_COPY_OFFSET — loses to
+        the corpus (cos = 1; same buckets byte-for-byte, no id rule);
+      - vec_id % 7 == 3: negated vector at +PLANT_NEAR_OFFSET (cos = -1
+        vs its parent, -cos(parent, x) vs everything else — never
+        >= 0.98 against any corpus vector) — can only lose in-batch;
+      - vec_id % 7 == 3: exact copy of that negated vector at
+        +PLANT_WITHIN_OFFSET — loses WITHIN the batch to the smaller-id
+        negated row.
+
+    Batch survivors = exactly the +PLANT_NEAR_OFFSET rows:
+        SELECT vec_id + 2000000 FROM embeddings WHERE vec_id % 7 = 3
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select("embedding")
+    copies = (emb.filter(F.col("vec_id") % 5 == 0)
+              .select((F.col("vec_id") + PLANT_COPY_OFFSET).alias("vec_id"),
+                      "embedding"))
+    neg_vec = F.transform("embedding", lambda x: -x).alias("embedding")
+    near = (emb.filter(F.col("vec_id") % 7 == 3)
+            .select((F.col("vec_id") + PLANT_NEAR_OFFSET).alias("vec_id"),
+                    neg_vec))
+    within = (emb.filter(F.col("vec_id") % 7 == 3)
+              .select((F.col("vec_id") + PLANT_WITHIN_OFFSET).alias("vec_id"),
+                      neg_vec))
+    batch = copies.unionByName(near).unionByName(within)
+    return corpus, batch
+
+
+def planted_union_batch(spark: SparkSession, sf_dir: str):
+    """(corpus, batch) for incremental_union_dataset with a closed-form
+    batch survivor set. The committed corpus has one record per
+    customer at its derived position with phash = custkey — distinct
+    per customer, so cross-customer merges are impossible regardless of
+    how close two customers' derived positions land. The new drop
+    plants one scenario per custkey % 4 (batch ids = custkey*10 + i):
+
+    * %4=0, id +0: record 0.3 m north, SAME phash/caption
+        -> loses to the corpus (proximity + payload match);
+    * %4=1, id +1: record 0.3 m north, phash +10^7
+        -> survives (payload keys differ; proximity alone never merges);
+    * %4=2, ids +1/+2: TWO records 3.0 m and 3.3 m north sharing phash
+        +2*10^7 (matching each other — 0.3 m apart — but neither the
+        corpus) -> the smaller id survives, the larger loses WITHIN
+        the batch;
+    * %4=3, id +3: record 10 m north, same phash as the corpus
+        -> survives (outside the 0.5 m default proximity).
+
+    Batch survivors:
+        SELECT custkey*10 + 1 WHERE custkey % 4 IN (1, 2)
+        UNION ALL SELECT custkey*10 + 3 WHERE custkey % 4 = 3
+    """
+    cust = derive_lonlat(spark.read.parquet(f"{sf_dir}/customer.parquet"),
+                         "c_custkey")
+    corpus = cust.select("lon", "lat",
+                         F.col("c_custkey").cast("long").alias("phash"),
+                         F.lit("c").alias("caption"))
+    deg_per_m = 1.0 / geom.M_PER_DEG_LAT
+
+    def rec(mod: int, idx: int, dlat_m: float, phash_off: int) -> DataFrame:
+        return (cust.filter(F.col("c_custkey") % 4 == mod)
+                .select((F.col("c_custkey") * 10 + idx).cast("long")
+                        .alias("image_id"),
+                        F.col("lon"),
+                        (F.col("lat") + F.lit(dlat_m * deg_per_m)).alias("lat"),
+                        (F.col("c_custkey") + phash_off).cast("long")
+                        .alias("phash"),
+                        F.lit("c").alias("caption")))
+
+    batch = (rec(0, 0, 0.3, 0)
+             .unionByName(rec(1, 1, 0.3, 10_000_000))
+             .unionByName(rec(2, 1, 3.0, 20_000_000))
+             .unionByName(rec(2, 2, 3.3, 20_000_000))
+             .unionByName(rec(3, 3, 10.0, 0)))
+    return corpus, batch
+
+
 def chain_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer -> image records with planted proximity CHAINS for the
     exact connected-components collapse (union_dataset collapse='cc',

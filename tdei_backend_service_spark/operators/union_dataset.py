@@ -37,6 +37,54 @@ from ..core.compiler import InputException
 DEFAULT_PROXIMITY_M = 0.5
 
 
+def _cell_cover_udfs(proximity: float):
+    """(cell, padded-cover) Arrow UDFs for a proximity radius — the
+    candidate machinery union_dataset and incremental_union_dataset
+    share.
+
+    Depth from 2*proximity: the 4-corner cover is complete only when the
+    padded window (width 2*pad) spans <= 2 cells per axis, i.e. cell
+    extent >= 2*pad on BOTH axes. depth_for_radius_m(r) guarantees the
+    lat extent (the tighter axis) >= r meters, so feed it 2*proximity —
+    deriving from proximity alone left extent in [pad, 2*pad) and the
+    corners could straddle the point's own cell (ADVICE r2: identical-
+    location pairs survived for ~69% of lat positions at proximity=2).
+    Lower bound 1 (not the usual r5 prefix): only clipping the depth
+    DOWN preserves the extent guarantee.
+
+    Arrow UDFs, not cells.encode_expr: cell is the join key here, and
+    inferred join filters re-inline a Catalyst encode's exponential
+    tree (~10x stage slowdown measured; see cells._part1by1_expr).
+    The padded cover is the distinct cells of the 4 padded corners —
+    valid because the depth choice guarantees cell extent >= 2*pad
+    on both axes, so the padded bbox spans at most 2 cells per axis and
+    the corners land in every spanned cell (incl. the point's own)."""
+    depth = int(np.clip(cells.depth_for_radius_m(2.0 * max(proximity, 0.5)), 1, 23))
+    pad_deg = max(cells.meters_to_deg_lat(proximity), cells.meters_to_deg_lon(proximity))
+    if pad_deg > 90.0 / (1 << depth):  # half the lat extent in degrees
+        raise RuntimeError(
+            f"union_dataset cover invariant violated: pad {pad_deg} deg > "
+            f"half-cell {90.0 / (1 << depth)} deg at depth {depth} — the "
+            "4-corner cover would miss candidate cells")
+
+    @F.pandas_udf("long")
+    def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cells.encode(lon.to_numpy(np.float64),
+                                      lat.to_numpy(np.float64), depth))
+
+    @F.pandas_udf("array<long>")
+    def _cover(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        lo = lon.to_numpy(np.float64)
+        la = lat.to_numpy(np.float64)
+        corners = np.stack([cells.encode(lo + dx, la + dy, depth)
+                            for dx in (-pad_deg, pad_deg)
+                            for dy in (-pad_deg, pad_deg)])
+        return pd.Series([[int(v) for v in np.unique(corners[:, i])]
+                          for i in range(lo.size)])
+
+    return _cell.asNondeterministic(), _cover.asNondeterministic()
+
+
 def union_dataset(df_one: DataFrame, dataset_id_one: str,
                   df_two: DataFrame, dataset_id_two: str,
                   proximity: float | None = None,
@@ -89,47 +137,7 @@ def union_dataset(df_one: DataFrame, dataset_id_one: str,
             F.coalesce(num, F.lit(0).cast("decimal(38,0)")).alias("n"),
             F.col(pk).cast("string").alias("s")))
 
-    # Depth from 2*proximity: the 4-corner cover is complete only when the
-    # padded window (width 2*pad) spans <= 2 cells per axis, i.e. cell
-    # extent >= 2*pad on BOTH axes. depth_for_radius_m(r) guarantees the
-    # lat extent (the tighter axis) >= r meters, so feed it 2*proximity —
-    # deriving from proximity alone left extent in [pad, 2*pad) and the
-    # corners could straddle the point's own cell (ADVICE r2: identical-
-    # location pairs survived for ~69% of lat positions at proximity=2).
-    # Lower bound 1 (not the usual r5 prefix): only clipping the depth
-    # DOWN preserves the extent guarantee.
-    depth = int(np.clip(cells.depth_for_radius_m(2.0 * max(proximity, 0.5)), 1, 23))
-    pad_deg = max(cells.meters_to_deg_lat(proximity), cells.meters_to_deg_lon(proximity))
-    if pad_deg > 90.0 / (1 << depth):  # half the lat extent in degrees
-        raise RuntimeError(
-            f"union_dataset cover invariant violated: pad {pad_deg} deg > "
-            f"half-cell {90.0 / (1 << depth)} deg at depth {depth} — the "
-            "4-corner cover would miss candidate cells")
-
-    # Arrow UDFs, not cells.encode_expr: cell is the join key here, and
-    # inferred join filters re-inline a Catalyst encode's exponential
-    # tree (~10x stage slowdown measured; see cells._part1by1_expr).
-    # The padded cover is the distinct cells of the 4 padded corners —
-    # valid because the depth choice above guarantees cell extent >= 2*pad
-    # on both axes, so the padded bbox spans at most 2 cells per axis and
-    # the corners land in every spanned cell (incl. the point's own).
-    @F.pandas_udf("long")
-    def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(cells.encode(lon.to_numpy(np.float64),
-                                      lat.to_numpy(np.float64), depth))
-
-    @F.pandas_udf("array<long>")
-    def _cover(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        lo = lon.to_numpy(np.float64)
-        la = lat.to_numpy(np.float64)
-        corners = np.stack([cells.encode(lo + dx, la + dy, depth)
-                            for dx in (-pad_deg, pad_deg)
-                            for dy in (-pad_deg, pad_deg)])
-        return pd.Series([[int(v) for v in np.unique(corners[:, i])]
-                          for i in range(lo.size)])
-
-    _cell_once = _cell.asNondeterministic()
-    _cover_once = _cover.asNondeterministic()
+    _cell_once, _cover_once = _cell_cover_udfs(proximity)
 
     keys = [k for k in match_on if k in both.columns]
     narrow = both.select(pk, *keys, "lon", "lat", "_rank")
@@ -162,6 +170,78 @@ def union_dataset(df_one: DataFrame, dataset_id_one: str,
         losers = pairs.select(F.col("l_rank").alias("_rank")).distinct()
 
     return both.join(losers, ["_rank"], "left_anti").drop("_rank")
+
+
+def incremental_union_dataset(batch: DataFrame, corpus: DataFrame,
+                              proximity: float | None = None,
+                              pk: str = "image_id",
+                              match_on: tuple = ("phash", "caption")
+                              ) -> DataFrame:
+    """Admit a NEW drop into an already-unioned dataset without
+    re-pairing history — the O4 analogue of
+    pipeline/dedup.incremental_hash_neardup for the geospatial tier.
+    A batch record loses when
+      * a corpus record within ``proximity`` meters shares all
+        ``match_on`` payload keys — the corpus always wins (its records
+        are already published), so there is no rank comparison on this
+        path; or
+      * it loses the ordinary union_dataset min-winner rule WITHIN the
+        batch (so one drop carrying its own near-duplicates still
+        admits one winner per group).
+
+    ``corpus`` needs only the narrow (lon, lat, *match_on) relation —
+    ids and ranks are never read; in a real pipeline that is a column
+    projection of the committed dataset, pruned at the parquet scan.
+
+    Scale shape: one padded-cover explode over the batch, a
+    (cell, *keys) candidate equi-join against the corpus relation,
+    exact distance refine, per-id distinct — the committed corpus is
+    never self-paired, keeping each drop O(|batch| + touched corpus
+    cells). Duplicate floods cannot make a corpus cell hot on the
+    match keys because the corpus is itself a union survivor set:
+    within ``proximity``, its records differ in payload keys by
+    invariant."""
+    if proximity is None:
+        proximity = DEFAULT_PROXIMITY_M
+    if isinstance(proximity, str) or not isinstance(proximity, (int, float)):
+        raise InputException("proximity must be a number")
+    proximity = float(proximity)
+
+    cell_u, cover_u = _cell_cover_udfs(proximity)
+    keys = [k for k in match_on
+            if k in batch.columns and k in corpus.columns]
+    b = (batch.select(pk, *keys, "lon", "lat")
+         .withColumn("cell", F.explode(cover_u(F.col("lon"), F.col("lat"))))
+         .select(F.col(pk),
+                 *[F.col(k).alias(f"l_{k}") for k in keys],
+                 F.col("lon").alias("l_lon"), F.col("lat").alias("l_lat"),
+                 "cell"))
+    c = (corpus.select(*keys, "lon", "lat")
+         .withColumn("cell", cell_u(F.col("lon"), F.col("lat")))
+         .select(*[F.col(k).alias(f"r_{k}") for k in keys],
+                 F.col("lon").alias("r_lon"), F.col("lat").alias("r_lat"),
+                 "cell"))
+    joined = b.join(c, "cell")
+    for k in keys:
+        joined = joined.filter(F.col(f"l_{k}") == F.col(f"r_{k}"))
+    sx = cells.M_PER_DEG_LON_EQ
+    sy = cells.M_PER_DEG_LAT
+    cross = (joined.filter(
+        F.sqrt(F.pow((F.col("l_lon") - F.col("r_lon")) * sx, 2)
+               + F.pow((F.col("l_lat") - F.col("r_lat")) * sy, 2))
+        <= proximity).select(pk))
+
+    # within-batch min-winner rule: self-union of the drop (the
+    # dataset_id column is overwritten with a synthetic tag so the
+    # operator works on drops that carry any — or no — dataset id)
+    b_ds = batch.withColumn("dataset_id", F.lit("_batch"))
+    within_surv = union_dataset(b_ds, "_batch", b_ds, "_batch",
+                                proximity=proximity, pk=pk,
+                                match_on=match_on).select(pk)
+    within = batch.select(pk).join(within_surv, pk, "left_anti")
+
+    losers = cross.unionByName(within).distinct()
+    return batch.join(losers, pk, "left_anti")
 
 
 def _driver_rss_mb() -> float:

@@ -516,11 +516,35 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
     per-band recall near threshold ~0.9 for a `planes`x probe-side
     explode. Keep it off at thresholds near 1, where bucket equality
     already catches near-identical vectors."""
+    H = _hyperplanes(df, vec_col, planes, bands, seed)
+    if H is None:
+        return df
+    keyed = _hyperplane_keyed(df.select(id_col, vec_col), vec_col, H).persist()
+    losers = _embedding_losers(keyed, vec_col, id_col, threshold,
+                               bucket_cap, multiprobe, planes)
+    losers = _finalize_losers(losers, [keyed], release_cache)
+    return df.join(losers, id_col, "left_anti")
+
+
+def _hyperplanes(df: DataFrame, vec_col: str, planes: int, bands: int,
+                 seed: int) -> np.ndarray | None:
+    """Seeded (bands, planes, dim) hyperplane matrix for the frame's
+    vector dimension; None on an empty frame. Deterministic in (seed,
+    dim), so two frames keyed with the same arguments share buckets."""
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is None:
-        return df
+        return None
     rng = np.random.default_rng(seed)
-    H = rng.standard_normal((bands, planes, dim_row["d"])).astype(np.float32)
+    return rng.standard_normal(
+        (bands, planes, dim_row["d"])).astype(np.float32)
+
+
+def _hyperplane_keyed(df: DataFrame, vec_col: str, H: np.ndarray) -> DataFrame:
+    """Explode a vector frame into per-band hyperplane-LSH bucket rows:
+    one signature evaluation (asNondeterministic), the vector riding
+    along so verify never joins back — `bands`x duplication of a narrow
+    array column. Caller persists."""
+    bands, planes, _ = H.shape
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _buckets(vecs: pd.Series) -> pd.Series:
@@ -532,33 +556,39 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
                 keys[:, b] |= signs[:, j].astype(np.int64) << j
         return pd.Series([[int(v) for v in row] for row in keys])
 
-    # one signature evaluation (asNondeterministic + persist), then an
-    # explode to (band, bucket) rows — the vector rides along so verify
-    # never joins back; at `bands`x duplication of a narrow array column
-    keyed = (df.select(id_col, vec_col)
-             .withColumn("_bkts", _buckets.asNondeterministic()(F.col(vec_col)))
-             .select(id_col, vec_col,
-                     F.posexplode("_bkts").alias("_band", "_bkt"))
-             .persist())
+    other = [c for c in df.columns if c != vec_col]
+    return (df.withColumn("_bkts",
+                          _buckets.asNondeterministic()(F.col(vec_col)))
+            .select(*other, vec_col,
+                    F.posexplode("_bkts").alias("_band", "_bkt")))
+
+
+def _embedding_losers(keyed: DataFrame, vec_col: str, id_col: str,
+                      threshold: float, bucket_cap: int,
+                      multiprobe: bool, planes: int) -> DataFrame:
+    """Within-set loser ids over a persisted hyperplane-keyed frame
+    (id, vec, _band, _bkt) — the shared core of embedding_dedup and
+    incremental_embedding_dedup. See embedding_dedup's docstring for
+    the star-cap and multiprobe semantics."""
     stats = keyed.groupBy("_band", "_bkt").agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(F.struct(F.col(id_col).alias("i"),
                        F.col(vec_col).alias("v"))).alias("_a"))
-    keyed = keyed.join(stats, ["_band", "_bkt"])
+    joined = keyed.join(stats, ["_band", "_bkt"])
     # shared cast-first kernel (similarity._dot/_norm): each float32
     # element is cast to double BEFORE multiplying, so the exact verify
     # agrees bit-for-bit with a float64 oracle at boundary thresholds
     cos_ok = (_dot(F.col("l_v"), F.col("r_v"))
               / (_norm(F.col("l_v")) * _norm(F.col("r_v")))) >= threshold
-    small = keyed.filter(F.col("_n") <= bucket_cap)
+    small = joined.filter(F.col("_n") <= bucket_cap)
     l = small.select(F.col(id_col).alias("l_id"), F.col(vec_col).alias("l_v"),
                      "_band", "_bkt")
     r = small.select(F.col(id_col).alias("r_id"), F.col(vec_col).alias("r_v"),
                      "_band", "_bkt")
     clique = (l.join(r, ["_band", "_bkt"]).filter(F.col("l_id") < F.col("r_id"))
               .filter(cos_ok).select("l_id", "r_id"))
-    star = (keyed.filter((F.col("_n") > bucket_cap)
-                         & (F.col(id_col) != F.col("_a.i")))
+    star = (joined.filter((F.col("_n") > bucket_cap)
+                          & (F.col(id_col) != F.col("_a.i")))
             .select(F.col("_a.v").alias("l_v"), F.col("_a.i").alias("l_id"),
                     F.col(vec_col).alias("r_v"), F.col(id_col).alias("r_id"))
             .filter(cos_ok).select("l_id", "r_id"))
@@ -581,6 +611,50 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
                        .filter(F.col("l_id") < F.col("r_id"))
                        .filter(cos_ok).select("l_id", "r_id"))
         pairs = pairs.unionByName(probe_pairs)
-    losers = pairs.select(F.col("r_id").alias(id_col)).distinct()
-    losers = _finalize_losers(losers, [keyed], release_cache)
-    return df.join(losers, id_col, "left_anti")
+    return pairs.select(F.col("r_id").alias(id_col)).distinct()
+
+
+def incremental_embedding_dedup(batch: DataFrame, corpus: DataFrame,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id",
+                                threshold: float = 0.98,
+                                planes: int = 16, bands: int = 2,
+                                seed: int = 11,
+                                bucket_cap: int = BUCKET_CAP,
+                                release_cache: bool = True) -> DataFrame:
+    """Dedup NEW embedding vectors against the committed corpus without
+    re-pairing history — the vector-side twin of incremental_hash_neardup.
+    A batch row loses when its exact cosine vs ANY corpus vector is
+    >= ``threshold`` (the corpus always wins; no id comparison), or when
+    it loses the ordinary min-id rule within the batch itself
+    (_embedding_losers over the batch's own buckets).
+
+    ``corpus`` needs only the stored (vector) relation — ids are never
+    read. Both sides are keyed with the SAME seeded hyperplanes (seed +
+    dimension determine the matrix), so exact duplicates share every
+    band's bucket by construction and the planted-oracle guarantee
+    carries over from embedding_dedup.
+
+    Scale shape: one bucket-UDF pass per side, an equi-join on
+    (band, bucket), exact cosine verify before the per-id distinct.
+    Corpus-side hot buckets cannot arise from near-identical floods
+    because the corpus is ITSELF the survivor set of previous dedups —
+    its vectors are pairwise below threshold by invariant — so buckets
+    only group dissimilar vectors that happen to share sign patterns,
+    and the verify rejects those without pair amplification."""
+    H = _hyperplanes(batch, vec_col, planes, bands, seed)
+    if H is None:
+        return batch
+    b_keyed = _hyperplane_keyed(batch.select(id_col, vec_col),
+                                vec_col, H).persist()
+    within = _embedding_losers(b_keyed, vec_col, id_col, threshold,
+                               bucket_cap, False, planes)
+    c_keyed = _hyperplane_keyed(
+        corpus.select(F.col(vec_col).alias("_cv")), "_cv", H)
+    cos_ok = (_dot(F.col(vec_col), F.col("_cv"))
+              / (_norm(F.col(vec_col)) * _norm(F.col("_cv")))) >= threshold
+    cross = (b_keyed.join(c_keyed, ["_band", "_bkt"])
+             .filter(cos_ok).select(id_col))
+    losers = within.unionByName(cross).distinct()
+    losers = _finalize_losers(losers, [b_keyed], release_cache)
+    return batch.join(losers, id_col, "left_anti")

@@ -482,3 +482,39 @@ def test_incremental_hash_neardup_corpus_flood_collapses(spark):
     out = D.incremental_hash_neardup(batch, flood, "h", "doc_id",
                                      max_hamming=3)
     assert sorted(r.doc_id for r in out.collect()) == [1]
+
+
+def test_incremental_embedding_dedup_semantics(spark):
+    """Batch vectors lose to ANY corpus vector at/above the cosine
+    threshold (no id comparison; corpus is a vector-only relation) and
+    to the min-id rule within the batch; far vectors survive."""
+    rng = np.random.default_rng(9)
+    a = rng.standard_normal(24).astype("float32")
+    b = rng.standard_normal(24).astype("float32")
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"embedding": [[float(x) for x in a]]}))
+    rows = [
+        (1, [float(x) for x in a]),            # exact corpus copy -> loses
+        (2, [float(x) for x in a * 1.001]),    # same direction -> loses
+        (3, [float(x) for x in -a]),           # cos = -1 vs corpus -> survives
+        (4, [float(x) for x in -a]),           # in-batch dup of 3 -> loses
+        (5, [float(x) for x in b]),            # unrelated -> survives
+    ]
+    batch = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = D.incremental_embedding_dedup(batch, corpus, threshold=0.98)
+    assert sorted(r.vec_id for r in out.collect()) == [3, 5]
+
+
+def test_incremental_embedding_dedup_releases_cache(spark):
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((8, 12)).astype("float32")
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"embedding": [[float(x) for x in v] for v in vecs[:4]]}))
+    batch = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(4),
+                      "embedding": [[float(x) for x in v] for v in vecs[4:]]}))
+    base = _n_persistent(spark)
+    out = D.incremental_embedding_dedup(batch, corpus, threshold=0.98)
+    assert out.count() == 4
+    assert _n_persistent(spark) <= base + 1

@@ -373,3 +373,41 @@ def test_tile_pyramid_levels_consistent(spark):
             manual[(x // 2, y // 2)] = manual.get((x // 2, y // 2), 0) + n
         assert manual == by_z[z - 1]
     assert len(by_z[12]) <= len(by_z[13]) <= len(by_z[14]) <= len(by_z[15])
+
+
+def test_incremental_union_semantics(spark):
+    """incremental_union_dataset: batch records lose to a committed
+    record within proximity sharing the payload keys (no rank rule) or
+    to the min-winner rule within the drop; payload mismatches and
+    out-of-proximity records survive. Corpus is the narrow
+    (lon, lat, phash, caption) relation — no ids."""
+    from tdei_backend_service_spark.operators.union_dataset import \
+        incremental_union_dataset
+    m = 1.0 / geom.M_PER_DEG_LAT
+    corpus = spark.createDataFrame(pd.DataFrame(
+        [(0.0, 0.0, 7, "c"), (1.0, 0.0, 8, "c")],
+        columns=["lon", "lat", "phash", "caption"]))
+    rows = [
+        (10, 0.0, 0.3 * m, 7, "c"),    # 0.3 m from corpus, same payload -> loses
+        (11, 0.0, 0.3 * m, 9, "c"),    # same spot, different phash -> survives
+        (12, 0.0, 3.0 * m, 5, "c"),    # in-batch pair winner -> survives
+        (13, 0.0, 3.3 * m, 5, "c"),    # in-batch pair loser (larger id)
+        (14, 0.0, 10.0 * m, 7, "c"),   # same payload, 10 m away -> survives
+        (15, 1.0, 0.2 * m, 8, "x"),    # caption differs -> survives
+    ]
+    batch = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["image_id", "lon", "lat", "phash", "caption"]))
+    out = incremental_union_dataset(batch, corpus)
+    assert sorted(r.image_id for r in out.collect()) == [11, 12, 14, 15]
+
+
+def test_incremental_union_bad_proximity(spark):
+    from tdei_backend_service_spark.operators.union_dataset import \
+        incremental_union_dataset
+    corpus = spark.createDataFrame(pd.DataFrame(
+        [(0.0, 0.0, 1, "c")], columns=["lon", "lat", "phash", "caption"]))
+    batch = spark.createDataFrame(pd.DataFrame(
+        [(1, 0.0, 0.0, 1, "c")],
+        columns=["image_id", "lon", "lat", "phash", "caption"]))
+    with pytest.raises(InputException):
+        incremental_union_dataset(batch, corpus, proximity="close")

@@ -145,6 +145,18 @@ COMMENTARY = {
                                "id distinct; within-batch losers union "
                                "in; one anti-join. History is never "
                                "re-paired against itself.",
+    "incremental_union": "Geospatial incremental ingest: padded-cover "
+                         "explode over the batch only, (cell, keys) "
+                         "equi-join vs the corpus narrow relation, "
+                         "exact distance refine; within-batch losers "
+                         "from the ordinary union_dataset self-union. "
+                         "The committed corpus is never self-paired.",
+    "incremental_embedding_dedup": "Vector-side incremental dedup: one "
+                                   "hyperplane-bucket UDF pass per "
+                                   "side, (band, bucket) equi-join, "
+                                   "exact cosine verify before the id "
+                                   "distinct; within-batch losers from "
+                                   "the shared _embedding_losers core.",
     "mix_domains": "Domain-mixture resampling: one exchange on the "
                    "stratification key, window rank, telescoping "
                    "integer copy rule in codegen, map-side explode of "
