@@ -175,8 +175,8 @@ def union_dataset(df_one: DataFrame, dataset_id_one: str,
 def incremental_union_dataset(batch: DataFrame, corpus: DataFrame,
                               proximity: float | None = None,
                               pk: str = "image_id",
-                              match_on: tuple = ("phash", "caption")
-                              ) -> DataFrame:
+                              match_on: tuple = ("phash", "caption"),
+                              release_cache: bool = True) -> DataFrame:
     """Admit a NEW drop into an already-unioned dataset without
     re-pairing history — the O4 analogue of
     pipeline/dedup.incremental_hash_neardup for the geospatial tier.
@@ -210,7 +210,13 @@ def incremental_union_dataset(batch: DataFrame, corpus: DataFrame,
     cell_u, cover_u = _cell_cover_udfs(proximity)
     keys = [k for k in match_on
             if k in batch.columns and k in corpus.columns]
-    b = (batch.select(pk, *keys, "lon", "lat")
+    # persist the narrow batch projection: the cross path, the
+    # self-union's two sides, and the final anti-join otherwise each
+    # re-print (and re-analyze) the full upstream batch plan — a 5-way
+    # union fixture ballooned the physical plan to ~14k lines before
+    # this cache collapsed every reference to one InMemoryRelation
+    narrow = batch.select(pk, *keys, "lon", "lat").persist()
+    b = (narrow
          .withColumn("cell", F.explode(cover_u(F.col("lon"), F.col("lat"))))
          .select(F.col(pk),
                  *[F.col(k).alias(f"l_{k}") for k in keys],
@@ -234,13 +240,17 @@ def incremental_union_dataset(batch: DataFrame, corpus: DataFrame,
     # within-batch min-winner rule: self-union of the drop (the
     # dataset_id column is overwritten with a synthetic tag so the
     # operator works on drops that carry any — or no — dataset id)
-    b_ds = batch.withColumn("dataset_id", F.lit("_batch"))
+    b_ds = narrow.withColumn("dataset_id", F.lit("_batch"))
     within_surv = union_dataset(b_ds, "_batch", b_ds, "_batch",
                                 proximity=proximity, pk=pk,
                                 match_on=match_on).select(pk)
-    within = batch.select(pk).join(within_surv, pk, "left_anti")
+    within = narrow.select(pk).join(within_surv, pk, "left_anti")
 
     losers = cross.unionByName(within).distinct()
+    # same lifetime rule as the dedup family: materialize the narrow
+    # loser ids, release the batch cache (dedup._finalize_losers)
+    from ..pipeline.dedup import _finalize_losers
+    losers = _finalize_losers(losers, [narrow], release_cache)
     return batch.join(losers, pk, "left_anti")
 
 
