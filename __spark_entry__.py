@@ -631,6 +631,23 @@ def _q_incremental_union(spark: SparkSession, sf: str) -> DataFrame:
             .select("image_id"))
 
 
+def _q_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Text-tier incremental ingest dedup
+    (pipeline/dedup.incremental_minhash_dedup): the committed corpus
+    ships ONLY its stored MinHash signature relation (no texts); exact
+    copies in the drop agree on every signature component and lose,
+    near-misses (Jaccard ~0.33) stay far below the 0.8 agreement
+    threshold and survive, and exact copies of those near-misses lose
+    within the batch under the full exact verify. Survivors = the
+    near-miss rows exactly — see fixtures_tpch.planted_document_batch."""
+    from tdei_backend_service_spark.pipeline.dedup import (
+        incremental_minhash_dedup, minhash_signatures)
+    corpus, batch = FX.planted_document_batch(spark, sf)
+    corpus_sigs = minhash_signatures(corpus).select("minhash")
+    return (incremental_minhash_dedup(batch, corpus_sigs, threshold=0.8)
+            .select("doc_id"))
+
+
 def _q_incremental_embedding_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Vector-side incremental ingest dedup
     (pipeline/dedup.incremental_embedding_dedup): the committed corpus
@@ -779,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_phash_dedup": _q_incremental_phash_dedup,
         "incremental_embedding_dedup": _q_incremental_embedding_dedup,
         "incremental_union": _q_incremental_union,
+        "incremental_minhash_dedup": _q_incremental_minhash,
         # corpus curation: sequence packing + stratified sampling
         "pack_docs": _q_pack_docs,
         "sample_per_key": _q_sample_per_key,
@@ -1219,6 +1237,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(c_custkey * 10 + 3 AS BIGINT) AS image_id
             FROM customer WHERE c_custkey % 4 = 3
+        """,
+        # text-tier incremental dedup vs the stored signature relation:
+        # exact copies agree on all 64 MinHash components and lose;
+        # near-misses (J ~ 0.33) never reach 0.8 agreement; their
+        # in-batch exact copies lose to the smaller id
+        "incremental_minhash_dedup": """
+            SELECT CAST(doc_id + 2000000 AS BIGINT) AS doc_id
+            FROM documents WHERE doc_id % 7 = 3
         """,
         # vector-side incremental dedup: copies of corpus vectors lose
         # to the corpus, negated vectors are far from everything

@@ -61,6 +61,7 @@ def main() -> None:
         # the int8-scan + float-rerank IVF path
         "cross_modal_dedup", "incremental_phash_dedup",
         "incremental_embedding_dedup", "incremental_union",
+        "incremental_minhash_dedup",
         "mix_domains", "ivf_quantized_topk",
         "payload_invariants",
         "streaming_dedup", "windowed_events",

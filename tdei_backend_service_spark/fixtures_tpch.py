@@ -231,22 +231,65 @@ def planted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id + 2000000 FROM documents WHERE doc_id % 7 = 3
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    base_text, near_text = _planted_text_exprs()
+    base = docs.select("doc_id", base_text.alias("text"))
+    copies = (docs.filter(F.col("doc_id") % 5 == 0)
+              .select((F.col("doc_id") + PLANT_COPY_OFFSET).alias("doc_id"),
+                      base_text.alias("text")))
+    near = (docs.filter(F.col("doc_id") % 7 == 3)
+            .select((F.col("doc_id") + PLANT_NEAR_OFFSET).alias("doc_id"),
+                    near_text.alias("text")))
+    return base.unionByName(copies).unionByName(near)
 
+
+def _planted_text_exprs():
+    """(base_text, near_text) column expressions over a ``doc_id``
+    column: 8 md5-derived 32-hex tokens per doc (pairwise-disjoint
+    token sets across docs), and a near-miss sharing the first 4 of 8
+    tokens (char-5-gram Jaccard ~0.33 << the 0.8 dedup threshold)."""
     def tok(prefix: str, j: int):
         return F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string"),
                               F.lit(f"-{j}")))
 
     base_text = F.concat_ws(" ", *[tok("", j) for j in range(8)])
-    base = docs.select("doc_id", base_text.alias("text"))
+    near_text = F.concat_ws(" ", *[tok("", j) for j in range(4)],
+                            *[tok("nm", j) for j in range(4)])
+    return base_text, near_text
+
+
+def planted_document_batch(spark: SparkSession, sf_dir: str):
+    """(corpus, batch) for incremental_minhash_dedup with a closed-form
+    batch survivor set. corpus = the base planted-doc texts (the
+    committed survivors; the contract query stores only their MinHash
+    signatures). Batch:
+
+    * doc_id % 5 == 0: EXACT copy of the corpus doc at +PLANT_COPY_OFFSET
+      -> identical signature, agrees on every component -> loses to the
+      corpus (removal guaranteed, not probabilistic);
+    * doc_id % 7 == 3: near-miss at +PLANT_NEAR_OFFSET (4 of 8 tokens
+      shared, Jaccard ~0.33 -> signature agreement far below the 0.8
+      threshold) -> survives vs the corpus;
+    * doc_id % 7 == 3: EXACT copy of that near-miss text at
+      +PLANT_WITHIN_OFFSET -> loses WITHIN the batch (exact verify,
+      larger id).
+
+    Batch survivors:
+        SELECT doc_id + 2000000 FROM documents WHERE doc_id % 7 = 3
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    base_text, near_text = _planted_text_exprs()
+    corpus = docs.select("doc_id", base_text.alias("text"))
     copies = (docs.filter(F.col("doc_id") % 5 == 0)
               .select((F.col("doc_id") + PLANT_COPY_OFFSET).alias("doc_id"),
                       base_text.alias("text")))
-    near_text = F.concat_ws(" ", *[tok("", j) for j in range(4)],
-                            *[tok("nm", j) for j in range(4)])
     near = (docs.filter(F.col("doc_id") % 7 == 3)
             .select((F.col("doc_id") + PLANT_NEAR_OFFSET).alias("doc_id"),
                     near_text.alias("text")))
-    return base.unionByName(copies).unionByName(near)
+    within = (docs.filter(F.col("doc_id") % 7 == 3)
+              .select((F.col("doc_id") + PLANT_WITHIN_OFFSET).alias("doc_id"),
+                      near_text.alias("text")))
+    batch = copies.unionByName(near).unionByName(within)
+    return corpus, batch
 
 
 def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

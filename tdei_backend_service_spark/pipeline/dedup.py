@@ -369,6 +369,73 @@ def hash_neardup(df: DataFrame, hash_col: str, id_col: str,
     return df.join(losers, id_col, "left_anti")
 
 
+def incremental_minhash_dedup(batch: DataFrame, corpus_sigs: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              threshold: float = 0.8,
+                              num_hashes: int = 64, bands: int = 8,
+                              shingle_k: int = 5,
+                              release_cache: bool = True) -> DataFrame:
+    """Dedup a NEW text drop against the committed corpus's STORED
+    MinHash signature relation — the text tier of the incremental
+    ingest family. The corpus ships ONLY ``corpus_sigs`` (any frame
+    carrying a ``minhash: array<bigint>`` column from
+    minhash_signatures with the same hash-family parameters); corpus
+    texts are never read, so 10^12 committed documents cost one narrow
+    signature scan per drop.
+
+    A batch row loses when EITHER
+      * a corpus signature in a shared (band, bucket) agrees on
+        >= ``threshold`` of its components — the unbiased MinHash
+        estimate of Jaccard, evaluated JVM-side with zip_with (exact
+        text Jaccard is impossible without corpus texts, and the
+        estimator is the standard store-only-signatures trade; exact
+        duplicates agree on every component, so their removal stays
+        guaranteed, not probabilistic); or
+      * it loses the ordinary minhash_dedup min-id rule WITHIN the
+        batch (full exact n-gram verify — texts are in hand there).
+
+    Scale shape: corpus signatures band-explode once and deduplicate
+    per (band, bucket, signature) — identical-signature floods cost
+    one row per band; candidates verify before the per-id distinct."""
+    rows_per_band = num_hashes // bands
+    batch_sigs = (minhash_signatures(batch, text_col, num_hashes, shingle_k)
+                  .select(id_col, "minhash").persist())
+
+    def banded(df: DataFrame, cols: list[str]) -> DataFrame:
+        return (df.select(
+            *cols, "minhash",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.hash(F.slice(F.col("minhash"),
+                                        b * rows_per_band + 1,
+                                        rows_per_band)).alias("bucket"))
+                for b in range(bands)])).alias("bb"))
+            .select(*cols, "minhash", "bb.band", "bb.bucket"))
+
+    c_b = (banded(corpus_sigs.select("minhash"), [])
+           .dropDuplicates(["band", "bucket", "minhash"])
+           .select("band", "bucket", F.col("minhash").alias("_csig")))
+    b_b = banded(batch_sigs, [id_col])
+    agree = F.size(F.filter(
+        F.zip_with("minhash", "_csig", lambda a, b: a == b),
+        lambda x: x))
+    cross = (b_b.join(c_b, ["band", "bucket"])
+             .filter(agree >= F.lit(float(threshold) * num_hashes))
+             .select(id_col))
+
+    # within-batch: ordinary min-id rule with the full exact verify
+    # (one extra signature pass over the small drop — the price of
+    # keeping minhash_dedup's exact semantics untouched)
+    within = (batch.select(id_col)
+              .join(minhash_dedup(batch, text_col, id_col, threshold,
+                                  num_hashes, bands, shingle_k)
+                    .select(id_col), id_col, "left_anti"))
+    losers = cross.unionByName(within).distinct()
+    losers = _finalize_losers(losers, [batch_sigs], release_cache)
+    return batch.join(losers, id_col, "left_anti")
+
+
 def incremental_hash_neardup(batch: DataFrame, corpus: DataFrame,
                              hash_col: str, id_col: str,
                              max_hamming: int = 3,

@@ -518,3 +518,35 @@ def test_incremental_embedding_dedup_releases_cache(spark):
     out = D.incremental_embedding_dedup(batch, corpus, threshold=0.98)
     assert out.count() == 4
     assert _n_persistent(spark) <= base + 1
+
+
+def test_incremental_minhash_dedup_semantics(spark, near_dups):
+    """Batch docs lose to corpus signatures their own signature agrees
+    with at >= threshold fraction (exact copies agree on every
+    component — removal guaranteed) and to the exact within-batch rule;
+    distinct content survives. Corpus ships signatures only."""
+    corpus = near_dups.filter(F.col("doc_id").isin([0, 3]))
+    corpus_sigs = D.minhash_signatures(corpus).select("minhash")
+    rows = [
+        (10, BASE),                          # exact copy of corpus 0 -> loses
+        (11, "brand new content about oceanography currents tides " * 6),
+        (12, "brand new content about oceanography currents tides " * 6),
+        # 11 survives, 12 loses within batch (identical to 11)
+        (13, "completely different content about geology rocks minerals " * 6),
+        # exact copy of corpus 3 -> loses
+        (14, "short unrelated"),             # survives
+    ]
+    batch = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = D.incremental_minhash_dedup(batch, corpus_sigs, threshold=0.8)
+    assert sorted(r.doc_id for r in out.collect()) == [11, 14]
+
+
+def test_incremental_minhash_dedup_releases_cache(spark, docs):
+    corpus_sigs = D.minhash_signatures(docs).select("minhash")
+    base = _n_persistent(spark)
+    out = D.incremental_minhash_dedup(docs, corpus_sigs, threshold=0.8)
+    out.count()
+    # the internal minhash_dedup call checkpoints its own loser ids too,
+    # so at most TWO narrow blocks linger (freed on GC), never the wide
+    # signature caches
+    assert _n_persistent(spark) <= base + 2

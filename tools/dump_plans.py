@@ -151,6 +151,15 @@ COMMENTARY = {
                          "exact distance refine; within-batch losers "
                          "from the ordinary union_dataset self-union. "
                          "The committed corpus is never self-paired.",
+    "incremental_minhash_dedup": "Text-tier incremental dedup: batch "
+                                 "signatures once (persisted), corpus "
+                                 "signature relation band-explodes and "
+                                 "dedups per (band, bucket, signature); "
+                                 "zip_with component-agreement verify "
+                                 "JVM-side before the id distinct; "
+                                 "within-batch via ordinary "
+                                 "minhash_dedup. Corpus texts never "
+                                 "read.",
     "incremental_embedding_dedup": "Vector-side incremental dedup: one "
                                    "hyperplane-bucket UDF pass per "
                                    "side, (band, bucket) equi-join, "
