@@ -550,3 +550,46 @@ def test_incremental_minhash_dedup_releases_cache(spark, docs):
     # so at most TWO narrow blocks linger (freed on GC), never the wide
     # signature caches
     assert _n_persistent(spark) <= base + 2
+
+
+# -- property-based parity vs a pure-python reference ---------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# hashes drawn near a handful of base values so collisions within the
+# hamming budget actually occur; bucket sizes stay far below the star cap
+_base_hashes = [0x0F0F0F0F0F0F0F0F, 0x00FF00FF00FF00FF, -0x1234567890AB]
+_noisy_hash = st.builds(
+    lambda b, flips: b ^ sum(1 << p for p in flips),
+    st.sampled_from(_base_hashes),
+    st.sets(st.integers(0, 62), max_size=5))
+_hash_rows = st.lists(st.tuples(st.integers(0, 10_000), _noisy_hash),
+                      min_size=1, max_size=40, unique_by=lambda t: t[0])
+_corpus_hashes = st.lists(_noisy_hash, min_size=0, max_size=20)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+@settings(max_examples=8, deadline=None)
+@given(_hash_rows, _corpus_hashes, st.integers(0, 3))
+def test_incremental_hash_neardup_matches_bruteforce(spark, rows, corpus_h,
+                                                     h):
+    """Randomized parity with the O(n^2) definition: a batch row loses
+    iff some corpus hash is within hamming h, or some SMALLER-id batch
+    row is within hamming h (for h <= 3 the 4x16-bit pigeonhole bands
+    make every true pair a candidate, so banding must be lossless)."""
+    batch = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "hsh"]))
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"hsh": pd.Series(corpus_h, dtype="int64")}),
+        schema="hsh long")
+    got = sorted(r.doc_id for r in
+                 D.incremental_hash_neardup(batch, corpus, "hsh", "doc_id",
+                                            max_hamming=h).collect())
+    want = sorted(
+        d for d, hv in rows
+        if not any(_ham(hv, c) <= h for c in corpus_h)
+        and not any(d2 < d and _ham(hv, h2) <= h for d2, h2 in rows))
+    assert got == want

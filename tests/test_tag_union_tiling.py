@@ -411,3 +411,54 @@ def test_incremental_union_bad_proximity(spark):
         columns=["image_id", "lon", "lat", "phash", "caption"]))
     with pytest.raises(InputException):
         incremental_union_dataset(batch, corpus, proximity="close")
+
+
+# -- property-based parity vs a pure-python reference ---------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_coord_m = st.integers(0, 200)  # decimeters -> 0..20 m grid
+_pt = st.tuples(_coord_m, _coord_m, st.sampled_from([1, 2, 3]))
+_union_batch = st.lists(st.tuples(st.integers(0, 10_000), _pt),
+                        min_size=1, max_size=25, unique_by=lambda t: t[0])
+_union_corpus = st.lists(_pt, min_size=0, max_size=15)
+
+
+def _lonlat(xdm: int, ydm: int) -> tuple:
+    return (xdm / 10.0 / cells.M_PER_DEG_LON_EQ,
+            ydm / 10.0 / cells.M_PER_DEG_LAT)
+
+
+def _dist_m(a: tuple, b: tuple) -> float:
+    # EXACTLY the operator's formula (same op order, float64 throughout)
+    return (((a[0] - b[0]) * cells.M_PER_DEG_LON_EQ) ** 2
+            + ((a[1] - b[1]) * cells.M_PER_DEG_LAT) ** 2) ** 0.5
+
+
+@settings(max_examples=6, deadline=None)
+@given(_union_batch, _union_corpus)
+def test_incremental_union_matches_bruteforce(spark, rows, corpus_pts):
+    """Randomized parity with the O(n^2) definition on a 0.1 m grid:
+    a batch record loses iff some corpus record within 0.5 m shares its
+    phash, or some SMALLER-pk batch record does — so the padded 4-corner
+    cell cover must surface every true pair."""
+    from tdei_backend_service_spark.operators.union_dataset import \
+        incremental_union_dataset
+    brows = [(pk, *_lonlat(x, y), ph, "c") for pk, (x, y, ph) in rows]
+    crows = [(*_lonlat(x, y), ph, "c") for x, y, ph in corpus_pts]
+    batch = spark.createDataFrame(pd.DataFrame(
+        brows, columns=["image_id", "lon", "lat", "phash", "caption"]))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(crows, columns=["lon", "lat", "phash", "caption"]),
+        schema="lon double, lat double, phash bigint, caption string")
+    got = sorted(r.image_id for r in
+                 incremental_union_dataset(batch, corpus).collect())
+    pts = {pk: (_lonlat(x, y), ph) for pk, (x, y, ph) in rows}
+    want = sorted(
+        pk for pk, (p, ph) in pts.items()
+        if not any(cph == ph and _dist_m(p, (clon, clat)) <= 0.5
+                   for clon, clat, cph, _ in crows)
+        and not any(pk2 < pk and ph2 == ph and _dist_m(p, p2) <= 0.5
+                    for pk2, (p2, ph2) in pts.items()))
+    assert got == want
