@@ -175,7 +175,8 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.8, num_hashes: int = 64,
                   bands: int = 8, shingle_k: int = 5,
                   broadcast_texts: bool | None = None,
-                  release_cache: bool = True) -> DataFrame:
+                  release_cache: bool = True,
+                  sigs: DataFrame | None = None) -> DataFrame:
     """Near-dedup: MinHash LSH candidates -> exact n-gram Jaccard verify
     (>= threshold) -> drop the larger id of each verified pair.
 
@@ -191,13 +192,27 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     271x more candidate pairs for identical final output.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, num_hashes, shingle_k)
     # persist the narrow (id, signature) frame: the banding/stats/clique/
     # star branches consume it up to 6 times, and without a cache each
     # branch re-runs the shingling UDF over the full corpus (plan audit:
     # 18 ArrowEvalPython sig nodes on a 3-branch union corpus). Narrow
     # rows (id + 64 longs), MEMORY_AND_DISK, spill-safe at scale.
-    sig_narrow = sigs.select(id_col, "minhash").persist()
+    # ``sigs``, if given, is a precomputed (id, minhash) frame — callers
+    # that already computed signatures (incremental_minhash_dedup) skip
+    # the second UDF pass; an already-cached sigs frame is the caller's
+    # to release (no second cached copy here).
+    if sigs is None:
+        sig_narrow = (minhash_signatures(df, text_col, num_hashes, shingle_k)
+                      .select(id_col, "minhash").persist())
+        own_caches = [sig_narrow]
+    else:
+        lvl = sigs.storageLevel
+        sig_narrow = sigs.select(id_col, "minhash")
+        if lvl.useMemory or lvl.useDisk:
+            own_caches = []
+        else:
+            sig_narrow = sig_narrow.persist()
+            own_caches = [sig_narrow]
     pairs = _banded_pairs(sig_narrow, id_col, "minhash",
                           bands, rows_per_band)
 
@@ -246,7 +261,7 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         verified = pairs.filter(jac(F.col("l_text"), F.col("r_text")) >= threshold)
 
     losers = verified.select(F.col("r_id").alias(id_col)).distinct()
-    losers = _finalize_losers(losers, [sig_narrow], release_cache)
+    losers = _finalize_losers(losers, own_caches, release_cache)
     if release_cache and bcast is not None:
         # losers are materialized, so the executors' text dict can go too
         bcast.unpersist()
@@ -424,12 +439,13 @@ def incremental_minhash_dedup(batch: DataFrame, corpus_sigs: DataFrame,
              .filter(agree >= F.lit(float(threshold) * num_hashes))
              .select(id_col))
 
-    # within-batch: ordinary min-id rule with the full exact verify
-    # (one extra signature pass over the small drop — the price of
-    # keeping minhash_dedup's exact semantics untouched)
+    # within-batch: ordinary min-id rule with the full exact verify,
+    # reusing the already-persisted batch signatures (no second
+    # signature-UDF pass over the drop)
     within = (batch.select(id_col)
               .join(minhash_dedup(batch, text_col, id_col, threshold,
-                                  num_hashes, bands, shingle_k)
+                                  num_hashes, bands, shingle_k,
+                                  sigs=batch_sigs)
                     .select(id_col), id_col, "left_anti"))
     losers = cross.unionByName(within).distinct()
     losers = _finalize_losers(losers, [batch_sigs], release_cache)
