@@ -247,6 +247,25 @@ def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
             .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank")))
 
 
+def _q_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """Persistent-IVF search (similarity.build_ivf_index /
+    ivf_topk_indexed): the corpus is written partitioned by
+    nearest-centroid bucket and the search scan opens ONLY the probed
+    buckets' files (PartitionFilters). At nprobe = n_centroids every
+    bucket is probed, so the scan is complete and the result exact —
+    the partition-pruned physical layout gets the brute-force oracle."""
+    import tempfile
+    from tdei_backend_service_spark.pipeline.similarity import (
+        build_ivf_index, ivf_topk_indexed)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"), "embedding"))
+    idx = tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(emb, idx, n_centroids=8)
+    return (ivf_topk_indexed(spark, idx, queries, k=5, nprobe=8)
+            .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank")))
+
+
 def _q_ivf_quantized(spark: SparkSession, sf: str) -> DataFrame:
     """Quantized IVF (similarity.ivf_topk_quantized): the bucket scan
     reads int8 codes + scale only (4x smaller), the exact float kernel
@@ -766,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         # int8-scan + float-rerank IVF (exact at full probe)
         "ivf_quantized_topk": _q_ivf_quantized,
+        # persistent bucket-partitioned IVF index (partition-pruned scan)
+        "ivf_indexed_topk": _q_ivf_indexed,
         # rows-only: pixel decode invariants are genuinely non-SQL
         "payload_invariants": _q_payload_invariants,
         "winnow_fingerprint": _q_winnow,
@@ -927,6 +948,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _TOPK_SQL,
         # quantized scan + exact float re-rank at full probe: also exact
         "ivf_quantized_topk": _TOPK_SQL,
+        # persistent index probes every bucket at full nprobe: exact
+        "ivf_indexed_topk": _TOPK_SQL,
         # Planted-corpus dedup survivor sets (closed-form; see
         # fixtures_tpch.planted_documents / planted_embeddings for why
         # removal AND survival are deterministic, not probabilistic).

@@ -62,7 +62,7 @@ def main() -> None:
         "cross_modal_dedup", "incremental_phash_dedup",
         "incremental_embedding_dedup", "incremental_union",
         "incremental_minhash_dedup",
-        "mix_domains", "ivf_quantized_topk",
+        "mix_domains", "ivf_quantized_topk", "ivf_indexed_topk",
         "payload_invariants",
         "streaming_dedup", "windowed_events",
     ]

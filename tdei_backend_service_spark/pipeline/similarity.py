@@ -208,3 +208,73 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
             .withColumn(out_col,
                         F.when(F.col(scale_col) == 0.0, zero)
                         .otherwise(codes)))
+
+
+# ---------------------------------------------------------------------------
+# persistent IVF index: build once, search many (partition-pruned scans)
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(corpus: DataFrame, index_dir: str,
+                    n_centroids: int = 16, vec_col: str = "embedding",
+                    id_col: str = "vec_id", seed: int = 17) -> dict:
+    """Materialize a PERSISTENT IVF index — the build-once/search-many
+    shape ivf_topk's in-memory variant only simulates. Layout:
+
+    * ``index_dir``/centroids — a tiny (centroid_id, vector) parquet
+      table (engine-portable; no pickled state);
+    * ``index_dir``/corpus/bucket=K/... — (id, vector) rows partitioned
+      by nearest-centroid bucket.
+
+    Searches (ivf_topk_indexed) read ONLY the probed buckets: the
+    bucket predicate is a PartitionFilter at the parquet scan, so a
+    10^12-row corpus scan shrinks by ~n_centroids/nprobe at the SOURCE
+    — files for unprobed buckets are never opened, unlike the
+    in-memory variant, which must re-read and re-assign the whole
+    corpus on every call."""
+    spark = corpus.sparkSession
+    C = train_centroids(corpus, n_centroids, vec_col, seed)
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(len(C))],
+        schema="centroid_id int, vector array<float>")
+    cent.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{index_dir}/centroids")
+    assign = _assign_udf(C, 1)
+    (corpus.select(F.col(id_col), F.col(vec_col))
+     .withColumn("bucket", assign(F.col(vec_col))[0])
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(f"{index_dir}/corpus"))
+    return {"index_dir": index_dir, "n_centroids": int(len(C))}
+
+
+def load_centroids(spark, index_dir: str) -> np.ndarray:
+    rows = (spark.read.parquet(f"{index_dir}/centroids")
+            .orderBy("centroid_id").collect())
+    return np.stack([np.asarray(r.vector, dtype=np.float32) for r in rows])
+
+
+def ivf_topk_indexed(spark, index_dir: str, queries: DataFrame,
+                     k: int = 10, nprobe: int = 4,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     q_id_col: str = "q_id") -> DataFrame:
+    """Approximate top-k against a build_ivf_index directory. The probed
+    bucket ids (at most |Q| x nprobe ints — a bounded driver-side
+    collect) become a literal IN-list on the partition column, so the
+    parquet scan opens ONLY the probed buckets' files (PartitionFilters
+    in the plan — pinned in tests). Same centroids => identical results
+    to the in-memory ivf_topk at every nprobe."""
+    C = load_centroids(spark, index_dir)
+    q_assign = _assign_udf(C, nprobe)
+    q = (queries.select(F.col(q_id_col), F.col(vec_col).alias("_qv"))
+         .withColumn("bucket", F.explode(q_assign(F.col("_qv")))))
+    probed = sorted({r[0] for r in q.select("bucket").distinct().collect()})
+    corpus = (spark.read.parquet(f"{index_dir}/corpus")
+              .filter(F.col("bucket").isin(probed))
+              .select(F.col(id_col), F.col(vec_col).alias("_cv"), "bucket"))
+    scored = (corpus.join(F.broadcast(q), "bucket")
+              .withColumn("cos", _dot(F.col("_qv"), F.col("_cv"))
+                          / (_norm(F.col("_qv")) * _norm(F.col("_cv")))))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id_col, id_col, "cos", "rank"))

@@ -253,3 +253,39 @@ def test_quantize_embeddings_reconstruction_and_edges(spark):
         s = r.q_scale
         for q, x in zip(r.q_embedding, dict(rows)[r.vec_id]):
             assert abs(q * s / 127.0 - x) <= s / 254.0 + 1e-12
+
+
+def test_ivf_indexed_matches_in_memory_and_prunes_partitions(spark, vectors,
+                                                             tmp_path):
+    """The persistent index returns IDENTICAL results to the in-memory
+    ivf_topk at every nprobe (same seeded centroids), and a partial
+    probe's parquet scan carries the bucket predicate as a
+    PartitionFilter — unprobed buckets' files are never opened."""
+    df, _ = vectors
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(df, idx, n_centroids=8)
+    queries = df.sample(0.1, seed=4).limit(8).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+
+    for nprobe in (3, 8):
+        mem = S.ivf_topk(df, queries, k=10, n_centroids=8, nprobe=nprobe)
+        ind = S.ivf_topk_indexed(spark, idx, queries, k=10, nprobe=nprobe)
+        assert (sorted((r.q_id, r.rank, r.vec_id) for r in mem.collect())
+                == sorted((r.q_id, r.rank, r.vec_id) for r in ind.collect()))
+
+    out = S.ivf_topk_indexed(spark, idx, queries, k=10, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", plan)
+    assert m, plan[:2000]
+
+
+def test_ivf_indexed_exact_at_full_probe(spark, vectors, tmp_path):
+    df, _ = vectors
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(df, idx, n_centroids=8)
+    queries = df.limit(4).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = S.brute_force_topk(df, queries, k=5)
+    ind = S.ivf_topk_indexed(spark, idx, queries, k=5, nprobe=8)
+    assert (sorted((r.q_id, r.rank, r.vec_id) for r in exact.collect())
+            == sorted((r.q_id, r.rank, r.vec_id) for r in ind.collect()))

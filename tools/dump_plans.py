@@ -151,6 +151,11 @@ COMMENTARY = {
                          "exact distance refine; within-batch losers "
                          "from the ordinary union_dataset self-union. "
                          "The committed corpus is never self-paired.",
+    "ivf_indexed_topk": "Persistent IVF: probed bucket ids become a "
+                        "literal IN-list on the partition column — "
+                        "PartitionFilters at the parquet scan, unprobed "
+                        "buckets' files never open; broadcast query "
+                        "join, window top-k.",
     "incremental_minhash_dedup": "Text-tier incremental dedup: batch "
                                  "signatures once (persisted), corpus "
                                  "signature relation band-explodes and "
