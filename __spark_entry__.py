@@ -593,6 +593,99 @@ def _q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+# eval set = documents with doc_id % 41 == 0 AND doc_id < 500: a FIXED
+# 13-doc benchmark at every SF (an eval set does not grow with the
+# training corpus; unbounded growth would trigram-saturate the 31-word
+# vocabulary and contaminate everything at sf0.1)
+DECONTAM_MOD = 41
+DECONTAM_CAP = 500
+_EV_PRED_SQL = f"(doc_id % {DECONTAM_MOD} = 0 AND doc_id < {DECONTAM_CAP})"
+
+
+def _decontam_tables(spark: SparkSession, sf: str):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    is_ev = (F.col("doc_id") % DECONTAM_MOD == 0) & \
+            (F.col("doc_id") < DECONTAM_CAP)
+    return docs.filter(~is_ev), docs.filter(is_ev)
+
+
+def _q_decontam_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set decontamination evidence (pipeline/cleanse.
+    contamination_hits): distinct word trigrams of each training doc
+    matched against the broadcast eval-trigram set — per-doc hit
+    counts, the GPT-3-style n-gram overlap rule. Corpus side is a
+    map-only explode into the broadcast join; only matches shuffle."""
+    from tdei_backend_service_spark.pipeline.cleanse import \
+        contamination_hits
+    train, ev = _decontam_tables(spark, sf)
+    return (contamination_hits(train, ev, n=3)
+            .select("doc_id", F.col("n_hits").cast("long").alias("n_hits")))
+
+
+def _q_decontam_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontaminated corpus (pipeline/cleanse.decontaminate): training
+    docs with >= 1 distinct trigram shared with the eval set are
+    dropped via a broadcast anti join — the corpus never shuffles."""
+    from tdei_backend_service_spark.pipeline.cleanse import decontaminate
+    train, ev = _decontam_tables(spark, sf)
+    return decontaminate(train, ev, n=3, min_hits=1).select(
+        "doc_id", "source")
+
+
+def _q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate line removal (pipeline/cleanse.dedup_lines) over the
+    lined corpus (fixtures_tpch.lined_documents: 8-word lines + two
+    planted boilerplate lines on the %3/%5 residues): lines recurring
+    in > 30 docs are killed via a broadcast frequent-line relation and
+    surviving lines reassemble in original order — cleaned text plus
+    kept/removed counts, all SQL-replicable."""
+    from tdei_backend_service_spark.pipeline.cleanse import dedup_lines
+    docs = FX.lined_documents(spark, sf)
+    return (dedup_lines(docs, max_doc_freq=30)
+            .select("doc_id", "text",
+                    F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+                    F.col("n_lines_removed").cast("long")
+                    .alias("n_lines_removed")))
+
+
+def _q_zonal_image_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Zonal statistics over geotagged IMAGE METADATA — the A+B
+    composition: the real polygon PIP join (two-phase cell join +
+    ray-cast refine) aggregating per-zone image counts and size stats
+    (count/sum/max through the reference's null-filtered aggregate
+    graft), while the closed-form key lattice keeps every aggregate
+    integer-exact for the SQL oracle."""
+    zones = FX.quad_zones(spark, side=4, dataset_id="tpch-z")
+    imgs = FX.orders_images(spark, sf)
+    out = spatial_join(zones, "zone", "tpch-z", imgs, "point", "tpch",
+                       "ST_Intersects(geometry_target, geometry_source)",
+                       ["count(*) as n", "sum(w) as sum_w",
+                        "max(h) as max_h"])
+    p = F.col("props")
+    return out.select("zone_id",
+                      p.getItem("ext:n").cast("bigint").alias("n"),
+                      p.getItem("ext:sum_w").cast("bigint").alias("sum_w"),
+                      p.getItem("ext:max_h").cast("bigint").alias("max_h"))
+
+
+def _q_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed curation flagship: per-domain quality cut (top half by
+    the pinned quality_score) THEN eval-set decontamination (trigram
+    overlap vs the %41 eval residue) — two oracled tiers chained in one
+    query, proving the stages compose without re-reading the corpus.
+    Survivor set stays integer/rank-exact, so the composition carries a
+    full SQL oracle (nested CTEs of the two stage oracles)."""
+    from tdei_backend_service_spark.pipeline.cleanse import decontaminate
+    from tdei_backend_service_spark.pipeline.curation import \
+        filter_top_fraction
+    train, ev = _decontam_tables(spark, sf)
+    scored = TX.with_quality(train)
+    kept = filter_top_fraction(scored, "quality_score", "source",
+                               num=1, den=2)
+    return decontaminate(kept, ev, n=3, min_hits=1).select(
+        "doc_id", "source")
+
+
 def _q_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Image near-dedup by PERCEPTUAL HASH — the canonical image-corpus
     dedup for training data — run over the REAL decode path: part_images
@@ -826,6 +919,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_vecs": _q_quantize_vecs,
         "ngram_top": _q_ngram_top,
         # iterative connected-components collapse over planted chains
+        # r5 continuation: cleansing tier + zonal image stats
+        "decontam_hits": _q_decontam_hits,
+        "decontam_survivors": _q_decontam_survivors,
+        "line_dedup": _q_line_dedup,
+        "zonal_image_stats": _q_zonal_image_stats,
+        "curate_corpus": _q_curate_corpus,
         "union_cc": _q_union_cc,
         # multi-zoom tile rollup (one corpus pass + per-level halving)
         "tile_pyramid": _q_tile_pyramid,
@@ -1231,6 +1330,69 @@ def oracle_sql() -> dict[str, str]:
                   FROM q)
             SELECT doc_id, source FROM r WHERE rk * 2 <= n
         """,
+        # eval-set decontamination: distinct word trigrams per doc
+        # (same whitespace split the token oracle pins), eval = the
+        # doc_id % 41 residue, hits counted over the join
+        "decontam_hits": _DECONTAM_GRAMS + f"""
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM g JOIN ev USING (gram)
+            WHERE NOT {_EV_PRED_SQL}
+            GROUP BY doc_id
+        """,
+        # survivors = training docs with zero eval-trigram overlap
+        "decontam_survivors": _DECONTAM_GRAMS + f"""
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE NOT {_EV_PRED_SQL.replace('doc_id', 'd.doc_id')}
+              AND NOT EXISTS (
+                SELECT 1 FROM g JOIN ev USING (gram)
+                WHERE g.doc_id = d.doc_id)
+        """,
+        # boilerplate line removal over the lined corpus: rule-exact
+        # replica — line doc-frequency > 30 kills the line, survivors
+        # reassemble ORDER BY position, counts via FILTER
+        "line_dedup": _line_dedup_sql(),
+        # zonal image-metadata stats: the zone_pip closed form plus the
+        # planted integer size laws w = 8*(1+k%3), h = 8*(1+k%5);
+        # COUNT grafts 0 for empty zones, SUM/MAX stay NULL (O2d) —
+        # every zone is non-empty at all three SFs so no NULL reaches
+        # the hash compare
+        "zonal_image_stats": """
+            SELECT z.zone_id, COALESCE(c.n, 0) AS n, c.sum_w, c.max_h
+            FROM (SELECT CAST(range AS BIGINT) AS zone_id FROM range(16)) z
+            LEFT JOIN (
+              SELECT ((o_orderkey * 40503 + 12345) % 100000) // 25000 * 4
+                   + ((o_orderkey * 2654435761) % 100000) // 25000 AS zone_id,
+                     COUNT(*) AS n,
+                     CAST(SUM(8 * (1 + o_orderkey % 3)) AS BIGINT) AS sum_w,
+                     CAST(MAX(8 * (1 + o_orderkey % 5)) AS BIGINT) AS max_h
+              FROM orders GROUP BY 1) c USING (zone_id)
+        """,
+        # composed curation flagship: quality-cut ranks computed over
+        # the TRAINING residue, then the decontamination NOT EXISTS —
+        # nested replicas of the two stage oracles
+        "curate_corpus": f"""
+            WITH q AS ({_quality_sql(", source")}),
+            r AS (SELECT doc_id, source,
+                    ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY quality_score DESC, doc_id) AS rk,
+                    COUNT(*) OVER (PARTITION BY source) AS n
+                  FROM q WHERE NOT {_EV_PRED_SQL}),
+            k AS (SELECT doc_id, source FROM r WHERE rk * 2 <= n),
+            w AS (SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text),
+                                     '\\s+'), x -> x <> '') AS ws
+                  FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_distinct(
+                           [ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                            for i in range(1, len(ws) - 1)])) AS gram
+                  FROM w WHERE len(ws) >= 3),
+            ev AS (SELECT DISTINCT gram FROM g WHERE {_EV_PRED_SQL})
+            SELECT k.doc_id, k.source FROM k
+            WHERE NOT EXISTS (
+              SELECT 1 FROM g JOIN ev USING (gram)
+              WHERE g.doc_id = k.doc_id)
+        """,
         # perceptual-hash near-dedup over the REAL decode path: keys
         # sharing k%127 carry identical planted pixels -> identical
         # recomputed ahash (hamming 0); cross-class hashes are >= 17
@@ -1350,6 +1512,63 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
     }
+
+
+# shared decontamination CTE chain: per-doc DISTINCT word trigrams over
+# the pinned whitespace split; eval set = the fixed 13-doc benchmark
+_DECONTAM_GRAMS = rf"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct([ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                                   for i in range(1, len(ws) - 1)])) AS gram
+      FROM w WHERE len(ws) >= 3),
+    ev AS (SELECT DISTINCT gram FROM g WHERE {_EV_PRED_SQL})
+"""
+
+
+def _line_dedup_sql() -> str:
+    """Exact replica of fixtures_tpch.lined_documents (8-word chunking
+    + planted boilerplate) feeding pipeline/cleanse.dedup_lines (line
+    doc-frequency > 30 -> killed; survivors reassembled in order)."""
+    lw = FX.LINE_WORDS
+    return rf"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    ld AS (
+      SELECT doc_id,
+             list_concat(list_concat(
+               list_transform(range(0, (len(ws) + {lw - 1}) // {lw}),
+                 j -> array_to_string(ws[j * {lw} + 1 : j * {lw} + {lw}], ' ')),
+               CASE WHEN doc_id % 3 = 0 THEN ['{FX.BOILER_A}']
+                    ELSE CAST([] AS VARCHAR[]) END),
+               CASE WHEN doc_id % 5 = 0 THEN ['{FX.BOILER_B}']
+                    ELSE CAST([] AS VARCHAR[]) END) AS ls
+      FROM base),
+    l AS (
+      SELECT doc_id,
+             unnest([{{'pos': i, 'line': ls[i]}}
+                     for i in range(1, len(ls) + 1)]) AS pl
+      FROM ld),
+    ll AS (SELECT doc_id, pl.pos AS pos, pl.line AS line,
+                  md5(pl.line) AS h
+           FROM l),
+    f AS (SELECT h FROM ll GROUP BY h HAVING COUNT(DISTINCT doc_id) > 30),
+    m AS (SELECT doc_id, pos, line, h IN (SELECT h FROM f) AS bad FROM ll)
+    SELECT doc_id,
+           COALESCE(array_to_string(list(line ORDER BY pos)
+                      FILTER (WHERE NOT bad), chr(10)), '') AS text,
+           CAST(COUNT(*) FILTER (WHERE NOT bad) AS BIGINT) AS n_lines_kept,
+           CAST(COUNT(*) FILTER (WHERE bad) AS BIGINT) AS n_lines_removed
+    FROM m GROUP BY doc_id
+    """
 
 
 _TOPK_SQL = """

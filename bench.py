@@ -63,6 +63,9 @@ def main() -> None:
         "incremental_embedding_dedup", "incremental_union",
         "incremental_minhash_dedup",
         "mix_domains", "ivf_quantized_topk", "ivf_indexed_topk",
+        # r5 continuation: cleansing tier + zonal image stats
+        "decontam_hits", "decontam_survivors", "line_dedup",
+        "zonal_image_stats", "curate_corpus",
         "payload_invariants",
         "streaming_dedup", "windowed_events",
     ]

@@ -679,3 +679,52 @@ def customer_images(spark: SparkSession, sf_dir: str, side: str,
             .withColumn("props", F.create_map().cast("map<string,string>"))
             .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash",
                     "lon", "lat", "props", "dataset_id"))
+
+
+# --- cleansing-tier fixtures (pipeline/cleanse.py oracles) -----------------
+
+# planted boilerplate lines for the line-dedup fixture: appended to every
+# doc_id % 3 == 0 (resp. % 5 == 0) document, so their document frequency
+# (~n/3, ~n/5) dwarfs any organic 8-word line (31-word vocab -> 31^8
+# possible lines; the rule-replicating oracle is exact regardless)
+BOILER_A = "subscribe to our newsletter for weekly updates now"
+BOILER_B = "all rights reserved click here to learn more"
+LINE_WORDS = 8
+
+
+def lined_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents re-chunked into newline-separated lines of LINE_WORDS
+    whitespace words (the corpus has no organic newlines), with the two
+    boilerplate lines planted on the %3 / %5 residues — the input shape
+    pipeline/cleanse.dedup_lines expects. Pure Catalyst, and every step
+    (split, slice, concat, conditional append) has an exact DuckDB
+    replica, so line-dedup output is SQL-checkable end to end."""
+    from .pipeline.text import words_col
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = words_col(F.col("text"))
+    n_lines = F.floor((F.size(words) + F.lit(LINE_WORDS - 1))
+                      / F.lit(LINE_WORDS)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda j: F.concat_ws(" ", F.slice(words, j * LINE_WORDS + 1,
+                                           LINE_WORDS)))
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        lines,
+        F.when(F.col("doc_id") % 3 == 0, F.array(F.lit(BOILER_A)))
+         .otherwise(empty),
+        F.when(F.col("doc_id") % 5 == 0, F.array(F.lit(BOILER_B)))
+         .otherwise(empty))
+    return docs.select("doc_id", F.array_join(lines, "\n").alias("text"),
+                       "source")
+
+
+def orders_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geotagged image-metadata records derived from orders — the
+    point-dimension source for the zonal image-statistics query: lon/lat
+    from the key lattice, w = 8*(1 + k%3), h = 8*(1 + k%5) (the same
+    size law part_images plants), so per-zone metadata aggregates are
+    closed-form integers in both engines."""
+    pts = orders_points(spark, sf_dir)
+    return (pts.withColumn("w", (8 * (1 + F.col("o_orderkey") % 3)).cast("int"))
+            .withColumn("h", (8 * (1 + F.col("o_orderkey") % 5)).cast("int")))

@@ -34,6 +34,21 @@ def words_col(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of sliding word n-grams (space-joined) over the pinned
+    whitespace split; empty array for texts shorter than n words.
+    Pure Catalyst transform-over-sequence — the short-document guard is
+    explicit because Spark's sequence(1, 0) DESCENDS ([1, 0]) rather
+    than being empty."""
+    n = int(n)
+    words = words_col(text)
+    starts = F.when(F.size(words) >= n,
+                    F.sequence(F.lit(1), F.size(words) - (n - 1))) \
+              .otherwise(F.array().cast("array<int>"))
+    return F.transform(starts,
+                       lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+
+
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """``n_tokens_ws`` (whitespace tokens) + ``n_tokens_bpe`` (regex
     word/number/symbol tokens, a BPE-ish proxy)."""
@@ -183,15 +198,7 @@ def ngram_counts(df: DataFrame, n: int = 2, top_k: int | None = None,
     Python), the count is one partial-aggregated exchange on the n-gram
     key, and top-k is a TakeOrderedAndProject — no full sort. Documents
     shorter than n contribute nothing."""
-    n = int(n)
-    words = words_col(F.col(text_col))
-    # guard the short-document case explicitly: Spark's sequence(1, 0)
-    # DESCENDS ([1, 0]) rather than being empty
-    starts = F.when(F.size(words) >= n,
-                    F.sequence(F.lit(1), F.size(words) - (n - 1))) \
-              .otherwise(F.array().cast("array<int>"))
-    grams = F.transform(starts,
-                        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    grams = word_ngrams(F.col(text_col), n)
     out = (df.select(F.explode(grams).alias("ngram"))
            .groupBy("ngram").agg(F.count(F.lit(1)).alias("n")))
     if top_k is not None:
