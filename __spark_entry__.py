@@ -686,6 +686,16 @@ def _q_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "source")
 
 
+def _q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (pipeline/cleanse.redact_pii) over the planted-PII
+    corpus (fixtures_tpch.pii_documents): emails then phone numbers
+    replaced by tokens with per-doc counts — map-only regex stages in
+    whole-stage codegen, patterns restricted to the Java-regex/RE2
+    common subset so the redacted text itself is oracle-exact."""
+    from tdei_backend_service_spark.pipeline.cleanse import redact_pii
+    return redact_pii(FX.pii_documents(spark, sf))
+
+
 def _q_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Image near-dedup by PERCEPTUAL HASH — the canonical image-corpus
     dedup for training data — run over the REAL decode path: part_images
@@ -925,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "zonal_image_stats": _q_zonal_image_stats,
         "curate_corpus": _q_curate_corpus,
+        "pii_redact": _q_pii_redact,
         "union_cc": _q_union_cc,
         # multi-zoom tile rollup (one corpus pass + per-level halving)
         "tile_pyramid": _q_tile_pyramid,
@@ -1393,6 +1404,35 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM g JOIN ev USING (gram)
               WHERE g.doc_id = k.doc_id)
         """,
+        # PII redaction: replicate the planted corpus (email on %4,
+        # phone on %6), then the same regex chain — emails first —
+        # with RE2-compatible patterns and 'g' replacement
+        "pii_redact": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 4 = 0
+                          THEN ' contact user' || doc_id || '@example.com now'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 6 = 0
+                          THEN ' call 206-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+                          ELSE '' END AS text
+              FROM documents),
+            e AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '{_EMAIL_RE_SQL}'))
+                       AS n_emails,
+                     regexp_replace(text, '{_EMAIL_RE_SQL}', '<EMAIL>', 'g')
+                       AS text
+              FROM p)
+            SELECT doc_id,
+                   regexp_replace(text, '{_PHONE_RE_SQL}', '<PHONE>', 'g')
+                     AS text,
+                   CAST(n_emails AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{_PHONE_RE_SQL}'))
+                        AS BIGINT) AS n_phones
+            FROM e
+        """,
         # perceptual-hash near-dedup over the REAL decode path: keys
         # sharing k%127 carry identical planted pixels -> identical
         # recomputed ahash (hamming 0); cross-class hashes are >= 17
@@ -1512,6 +1552,21 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
     }
+
+
+# PII patterns as DuckDB string literals (same strings cleanse.py
+# compiles into Spark; both engines treat them identically — the
+# patterns are the Java-regex/RE2 common subset)
+def _sql_regex(p: str) -> str:
+    # DuckDB string literals are standard SQL: backslashes pass through
+    # untouched; only quotes need doubling
+    return p.replace("'", "''")
+
+
+from tdei_backend_service_spark.pipeline import cleanse as _CL  # noqa: E402
+
+_EMAIL_RE_SQL = _sql_regex(_CL.EMAIL_RE)
+_PHONE_RE_SQL = _sql_regex(_CL.PHONE_RE)
 
 
 # shared decontamination CTE chain: per-doc DISTINCT word trigrams over

@@ -65,7 +65,7 @@ def main() -> None:
         "mix_domains", "ivf_quantized_topk", "ivf_indexed_topk",
         # r5 continuation: cleansing tier + zonal image stats
         "decontam_hits", "decontam_survivors", "line_dedup",
-        "zonal_image_stats", "curate_corpus",
+        "zonal_image_stats", "curate_corpus", "pii_redact",
         "payload_invariants",
         "streaming_dedup", "windowed_events",
     ]

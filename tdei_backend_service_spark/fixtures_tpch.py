@@ -728,3 +728,22 @@ def orders_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = orders_points(spark, sf_dir)
     return (pts.withColumn("w", (8 * (1 + F.col("o_orderkey") % 3)).cast("int"))
             .withColumn("h", (8 * (1 + F.col("o_orderkey") % 5)).cast("int")))
+
+
+def pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with planted PII: an email appended on the %4 residue
+    and a phone number on the %6 residue (the organic corpus has
+    neither '@' nor dashes, so matches are exactly the plants). Both
+    engines build the same string, so pipeline/cleanse.redact_pii is
+    SQL-checkable end to end."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    email = F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit(" contact user"), F.col("doc_id"),
+                            F.lit("@example.com now"))).otherwise(F.lit(""))
+    phone = F.when(F.col("doc_id") % 6 == 0,
+                   F.concat(F.lit(" call 206-555-"),
+                            F.lpad(F.col("doc_id") % 10000, 4, "0"),
+                            F.lit(" today"))).otherwise(F.lit(""))
+    return docs.select("doc_id",
+                       F.concat(F.col("text"), email, phone).alias("text"),
+                       "source")

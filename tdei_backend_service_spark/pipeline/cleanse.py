@@ -132,3 +132,30 @@ def dedup_lines(df: DataFrame, max_doc_freq: int, sep: str = "\n",
                  F.count(kept_struct).alias("n_lines_kept"),
                  F.count(F.when(F.col("_bad"), F.lit(1)))
                  .alias("n_lines_removed")))
+
+
+# PII-redaction patterns: deliberately the COMMON subset of Java-regex
+# (Spark) and RE2 (DuckDB, Go scanners) syntax — no backrefs, no
+# lookaround — so the redaction rule is portable and oracle-checkable.
+EMAIL_RE = r"[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               email_token: str = "<EMAIL>",
+               phone_token: str = "<PHONE>") -> DataFrame:
+    """Scrub emails and phone numbers from the corpus, keeping per-doc
+    counts — the standard pre-training PII pass. Emails are replaced
+    first so a phone-shaped digit run inside an address cannot double
+    count. Map-only (two regexp_replace + two regexp_extract_all in
+    whole-stage codegen): zero shuffle at any scale."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    after_email = F.regexp_replace(t, EMAIL_RE, email_token)
+    n_phones = F.size(F.regexp_extract_all(after_email, F.lit(PHONE_RE), 0))
+    cleaned = F.regexp_replace(after_email, PHONE_RE, phone_token)
+    return df.select(
+        F.col(id_col), cleaned.alias(text_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"))

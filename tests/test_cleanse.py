@@ -171,3 +171,38 @@ def test_zonal_image_stats_empty_zone_semantics(spark):
     full = [z for z, p in rows.items() if p.get("ext:n") != "0"]
     for z in full:
         assert int(rows[z]["ext:sum_w"]) > 0
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_planted(spark):
+    from tdei_backend_service_spark.pipeline.cleanse import redact_pii
+    docs = _docs(spark, [
+        (1, "mail me at bob.smith@corp.io or sue_x@a.b.co thanks"),
+        (2, "call 206-555-0147 or 425-555-9999 now"),
+        (3, "clean text with digits 123 and dots. end"),
+        (4, "mixed a@b.cd and 111-222-3333"),
+    ])
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 0
+    assert "sue_x" not in out[1]["text"]
+    assert "corp.io" not in out[1]["text"] and "<EMAIL>" in out[1]["text"]
+    assert out[2]["n_phones"] == 2 and out[2]["n_emails"] == 0
+    assert out[2]["text"] == "call <PHONE> or <PHONE> now"
+    assert out[3]["n_emails"] == 0 and out[3]["n_phones"] == 0
+    assert out[3]["text"].endswith("dots. end")
+    assert out[4]["text"] == "mixed <EMAIL> and <PHONE>"
+
+
+def test_redact_pii_email_before_phone(spark):
+    """A phone-shaped digit run inside an email local part is consumed
+    by the email pass and must not count as a phone."""
+    from tdei_backend_service_spark.pipeline.cleanse import redact_pii
+    docs = _docs(spark, [(1, "odd 111-222-3333x@q.com addr")])
+    [r] = redact_pii(docs).collect()
+    assert r["n_emails"] == 1
+    assert r["n_phones"] == 0
+    assert r["text"] == "odd <EMAIL> addr"
