@@ -686,6 +686,20 @@ def _q_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "source")
 
 
+def _q_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global corpus shuffle (pipeline/curation.
+    global_shuffle): every doc's dense training-order position under
+    the seeded permutation, via the distributed two-phase rank (top-bit
+    range buckets -> one exchange + per-bucket row_number -> driver
+    cumsum of bucket counts) — NOT a single-partition global window.
+    The oracle row pins the scramble permutation; xxhash64 is the
+    production default, differential-tested in tests/test_curation.py."""
+    from tdei_backend_service_spark.pipeline.curation import global_shuffle
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (global_shuffle(docs, method="scramble")
+            .select("doc_id", "shuffle_pos"))
+
+
 def _q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     """PII scrubbing (pipeline/cleanse.redact_pii) over the planted-PII
     corpus (fixtures_tpch.pii_documents): emails then phone numbers
@@ -936,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_image_stats": _q_zonal_image_stats,
         "curate_corpus": _q_curate_corpus,
         "pii_redact": _q_pii_redact,
+        "corpus_shuffle": _q_corpus_shuffle,
         "union_cc": _q_union_cc,
         # multi-zoom tile rollup (one corpus pass + per-level halving)
         "tile_pyramid": _q_tile_pyramid,
@@ -1403,6 +1418,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM g JOIN ev USING (gram)
               WHERE g.doc_id = k.doc_id)
+        """,
+        # deterministic global shuffle: dense rank under the scramble
+        # permutation (ties on id) — the two-phase bucket rank must
+        # equal the flat ROW_NUMBER by construction
+        "corpus_shuffle": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY ((doc_id + 7) * 2654435761) % 4294967296,
+                              doc_id) - 1 AS BIGINT) AS shuffle_pos
+            FROM documents
         """,
         # PII redaction: replicate the planted corpus (email on %4,
         # phone on %6), then the same regex chain — emails first —

@@ -66,6 +66,7 @@ def main() -> None:
         # r5 continuation: cleansing tier + zonal image stats
         "decontam_hits", "decontam_survivors", "line_dedup",
         "zonal_image_stats", "curate_corpus", "pii_redact",
+        "corpus_shuffle",
         "payload_invariants",
         "streaming_dedup", "windowed_events",
     ]

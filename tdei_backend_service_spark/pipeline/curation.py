@@ -131,6 +131,65 @@ def sample_per_key(df: DataFrame, key_col: str, k: int,
             .filter(F.col("_rk") <= k).drop("_rk"))
 
 
+def global_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 7,
+                   method: str = "xxhash64", n_buckets: int = 1024,
+                   pos_col: str = "shuffle_pos") -> DataFrame:
+    """Deterministic global corpus shuffle — the reproducible training
+    order every run of a data pipeline must agree on: every row gets a
+    dense position 0..n-1 equal to its rank under (seeded hash of id,
+    id). Same seed -> same order, on any cluster, any partitioning.
+
+    A naive ROW_NUMBER over a global ORDER BY is a single-partition
+    window — a non-starter at 10^12 rows. This is the distributed
+    two-phase rank instead:
+
+    1. bucket = hash-key div (2^32 / n_buckets) — a RANGE bucket from
+       the TOP BITS of the uniform order key, so no sampled range
+       boundaries (repartitionByRange's sampling) enter the result;
+    2. ONE exchange on the bucket, row_number within each bucket
+       (window partitioned by bucket, ordered by key then id);
+    3. bucket counts (n_buckets rows, collected) -> driver cumsum ->
+       per-bucket offsets rejoined as a broadcast map;
+    4. position = offset[bucket] + rank_in_bucket - 1.
+
+    Because the key is a uniform hash, bucket skew is O(n/n_buckets)
+    whp; raise n_buckets to the write parallelism you want. ``method``
+    as in sample_per_key: xxhash64 (production default) or the affine
+    scramble (cross-engine oracle; ids range-validated)."""
+    if method == "scramble":
+        check = (F.col(id_col) >= F.lit(-seed)) & \
+                (F.col(id_col) <= F.lit(SCRAMBLE_MAX_ID - seed))
+        df = df.filter(F.when(check, F.lit(True)).otherwise(
+            F.raise_error(F.concat(
+                F.lit("global_shuffle(method='scramble') id out of "
+                      f"range [0, {SCRAMBLE_MAX_ID - seed}]: "),
+                F.col(id_col).cast("string")))))
+    n_buckets = int(n_buckets)
+    span = (1 << 32) // n_buckets  # order keys are uniform in [0, 2^32)
+    order = _sample_order_key(id_col, seed, method)
+    keyed = df.withColumn("_k", order) \
+              .withColumn("_b", F.expr(f"_k div {span}"))
+    # bucket counts need no window — a partial-aggregated count over the
+    # narrow bucket column (the corpus is scanned twice, like any
+    # zipWithIndex-shaped rank; the count pass reads one derived column)
+    counts = {r["_b"]: r["n"] for r in
+              keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    offsets, acc = [], 0
+    for b in sorted(counts):
+        offsets.append((b, acc))
+        acc += counts[b]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0)],
+                                   "_b long, _off long")
+    w = Window.partitionBy("_b").orderBy(F.col("_k").asc(),
+                                         F.col(id_col).asc())
+    ranked = (keyed.join(F.broadcast(off_df), "_b")
+              .withColumn("_rk", F.row_number().over(w).cast("long")))
+    return (ranked.withColumn(pos_col, F.col("_off") + F.col("_rk") - 1)
+            .drop("_k", "_b", "_rk", "_off"))
+
+
 def mix_domains(df: DataFrame, key_col: str,
                 weights: dict[str, tuple[int, int]],
                 id_col: str = "doc_id", seed: int = 7,

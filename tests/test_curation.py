@@ -1,4 +1,5 @@
 import pandas as pd
+from pyspark.sql import functions as F
 
 from tdei_backend_service_spark.pipeline.curation import (filter_top_fraction,
                                                           pack_documents,
@@ -265,3 +266,64 @@ def test_sample_per_key_scramble_validates_id_range(spark):
     # xxhash64 has no range limit
     out = sample_per_key(df, "source", k=5, method="xxhash64").collect()
     assert len(out) == 2
+
+
+# ---------------------------------------------------------------------------
+# global_shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_global_shuffle_matches_flat_rank(spark):
+    """The two-phase bucket rank must equal a flat single-order rank."""
+    from tdei_backend_service_spark.pipeline.curation import (
+        PACK_SCRAMBLE, global_shuffle)
+    ids = [3, 17, 1, 999, 250_000, 42, 7, 0]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["shuffle_pos"]
+           for r in global_shuffle(df, method="scramble",
+                                   n_buckets=16).collect()}
+    ref = sorted(ids, key=lambda i: (((i + 7) * PACK_SCRAMBLE) % (1 << 32), i))
+    assert got == {i: pos for pos, i in enumerate(ref)}
+
+
+def test_global_shuffle_dense_permutation_both_methods(spark):
+    from tdei_backend_service_spark.pipeline.curation import global_shuffle
+    df = spark.range(0, 3000, 1, 8).withColumnRenamed("id", "doc_id")
+    for method in ("scramble", "xxhash64"):
+        pos = [r["shuffle_pos"] for r in
+               global_shuffle(df, method=method, n_buckets=64).collect()]
+        assert sorted(pos) == list(range(3000)), method
+    a = global_shuffle(df, method="scramble", n_buckets=64)
+    b = global_shuffle(df, method="xxhash64", n_buckets=64)
+    joined = a.select("doc_id", F.col("shuffle_pos").alias("pa")) \
+              .join(b.select("doc_id", F.col("shuffle_pos").alias("pb")),
+                    "doc_id")
+    assert joined.filter(F.col("pa") != F.col("pb")).count() > 0
+
+
+def test_global_shuffle_seed_changes_order(spark):
+    from tdei_backend_service_spark.pipeline.curation import global_shuffle
+    df = spark.range(0, 500, 1, 4).withColumnRenamed("id", "doc_id")
+    a = global_shuffle(df, seed=7)
+    b = global_shuffle(df, seed=8)
+    j = a.select("doc_id", F.col("shuffle_pos").alias("pa")) \
+         .join(b.select("doc_id", F.col("shuffle_pos").alias("pb")), "doc_id")
+    assert j.filter(F.col("pa") != F.col("pb")).count() > 0
+
+
+def test_global_shuffle_no_single_partition_sort(spark):
+    """The rank plan must never collapse to one partition (the naive
+    global-window shape): no SinglePartition exchange."""
+    from tdei_backend_service_spark.pipeline.curation import global_shuffle
+    df = spark.range(0, 1000, 1, 8).withColumnRenamed("id", "doc_id")
+    plan = global_shuffle(df, n_buckets=32) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_global_shuffle_scramble_range_guard(spark):
+    from tdei_backend_service_spark.pipeline.curation import global_shuffle
+    df = spark.createDataFrame([(1 << 62,)], "doc_id long")
+    import pytest as _pt
+    with _pt.raises(Exception, match="out of range"):
+        global_shuffle(df, method="scramble").collect()
