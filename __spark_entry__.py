@@ -235,6 +235,33 @@ def _q_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return DD.embedding_dedup(emb, threshold=0.98).select("vec_id")
 
 
+def _q_hamming_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic-cluster collapse in hamming space (pipeline/dedup.
+    hash_cluster_dedup): ONE survivor per connected component of the
+    verified near-dup graph, over planted 3-chains whose id order is
+    non-monotone along the path (fixtures_tpch.chain_hashes) — the
+    pairwise larger-id rule would keep BOTH path endpoints, so this
+    oracle pins the transitive-closure semantics, with candidate
+    generation pigeonhole-guaranteed (bands 1-3 identical in-class)
+    and cross-class merges impossible (hamming >= 6 by code design)."""
+    imgs = FX.chain_hashes(spark, sf)
+    return (DD.hash_cluster_dedup(imgs, "phash", "image_id")
+            .select("image_id"))
+
+
+def _q_embedding_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style cluster collapse over embeddings (pipeline/dedup.
+    embedding_cluster_dedup): connected components of the cosine
+    near-dup graph, min id survives. On the planted copy/negation
+    fixture every component is a {original, exact copy} clique, so the
+    survivor set is closed-form (same as embedding_neardup's); the
+    chain-vs-clique differential — where this operator and the
+    pairwise rule disagree — is pinned in tests/test_cluster_dedup.py,
+    since non-exact chain links cannot carry an LSH recall guarantee."""
+    emb = FX.planted_embeddings(spark, sf)
+    return DD.embedding_cluster_dedup(emb, threshold=0.98).select("vec_id")
+
+
 def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF with nprobe = n_centroids probes every bucket -> exact top-k,
     so the *scale-path plan* (bucketed equi-join, no cross join) gets a
@@ -899,6 +926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash,
         "embedding_neardup": _q_embed_neardup,
+        "hamming_cluster_dedup": _q_hamming_cluster,
+        "embedding_cluster_dedup": _q_embedding_cluster,
         "ivf_topk": _q_ivf_topk,
         # int8-scan + float-rerank IVF (exact at full probe)
         "ivf_quantized_topk": _q_ivf_quantized,
@@ -1091,6 +1120,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 7 = 3
         """,
         "embedding_neardup": f"""
+            SELECT vec_id FROM embeddings
+            UNION ALL
+            SELECT vec_id + {FX.PLANT_NEAR_OFFSET} AS vec_id
+            FROM embeddings WHERE vec_id % 7 = 3
+        """,
+        # cc cluster collapse over planted hamming 3-chains: exactly
+        # the min-id member (3k) of every chain survives — the pairwise
+        # rule would also emit 3k+1, so extra rows fail this oracle
+        "hamming_cluster_dedup": """
+            SELECT CAST(c_custkey * 3 AS BIGINT) AS image_id
+            FROM customer
+        """,
+        # every component of the planted copy/negation fixture is a
+        # 2-clique, so cc survivors = the pairwise survivor set
+        "embedding_cluster_dedup": f"""
             SELECT vec_id FROM embeddings
             UNION ALL
             SELECT vec_id + {FX.PLANT_NEAR_OFFSET} AS vec_id

@@ -67,6 +67,8 @@ def main() -> None:
         "decontam_hits", "decontam_survivors", "line_dedup",
         "zonal_image_stats", "curate_corpus", "pii_redact",
         "corpus_shuffle",
+        # r5 continuation: semantic-cluster dedup (cc over pair graphs)
+        "hamming_cluster_dedup", "embedding_cluster_dedup",
         "payload_invariants",
         "streaming_dedup", "windowed_events",
     ]

@@ -747,3 +747,39 @@ def pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id",
                        F.concat(F.col("text"), email, phone).alias("text"),
                        "source")
+
+
+def chain_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer -> (image_id, phash) records with planted HAMMING
+    3-chains whose member-id order is non-monotone along the chain —
+    the fixture that separates the connected-components cluster
+    collapse (pipeline/dedup.hash_cluster_dedup) from the pairwise
+    larger-id-loses rule (hash_neardup), with every guarantee
+    closed-form rather than probabilistic:
+
+    * class code c = (k << 1) | parity(k) — the parity-extended
+      identity code has minimum pairwise distance 2, and custkeys are
+      distinct and < 32768 at every shipped SF, so c fits 16 bits;
+    * base hash = c replicated into all four 16-bit bands -> any two
+      classes are >= 3*2 = 6 > max_hamming=3 apart on the full 64 bits
+      no matter what the chain masks do to band 0, so chains can never
+      merge across classes;
+    * members j=0,1,2 at hashes base ^ {0, 0b111, 0b111111}: pairwise
+      distances d(0,1)=d(1,2)=3 (edges) and d(0,2)=6 (no edge) — a
+      PATH; bands 1-3 are identical within a class, so candidate
+      generation is pigeonhole-guaranteed, not LSH-probabilistic;
+    * member ids (3k, 3k+2, 3k+1): the path endpoint 3k+1's only
+      neighbor is 3k+2 (larger), so the pairwise rule keeps BOTH
+      endpoints {3k, 3k+1}, while the cc collapse keeps exactly the
+      component minimum {3k} — the contract oracle pins the latter.
+    """
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey").cast("long")
+    code = F.shiftleft(k, 1).bitwiseOR(F.bit_count(k) % 2)
+    base = (code.bitwiseOR(F.shiftleft(code, 16))
+            .bitwiseOR(F.shiftleft(code, 32))
+            .bitwiseOR(F.shiftleft(code, 48)))
+    members = [cust.select((k * 3 + off).alias("image_id"),
+                           base.bitwiseXOR(F.lit(mask)).alias("phash"))
+               for mask, off in ((0, 0), (0b111, 2), (0b111111, 1))]
+    return members[0].unionByName(members[1]).unionByName(members[2])

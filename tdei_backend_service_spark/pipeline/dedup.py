@@ -312,22 +312,22 @@ def _banded16(sigs: DataFrame, cols: list[str]) -> DataFrame:
         .select(*cols, "_hc", "bb.band", "bb.bucket"))
 
 
-def hash_neardup_losers(df: DataFrame, hash_col: str, id_col: str,
-                        max_hamming: int = 3,
-                        bucket_cap: int = BUCKET_CAP,
-                        release_cache: bool = True) -> DataFrame:
-    """LOSER ids (the larger id of every verified near-dup pair) for a
-    64-bit hash column — the reusable core of hash_neardup, exposed so
-    composed operators (cross_modal_dedup) can union loser sets from
-    several modalities before one final anti-join.
+def _hash_pairs(df: DataFrame, hash_col: str, id_col: str,
+                max_hamming: int, bucket_cap: int):
+    """Verified near-dup PAIRS (l_id < r_id) of a 64-bit hash column —
+    the shared candidate+verify core of hash_neardup_losers and
+    hash_cluster_dedup. Returns ``(pairs, cache)`` where ``cache`` is
+    the narrow signature persist THIS call created (None when the
+    caller had already cached the input — the projection then reads
+    from the existing InMemoryRelation and the caller owns lifecycle).
 
     Banding: 4 x 16-bit LSH keys (pigeonhole: any pair within hamming
     distance 3 shares at least one intact band); hamming verified
-    JVM-side with bit_count BEFORE the pair distinct, so the distinct
-    exchange only carries verified (l_id, r_id) pairs — rare by
-    construction — instead of every banded candidate with both 64-bit
-    signatures. Buckets larger than ``bucket_cap`` switch to the star
-    pattern around the bucket's min-id anchor (see _banded_pairs) so an
+    JVM-side with bit_count BEFORE any pair exchange, so downstream
+    only carries verified (l_id, r_id) pairs — rare by construction —
+    instead of every banded candidate with both 64-bit signatures.
+    Buckets larger than ``bucket_cap`` switch to the star pattern
+    around the bucket's min-id anchor (see _banded_pairs) so an
     adversarial hot bucket stays O(n)."""
     # persist: stats + clique l/r + star all consume the banded rows —
     # without the cache each branch re-runs the upstream plan (which for
@@ -361,13 +361,59 @@ def hash_neardup_losers(df: DataFrame, hash_col: str, id_col: str,
             .select(F.col("_a.i").alias("l_id"), F.col("_a.sh").alias("l_sh"),
                     F.col(id_col).alias("r_id"), F.col("_hc").alias("r_sh"))
             .filter(hamming_ok).select("l_id", "r_id"))
-    losers = (clique.unionByName(star)
-              .select(F.col("r_id").alias(id_col)).distinct())
+    return clique.unionByName(star), (None if already_cached else sigs)
+
+
+def hash_neardup_losers(df: DataFrame, hash_col: str, id_col: str,
+                        max_hamming: int = 3,
+                        bucket_cap: int = BUCKET_CAP,
+                        release_cache: bool = True) -> DataFrame:
+    """LOSER ids (the larger id of every verified near-dup pair) for a
+    64-bit hash column — the reusable core of hash_neardup, exposed so
+    composed operators (cross_modal_dedup) can union loser sets from
+    several modalities before one final anti-join. Candidate + verify
+    semantics documented on _hash_pairs."""
+    pairs, cache = _hash_pairs(df, hash_col, id_col, max_hamming, bucket_cap)
+    losers = pairs.select(F.col("r_id").alias(id_col)).distinct()
     # only finalize a cache WE created; when the caller cached the input
     # (simhash_dedup, cross_modal_dedup, the phash contract query) the
     # losers stay lazy and the caller owns the lifecycle
-    return _finalize_losers(losers, [sigs],
-                            release_cache and not already_cached)
+    return _finalize_losers(losers, [cache] if cache is not None else [],
+                            release_cache and cache is not None)
+
+
+def hash_cluster_dedup(df: DataFrame, hash_col: str, id_col: str,
+                       max_hamming: int = 3,
+                       bucket_cap: int = BUCKET_CAP,
+                       release_cache: bool = True) -> DataFrame:
+    """ONE survivor per CONNECTED COMPONENT of the verified hamming
+    near-dup graph — the SemDeDup-style cluster collapse, vs
+    hash_neardup's pairwise larger-id-loses rule. The two differ on
+    transitive chains: for a path a~b~c with hamming(a, c) >
+    max_hamming and ids (1, 9, 2), the pairwise rule keeps BOTH a and
+    c (c's only neighbor has a larger id) while this operator keeps
+    exactly the component minimum a. Use it when near-duplicate
+    classes drift (screenshots re-encoded generation after
+    generation) and the corpus should keep one canonical member per
+    drift chain.
+
+    Pairs come from the same banded-hamming core as hash_neardup
+    (_hash_pairs: pigeonhole-guaranteed candidates, JVM bit_count
+    verify, star-capped hot buckets — under a star cap connectivity
+    routes through the bucket's min-id anchor, the same recall trade
+    hash_neardup makes); components by exact pointer-jumped min-label
+    propagation (operators.union_dataset._cc_losers, O(log diameter)
+    rounds with localCheckpoint lineage cuts). The propagation is
+    eager, so the signature cache this call created is released as
+    soon as the loser labels are materialized."""
+    from ..operators.union_dataset import _cc_losers
+    pairs, cache = _hash_pairs(df, hash_col, id_col, max_hamming, bucket_cap)
+    losers = _cc_losers(pairs.select(F.col("l_id").alias("l_rank"),
+                                     F.col("r_id").alias("r_rank"))) \
+        .select(F.col("_rank").alias(id_col))
+    if release_cache and cache is not None:
+        cache.unpersist()  # _cc_losers checkpointed: pairs already ran
+    return df.join(losers, id_col, "left_anti")
 
 
 def hash_neardup(df: DataFrame, hash_col: str, id_col: str,
@@ -646,13 +692,14 @@ def _hyperplane_keyed(df: DataFrame, vec_col: str, H: np.ndarray) -> DataFrame:
                     F.posexplode("_bkts").alias("_band", "_bkt")))
 
 
-def _embedding_losers(keyed: DataFrame, vec_col: str, id_col: str,
-                      threshold: float, bucket_cap: int,
-                      multiprobe: bool, planes: int) -> DataFrame:
-    """Within-set loser ids over a persisted hyperplane-keyed frame
-    (id, vec, _band, _bkt) — the shared core of embedding_dedup and
-    incremental_embedding_dedup. See embedding_dedup's docstring for
-    the star-cap and multiprobe semantics."""
+def _embedding_pairs(keyed: DataFrame, vec_col: str, id_col: str,
+                     threshold: float, bucket_cap: int,
+                     multiprobe: bool, planes: int) -> DataFrame:
+    """Cosine-verified near-dup PAIRS (l_id < r_id) over a persisted
+    hyperplane-keyed frame (id, vec, _band, _bkt) — the shared core of
+    embedding_dedup, incremental_embedding_dedup and
+    embedding_cluster_dedup. See embedding_dedup's docstring for the
+    star-cap and multiprobe semantics."""
     stats = keyed.groupBy("_band", "_bkt").agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(F.struct(F.col(id_col).alias("i"),
@@ -694,7 +741,52 @@ def _embedding_losers(keyed: DataFrame, vec_col: str, id_col: str,
                        .filter(F.col("l_id") < F.col("r_id"))
                        .filter(cos_ok).select("l_id", "r_id"))
         pairs = pairs.unionByName(probe_pairs)
+    return pairs
+
+
+def _embedding_losers(keyed: DataFrame, vec_col: str, id_col: str,
+                      threshold: float, bucket_cap: int,
+                      multiprobe: bool, planes: int) -> DataFrame:
+    """Within-set pairwise loser ids (the larger id of every verified
+    pair) over a persisted hyperplane-keyed frame — _embedding_pairs
+    plus the distinct."""
+    pairs = _embedding_pairs(keyed, vec_col, id_col, threshold,
+                             bucket_cap, multiprobe, planes)
     return pairs.select(F.col("r_id").alias(id_col)).distinct()
+
+
+def embedding_cluster_dedup(df: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id", threshold: float = 0.98,
+                            planes: int = 16, bands: int = 2, seed: int = 11,
+                            bucket_cap: int = BUCKET_CAP,
+                            multiprobe: bool = False,
+                            release_cache: bool = True) -> DataFrame:
+    """ONE survivor (the min id) per CONNECTED COMPONENT of the
+    cosine near-dup graph — SemDeDup-style semantic cluster collapse
+    over embeddings, vs embedding_dedup's pairwise larger-id-loses
+    rule. The two differ on transitive chains a~b~c where cos(a, c) <
+    threshold: with ids ordered (a=1, b=9, c=2) the pairwise rule
+    keeps both endpoints while this keeps exactly a (see
+    hash_cluster_dedup for the full semantics discussion).
+
+    Same LSH candidate generation and exact cast-first cosine verify
+    as embedding_dedup (banded hyperplanes, star cap, optional
+    multiprobe); components by the exact pointer-jumped min-label
+    propagation. The propagation is eager, so the keyed-vector cache
+    is released as soon as the labels are materialized."""
+    from ..operators.union_dataset import _cc_losers
+    H = _hyperplanes(df, vec_col, planes, bands, seed)
+    if H is None:
+        return df
+    keyed = _hyperplane_keyed(df.select(id_col, vec_col), vec_col, H).persist()
+    pairs = _embedding_pairs(keyed, vec_col, id_col, threshold,
+                             bucket_cap, multiprobe, planes)
+    losers = _cc_losers(pairs.select(F.col("l_id").alias("l_rank"),
+                                     F.col("r_id").alias("r_rank"))) \
+        .select(F.col("_rank").alias(id_col))
+    if release_cache:
+        keyed.unpersist()  # _cc_losers checkpointed: pairs already ran
+    return df.join(losers, id_col, "left_anti")
 
 
 def incremental_embedding_dedup(batch: DataFrame, corpus: DataFrame,
