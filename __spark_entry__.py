@@ -197,6 +197,14 @@ def _q_langid(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+def _q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source data card (pipeline/text.corpus_report): doc counts,
+    exact token totals/extremes, fixed-point quality sum, language mix
+    — all integers, one partial-aggregated exchange."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return TX.corpus_report(docs, key_col="source")
+
+
 def _q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return DD.exact_dedup(docs).select("doc_id")
@@ -918,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "text_quality": _q_quality,
         "langid": _q_langid,
+        "corpus_report": _q_corpus_report,
         "exact_dedup": _q_exact_dedup,
         "fingerprint": _q_fingerprint,
         "embedding_topk": _q_embed_topk,
@@ -1088,6 +1097,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_pred, COUNT(*) AS n FROM (
               SELECT CASE WHEN best = 0 THEN 'und' {sw_cases} END AS lang_pred
               FROM scored) GROUP BY lang_pred
+        """,
+        # one-pass per-source data card: every metric an exact integer
+        # (token sums, micro-quality fixed point, language counts)
+        "corpus_report": f"""
+            WITH q AS ({_quality_sql(", source")}),
+            h AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(lower(text),
+                         '\\s+'), x -> x <> '')) AS n_ws,
+                     {", ".join(f"{_sw_sql(c)} AS h_{c}"
+                                for c in sorted(TX.STOPWORDS))}
+              FROM documents),
+            d AS (
+              SELECT doc_id, n_ws,
+                     CASE WHEN {hits_exprs_named} = 0 THEN 'und'
+                          {sw_cases.replace("= best", f"= {hits_exprs_named}")}
+                     END AS lang_pred
+              FROM h)
+            SELECT q.source AS source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(d.n_ws) AS BIGINT) AS total_tokens_ws,
+                   MIN(d.n_ws) AS min_tokens_ws,
+                   MAX(d.n_ws) AS max_tokens_ws,
+                   CAST(SUM(CAST(ROUND(q.quality_score * 1000000) AS BIGINT))
+                        AS BIGINT) AS quality_micros,
+                   {", ".join(
+                       "CAST(SUM(CASE WHEN lang_pred = '" + c +
+                       "' THEN 1 ELSE 0 END) AS BIGINT) AS n_" + c
+                       for c in sorted(TX.STOPWORDS) + ["und"])}
+            FROM q JOIN d USING (doc_id)
+            GROUP BY q.source
         """,
         "exact_dedup": f"""
             SELECT MIN(doc_id) AS doc_id FROM documents

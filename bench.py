@@ -69,6 +69,7 @@ def main() -> None:
         "corpus_shuffle",
         # r5 continuation: semantic-cluster dedup (cc over pair graphs)
         "hamming_cluster_dedup", "embedding_cluster_dedup",
+        "corpus_report",
         "payload_invariants",
         "streaming_dedup", "windowed_events",
     ]

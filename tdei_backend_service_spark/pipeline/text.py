@@ -204,3 +204,32 @@ def ngram_counts(df: DataFrame, n: int = 2, top_k: int | None = None,
     if top_k is not None:
         out = out.orderBy(F.desc("n"), F.asc("ngram")).limit(int(top_k))
     return out
+
+
+def corpus_report(df: DataFrame, key_col: str = "source",
+                  text_col: str = "text") -> DataFrame:
+    """Per-``key_col`` corpus data card in ONE pass — the summary every
+    training-data pipeline publishes next to a shipped corpus: document
+    count, exact whitespace-token totals and extremes, a fixed-point
+    quality total (sum of quality_score in millionths, so the float
+    never enters the comparison), and the language mix as one column
+    per known language plus ``n_und``.
+
+    Every metric is an exact integer, so the report is reproducible
+    bit-for-bit across engines and re-runs. Plan shape: the per-doc
+    token/quality/langid expressions are pure Catalyst map stages fused
+    into the scan (no Python), then ONE partial-aggregated exchange on
+    ``key_col`` — at 10^12 documents the shuffle carries only
+    n_sources * n_partitions partial rows."""
+    scored = with_langid(with_quality(with_token_counts(df, text_col),
+                                      text_col), text_col)
+    langs = sorted(STOPWORDS) + ["und"]
+    return scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens_ws").cast("long")).alias("total_tokens_ws"),
+        F.min(F.col("n_tokens_ws").cast("long")).alias("min_tokens_ws"),
+        F.max(F.col("n_tokens_ws").cast("long")).alias("max_tokens_ws"),
+        F.sum(F.round(F.col("quality_score") * 1_000_000).cast("long"))
+         .alias("quality_micros"),
+        *[F.sum(F.when(F.col("lang_pred") == c, 1).otherwise(0)).cast("long")
+           .alias(f"n_{c}") for c in langs])

@@ -593,3 +593,31 @@ def test_incremental_hash_neardup_matches_bruteforce(spark, rows, corpus_h,
         if not any(_ham(hv, c) <= h for c in corpus_h)
         and not any(d2 < d and _ham(hv, h2) <= h for d2, h2 in rows))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# corpus_report
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_report_values_and_plan(spark):
+    from tdei_backend_service_spark.pipeline.text import corpus_report
+    rows = [
+        (0, "the quick fox and the dog", "a"),     # en: the/and/of hits
+        (1, "der hund und die katze ist", "a"),    # de stopwords
+        (2, "zzz qqq xxx", "a"),                   # no stopwords -> und
+        (3, "one two three", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r.asDict() for r in corpus_report(df).collect()}
+    a, b = out["a"], out["b"]
+    assert a["n_docs"] == 3 and b["n_docs"] == 1
+    assert a["total_tokens_ws"] == 6 + 6 + 3
+    assert (a["min_tokens_ws"], a["max_tokens_ws"]) == (3, 6)
+    assert a["n_en"] == 1 and a["n_de"] == 1 and a["n_und"] == 1
+    assert b["n_und"] == 1 and b["n_en"] == 0
+    # one exchange total: per-doc scoring fuses into the scan
+    plan = corpus_report(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    # quality_micros is an exact integer (fixed-point, never a float)
+    assert isinstance(a["quality_micros"], int)
