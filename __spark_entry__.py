@@ -25,6 +25,7 @@ from tdei_backend_service_spark.operators.bbox import bbox_filter_points
 from tdei_backend_service_spark.operators.pagination import dynamic_query
 from tdei_backend_service_spark.operators.spatial_join import spatial_join
 from tdei_backend_service_spark.operators.tag_road import dataset_tag_road
+from tdei_backend_service_spark.operators import temporal as TP
 from tdei_backend_service_spark.operators.tiling import assign_tiles
 from tdei_backend_service_spark.operators.union_dataset import (
     incremental_union_dataset, union_dataset)
@@ -172,6 +173,29 @@ def _q_events_top_per_user(spark: SparkSession, sf: str) -> DataFrame:
     return (ev.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .select("user_id", "event_id", "event_type"))
+
+
+def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based batch sessionization + per-session rollup
+    (operators/temporal.sessionize): one exchange on user_id feeds
+    both the window and the (user, session) aggregate."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return TP.session_stats(ev, gap_s=21600)
+
+
+def _q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward as-of join (operators/temporal.asof_join): each click
+    gains the most recent view by the same user within 2 h — the
+    union-tag single-window plan, no range join."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value")
+    return (TP.asof_join(clicks, views, on="user_id",
+                         carry=["value"], tolerance_s=7200)
+            .select("event_id",
+                    F.col("asof_event_id").alias("match_id"),
+                    F.col("asof_value").alias("match_value")))
 
 
 def _q_token_count(spark: SparkSession, sf: str) -> DataFrame:
@@ -923,6 +947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_customers": _q_topk,
         "events_rollup": _q_events_rollup,
         "events_top_per_user": _q_events_top_per_user,
+        "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
         "token_count": _q_token_count,
         "text_quality": _q_quality,
         "langid": _q_langid,
@@ -1075,6 +1101,60 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY user_id
                                         ORDER BY value DESC, event_id) AS rk
               FROM events) WHERE rk = 1
+        """,
+        # gap sessionization: session boundary iff the microsecond gap
+        # to the previous event (per user, (ts, event_id) order)
+        # exceeds 21600 s; stats are exact-integer (count/min/span_us)
+        "sessionize": """
+            WITH t AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS prev
+              FROM events),
+            s AS (
+              SELECT user_id, event_id, us,
+                     SUM(CASE WHEN prev IS NULL OR us - prev > 21600000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM t)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   COUNT(*) AS n_events, MIN(event_id) AS first_event,
+                   CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us
+            FROM s GROUP BY user_id, session_seq
+        """,
+        # backward as-of join via the same union-tag running-last plan
+        # the Spark operator uses: right rows (tag 0) sort before left
+        # rows (tag 1) at equal timestamps -> inclusive; largest rid
+        # wins a right-side timestamp tie; 2 h tolerance else NULL
+        "asof_join": """
+            WITH r AS (SELECT user_id, epoch_us(ts) AS us,
+                              event_id AS rid, value
+                       FROM events WHERE event_type = 'view'),
+            l AS (SELECT user_id, epoch_us(ts) AS us, event_id
+                  FROM events WHERE event_type = 'click'),
+            u AS (
+              SELECT user_id, us, 0 AS tag, rid, value,
+                     CAST(NULL AS BIGINT) AS event_id FROM r
+              UNION ALL
+              SELECT user_id, us, 1 AS tag, CAST(NULL AS BIGINT),
+                     CAST(NULL AS DOUBLE), event_id FROM l),
+            f AS (
+              SELECT *,
+                     LAST_VALUE(rid IGNORE NULLS) OVER w AS a_rid,
+                     LAST_VALUE(value IGNORE NULLS) OVER w AS a_val,
+                     LAST_VALUE(CASE WHEN tag = 0 THEN us END IGNORE NULLS)
+                       OVER w AS a_us
+              FROM u
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY us ASC, tag ASC, rid ASC NULLS FIRST
+                           ROWS UNBOUNDED PRECEDING))
+            SELECT event_id,
+                   CASE WHEN a_us IS NOT NULL AND us - a_us <= 7200000000
+                        THEN a_rid END AS match_id,
+                   CASE WHEN a_us IS NOT NULL AND us - a_us <= 7200000000
+                        THEN a_val END AS match_value
+            FROM f WHERE tag = 1
         """,
         "token_count": r"""
             SELECT doc_id,
