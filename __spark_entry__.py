@@ -281,6 +281,22 @@ def _q_hamming_cluster(spark: SparkSession, sf: str) -> DataFrame:
             .select("image_id"))
 
 
+def _q_cluster_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-best survivor policy (pipeline/dedup.hash_cluster_dedup
+    keep_by=): per connected component of the planted hamming 3-chains
+    the member with the LARGEST deterministic quality score survives
+    (ties -> min id) instead of the min id — so the expected survivor
+    set differs from hamming_cluster_dedup's on every chain whose
+    argmax is not the min member, pinning the policy, not just the
+    components."""
+    imgs = FX.chain_hashes(spark, sf).withColumn(
+        "qual", ((F.col("image_id") * F.lit(2654435761)) % 97)
+        .cast("long"))
+    return (DD.hash_cluster_dedup(imgs, "phash", "image_id",
+                                  keep_by="qual")
+            .select("image_id"))
+
+
 def _q_embedding_cluster(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup-style cluster collapse over embeddings (pipeline/dedup.
     embedding_cluster_dedup): connected components of the cosine
@@ -962,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash,
         "embedding_neardup": _q_embed_neardup,
         "hamming_cluster_dedup": _q_hamming_cluster,
+        "cluster_keep_best": _q_cluster_keep_best,
         "embedding_cluster_dedup": _q_embedding_cluster,
         "ivf_topk": _q_ivf_topk,
         # int8-scan + float-rerank IVF (exact at full probe)
@@ -1251,6 +1268,22 @@ def oracle_sql() -> dict[str, str]:
         "hamming_cluster_dedup": """
             SELECT CAST(c_custkey * 3 AS BIGINT) AS image_id
             FROM customer
+        """,
+        # keep-best policy over the same 3-chains: component of chain k
+        # is exactly {3k, 3k+1, 3k+2}, survivor = argmax of the affine
+        # quality score (ties -> min id)
+        "cluster_keep_best": """
+            WITH m AS (
+              SELECT CAST(c_custkey AS BIGINT) * 3 + t.off AS image_id
+              FROM customer, (VALUES (0), (1), (2)) AS t(off)),
+            q AS (SELECT image_id,
+                         (image_id * 2654435761) % 97 AS qual,
+                         image_id // 3 AS comp FROM m)
+            SELECT image_id FROM (
+              SELECT image_id,
+                     ROW_NUMBER() OVER (PARTITION BY comp
+                                        ORDER BY qual DESC, image_id) AS rk
+              FROM q) WHERE rk = 1
         """,
         # every component of the planted copy/negation fixture is a
         # 2-clique, so cc survivors = the pairwise survivor set

@@ -269,9 +269,20 @@ def _driver_rss_mb() -> float:
 
 
 def _cc_losers(pairs: DataFrame, stats: dict | None = None) -> DataFrame:
+    """Non-minimum members of every connected component as (_rank)
+    rows — ``_cc_labels`` filtered to label != node (the component
+    minimum is always its own label)."""
+    labels = _cc_labels(pairs, stats)
+    return (labels.filter(F.col("label") != F.col("node"))
+            .select(F.col("node").alias("_rank")))
+
+
+def _cc_labels(pairs: DataFrame, stats: dict | None = None) -> DataFrame:
     """Exact connected components by min-label propagation over the
-    match graph (nodes = the unique ``_rank`` sort keys). Returns the
-    non-minimum members of every component as (_rank) rows.
+    match graph (nodes = the unique ``_rank`` sort keys). Returns a
+    (node, label) row per node that appears in ``pairs``, where label
+    is the component's minimum node id — the survivor-policy layer
+    (dedup keep_by) ranks members within each label group.
 
     Each round combines neighbor-min propagation with pointer jumping
     (label-of-label), so the fixpoint arrives in O(log diameter) rounds
@@ -324,5 +335,4 @@ def _cc_losers(pairs: DataFrame, stats: dict | None = None) -> DataFrame:
             "union_dataset(collapse='cc') label propagation did not "
             "converge within 64 rounds — refusing to return a partial "
             "collapse (one-survivor-per-cluster contract)")
-    return (labels.filter(F.col("label") != F.col("node"))
-            .select(F.col("node").alias("_rank")))
+    return labels

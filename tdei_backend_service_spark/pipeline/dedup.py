@@ -382,10 +382,35 @@ def hash_neardup_losers(df: DataFrame, hash_col: str, id_col: str,
                             release_cache and cache is not None)
 
 
+def _cluster_losers_by_policy(df: DataFrame, pairs: DataFrame,
+                              id_col: str, keep_by: str) -> DataFrame:
+    """Loser ids under the keep-best survivor policy: label every
+    paired node with its connected component (operators/union_dataset.
+    _cc_labels), then keep the member with the LARGEST ``keep_by``
+    value per component (ties -> smallest id); everything else in the
+    component loses. Rows in no pair are singletons and never appear.
+
+    Scale shape: the labels relation is narrow (node, label); one
+    equi-join brings the quality column in, one window on the label
+    ranks members. Components are candidate-generation-bounded (band
+    pigeonhole + star caps), so no label group explodes."""
+    from pyspark.sql.window import Window
+    from ..operators.union_dataset import _cc_labels
+    labels = _cc_labels(pairs.select(F.col("l_id").alias("l_rank"),
+                                     F.col("r_id").alias("r_rank")))
+    member = df.select(id_col, keep_by).join(
+        labels.withColumnRenamed("node", id_col), id_col)
+    w = Window.partitionBy("label").orderBy(F.desc(keep_by),
+                                            F.asc(id_col))
+    return (member.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") > 1).select(id_col))
+
+
 def hash_cluster_dedup(df: DataFrame, hash_col: str, id_col: str,
                        max_hamming: int = 3,
                        bucket_cap: int = BUCKET_CAP,
-                       release_cache: bool = True) -> DataFrame:
+                       release_cache: bool = True,
+                       keep_by: str | None = None) -> DataFrame:
     """ONE survivor per CONNECTED COMPONENT of the verified hamming
     near-dup graph — the SemDeDup-style cluster collapse, vs
     hash_neardup's pairwise larger-id-loses rule. The two differ on
@@ -405,12 +430,22 @@ def hash_cluster_dedup(df: DataFrame, hash_col: str, id_col: str,
     propagation (operators.union_dataset._cc_losers, O(log diameter)
     rounds with localCheckpoint lineage cuts). The propagation is
     eager, so the signature cache this call created is released as
-    soon as the loser labels are materialized."""
+    soon as the loser labels are materialized.
+
+    ``keep_by`` switches the survivor policy from min-id to
+    keep-best: per component the row with the largest ``keep_by``
+    value survives (ties -> smallest id) — what curation pipelines
+    want when a quality score exists (keep the sharpest image / the
+    highest-quality document of each drift chain), at the cost of one
+    extra narrow join + window over the labeled members."""
     from ..operators.union_dataset import _cc_losers
     pairs, cache = _hash_pairs(df, hash_col, id_col, max_hamming, bucket_cap)
-    losers = _cc_losers(pairs.select(F.col("l_id").alias("l_rank"),
-                                     F.col("r_id").alias("r_rank"))) \
-        .select(F.col("_rank").alias(id_col))
+    if keep_by is not None:
+        losers = _cluster_losers_by_policy(df, pairs, id_col, keep_by)
+    else:
+        losers = _cc_losers(pairs.select(F.col("l_id").alias("l_rank"),
+                                         F.col("r_id").alias("r_rank"))) \
+            .select(F.col("_rank").alias(id_col))
     if release_cache and cache is not None:
         cache.unpersist()  # _cc_losers checkpointed: pairs already ran
     return df.join(losers, id_col, "left_anti")
@@ -760,7 +795,8 @@ def embedding_cluster_dedup(df: DataFrame, vec_col: str = "embedding",
                             planes: int = 16, bands: int = 2, seed: int = 11,
                             bucket_cap: int = BUCKET_CAP,
                             multiprobe: bool = False,
-                            release_cache: bool = True) -> DataFrame:
+                            release_cache: bool = True,
+                            keep_by: str | None = None) -> DataFrame:
     """ONE survivor (the min id) per CONNECTED COMPONENT of the
     cosine near-dup graph — SemDeDup-style semantic cluster collapse
     over embeddings, vs embedding_dedup's pairwise larger-id-loses
@@ -781,9 +817,12 @@ def embedding_cluster_dedup(df: DataFrame, vec_col: str = "embedding",
     keyed = _hyperplane_keyed(df.select(id_col, vec_col), vec_col, H).persist()
     pairs = _embedding_pairs(keyed, vec_col, id_col, threshold,
                              bucket_cap, multiprobe, planes)
-    losers = _cc_losers(pairs.select(F.col("l_id").alias("l_rank"),
-                                     F.col("r_id").alias("r_rank"))) \
-        .select(F.col("_rank").alias(id_col))
+    if keep_by is not None:
+        losers = _cluster_losers_by_policy(df, pairs, id_col, keep_by)
+    else:
+        losers = _cc_losers(pairs.select(F.col("l_id").alias("l_rank"),
+                                         F.col("r_id").alias("r_rank"))) \
+            .select(F.col("_rank").alias(id_col))
     if release_cache:
         keyed.unpersist()  # _cc_losers checkpointed: pairs already ran
     return df.join(losers, id_col, "left_anti")

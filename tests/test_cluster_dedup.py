@@ -122,3 +122,39 @@ def test_cluster_release_cache_drops_signature_frame(spark):
     out.count()
     assert _sig_cache_hit(spark, df)
     df.select("image_id", F.col("phash").alias("_hc")).unpersist()
+
+
+def test_hash_cluster_keep_best_picks_max_quality(spark):
+    """keep_by: the chain {1, 9, 2} keeps its highest-quality member
+    (id 9), not the min id; singletons keep their row regardless of
+    quality; ties break to the smaller id."""
+    base = 0x0123_4567_89AB_0000
+    rows = [(1, base, 10.0), (9, base ^ 0b111, 99.0),
+            (2, base ^ 0b111111, 50.0),
+            (77, 0x00FF_00FF_00FF_00FF, -1.0)]
+    df = spark.createDataFrame(rows, "image_id long, phash long, q double")
+    out = sorted(r["image_id"]
+                 for r in hash_cluster_dedup(df, "phash", "image_id",
+                                             keep_by="q").collect())
+    assert out == [9, 77]
+
+
+def test_hash_cluster_keep_best_tie_breaks_min_id(spark):
+    rows = [(5, 42, 1.0), (3, 42, 1.0), (8, 42, 1.0)]
+    df = spark.createDataFrame(rows, "image_id long, phash long, q double")
+    out = hash_cluster_dedup(df, "phash", "image_id", keep_by="q").collect()
+    assert [r["image_id"] for r in out] == [3]
+
+
+def test_embedding_cluster_keep_best(spark):
+    """Two exact-copy cosine cliques: each keeps its max-quality
+    member under keep_by, min id without it."""
+    a, b = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    rows = [(1, a, 0.1), (2, a, 0.9), (10, b, 0.5), (11, b, 0.2)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, q double")
+    best = sorted(r["vec_id"] for r in embedding_cluster_dedup(
+        df, threshold=0.98, keep_by="q").collect())
+    minid = sorted(r["vec_id"] for r in embedding_cluster_dedup(
+        df, threshold=0.98).collect())
+    assert best == [2, 10]
+    assert minid == [1, 10]
