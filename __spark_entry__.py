@@ -24,7 +24,8 @@ from tdei_backend_service_spark import fixtures_tpch as FX
 from tdei_backend_service_spark.operators.bbox import bbox_filter_points
 from tdei_backend_service_spark.operators.pagination import dynamic_query
 from tdei_backend_service_spark.operators.spatial_join import spatial_join
-from tdei_backend_service_spark.operators.tag_road import dataset_tag_road
+from tdei_backend_service_spark.operators.tag_road import (
+    dataset_tag_road, knn_join)
 from tdei_backend_service_spark.operators import temporal as TP
 from tdei_backend_service_spark.operators.tiling import assign_tiles
 from tdei_backend_service_spark.operators.union_dataset import (
@@ -104,6 +105,27 @@ def _q_knn_tag(spark: SparkSession, sf: str) -> DataFrame:
                            attrs=["highway"], cutoff_m=KNN_CUTOFF_M,
                            pk="o_orderkey")
     return out.select("o_orderkey", "nearest_edge_id")
+
+
+def _q_knn_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranked k-nearest-edges join (operators/tag_road.knn_join):
+    top-3 grid edges within 2.5 km per point — the k>1 generalization
+    of knn_tag, same padded-cover candidate join, ranked by the exact
+    distance with edge-id tie-break."""
+    pts = FX.orders_points(spark, sf)
+    # exclude lattice points with equidistant line PAIRS — exact
+    # midpoints (lat unit 5000 mod 10000) and points sitting ON a line
+    # (unit 0 mod 10000, equidistant to both neighbors): their rank
+    # order depends on float-ulp noise and is engine-dependent; every
+    # other point's distance gaps are >= one lattice step (0.11 m),
+    # far above ulp scale
+    w = (F.col("o_orderkey") * 40503 + 12345) % 100000
+    pts = pts.filter(w % 5000 != 0)
+    edges = FX.grid_edges(spark)
+    out = knn_join(pts, "tpch", edges, "tpch-edges", k=3,
+                   cutoff_m=2500.0, pk="o_orderkey")
+    return out.select("o_orderkey", "knn_rank",
+                      F.col("edge_id").cast("long").alias("edge_id"))
 
 
 def _q_join_count(spark: SparkSession, sf: str) -> DataFrame:
@@ -955,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_grid_agg": _q_cell_grid,
         "tile_assign": _q_tiles,
         "knn_tag": _q_knn_tag,
+        "knn_rank": _q_knn_rank,
         "spatial_join_count": _q_join_count,
         "union_dedup": _q_union,
         "pagination": _q_pagination,
@@ -1069,6 +1092,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    CASE WHEN dist_m <= {KNN_CUTOFF_M} THEN k END AS nearest_edge_id
             FROM {_PTS_K}
+        """,
+        # ranked top-3 edges within 2.5 km: grid lines sit at
+        # lat 47.605 + k*0.01, so the ordered distances per point are
+        # closed-form |lat - line_k| * 110540 with edge-id tie-break
+        "knn_rank": f"""
+            SELECT o_orderkey, knn_rank, edge_id FROM (
+              SELECT p.o_orderkey, j.k AS edge_id,
+                     ABS(p.lat - (47.605 + j.k * 0.01)) * 110540.0 AS dist_m,
+                     ROW_NUMBER() OVER (PARTITION BY p.o_orderkey
+                         ORDER BY ABS(p.lat - (47.605 + j.k * 0.01)), j.k)
+                       AS knn_rank
+              FROM {_PTS} p,
+                   (SELECT CAST(range AS BIGINT) AS k FROM range(10)) j
+              WHERE (p.o_orderkey * 40503 + 12345) % 5000 <> 0)
+            WHERE knn_rank <= 3 AND dist_m <= 2500.0
         """,
         "spatial_join_count": f"""
             SELECT r.range AS edge_id, COALESCE(c.n, 0) AS n

@@ -196,6 +196,86 @@ def _tag_map_only(targets: DataFrame, edges: DataFrame, attr_cols: list[str],
     return targets.mapInPandas(_tag_batches, schema)
 
 
+def knn_join(target_df: DataFrame, target_dataset_id: str,
+             source_df: DataFrame, source_dataset_id: str,
+             k: int = 3, attrs: list[str] | None = None,
+             cutoff_m: float = 50.0, depth: int | None = None,
+             pk: str = "image_id") -> DataFrame:
+    """k-nearest-edges join: one row per (target, rank) for the ``k``
+    nearest source edges within ``cutoff_m`` — the k>1 generalization
+    of dataset_tag_road's nearest-edge transfer (reference semantics:
+    dataset-road-tag-service.ts tags ONE nearest edge; ranked-k is the
+    training-pipeline extension for redundant attribute transfer and
+    candidate generation).
+
+    Output: (pk, knn_rank 1..k, edge_id, dist_m, _attr_* columns).
+    Targets with no edge within the cutoff emit no rows. Determinism:
+    rank orders by (exact distance, edge_id) — a total order.
+
+    Plan: pad the EDGE covers by ``cutoff_m`` (the small side takes the
+    explode; candidate completeness within the cutoff is guaranteed by
+    the padded cover), points encode to ONE cell each, a single
+    equi-join + JVM envelope prefilter + exact vectorized distance,
+    then one row_number window on pk. Exactly the one-candidate-join
+    shape of dataset_tag_road's common case — the big table is never
+    exploded, and there is no per-k iteration: top-k falls out of the
+    same candidate set that argmin uses, because the padded cover is
+    complete for EVERY edge within the cutoff, not just the nearest."""
+    from pyspark.sql.window import Window
+    attrs = attrs if attrs is not None else []
+    if depth is None:
+        depth = int(np.clip(cells.depth_for_radius_m(max(cutoff_m, 1.0)),
+                            cells.RES_GRID[7], cells.RES_GRID[10]))
+
+    targets = target_df.filter(F.col("dataset_id") == target_dataset_id)
+    edges = source_df.filter(F.col("dataset_id") == source_dataset_id)
+    attr_cols = []
+    for a in attrs:
+        name = f"_attr_{a}"
+        col = F.col(a) if a in edges.columns else F.col("props").getItem(a)
+        edges = edges.withColumn(name, col.cast("string"))
+        attr_cols.append(name)
+
+    from ..core.join import _maybe_broadcast_geoms
+    from ..core.join import GeomSide as _GS
+    lookup = _maybe_broadcast_geoms(_GS(df=edges, pk="edge_id", kind="line",
+                                        geom_col="geometry"))
+    geo_col = "edge_id" if lookup is not None else "geometry"
+    env_cols = ["gmin_lon", "gmin_lat", "gmax_lon", "gmax_lat"]
+    padded_edges = (cover_geometry(edges, depth, cutoff_m, out_col="_cov",
+                                   with_envelope=True)
+                    .withColumn("cell", F.explode("_cov"))
+                    .select("cell", "edge_id", *env_cols,
+                            *([] if lookup is not None else ["geometry"]),
+                            *attr_cols))
+    pad_lon = cutoff_m / cells.M_PER_DEG_LON_EQ * (1 + 1e-6) + 1e-9
+    pad_lat = cutoff_m / cells.M_PER_DEG_LAT * (1 + 1e-6) + 1e-9
+
+    @F.pandas_udf(T.LongType())
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cells.encode(lon.to_numpy(np.float64),
+                                      lat.to_numpy(np.float64), depth))
+
+    dist = _dist_udf(lookup)
+    cand = (targets.select(pk, "lon", "lat")
+            .withColumn("cell", _enc.asNondeterministic()(
+                F.col("lon"), F.col("lat")))
+            .join(padded_edges, "cell").drop("cell")
+            .filter((F.col("lon") >= F.col("gmin_lon") - pad_lon)
+                    & (F.col("lon") <= F.col("gmax_lon") + pad_lon)
+                    & (F.col("lat") >= F.col("gmin_lat") - pad_lat)
+                    & (F.col("lat") <= F.col("gmax_lat") + pad_lat))
+            .drop(*env_cols)
+            .withColumn("dist_m", dist(F.col("lon"), F.col("lat"),
+                                       F.col(geo_col)))
+            .filter(F.col("dist_m") <= cutoff_m))
+    w = Window.partitionBy(pk).orderBy(F.asc("dist_m"), F.asc("edge_id"))
+    return (cand.withColumn("knn_rank",
+                            F.row_number().over(w).cast("long"))
+            .filter(F.col("knn_rank") <= k)
+            .select(pk, "knn_rank", "edge_id", "dist_m", *attr_cols))
+
+
 def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
                      source_df: DataFrame, source_dataset_id: str,
                      attrs: list[str] | None = None,

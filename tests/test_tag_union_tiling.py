@@ -462,3 +462,62 @@ def test_incremental_union_matches_bruteforce(spark, rows, corpus_pts):
         and not any(pk2 < pk and ph2 == ph and _dist_m(p, p2) <= 0.5
                     for pk2, (p2, ph2) in pts.items()))
     assert got == want
+
+
+def test_knn_join_ranked_k(spark):
+    """knn_join: ranked top-k within cutoff — known distance order,
+    coincident-edge tie broken by edge_id, fewer-than-k emits fewer
+    rows, beyond-cutoff emits none, attrs carried per rank."""
+    from tdei_backend_service_spark.operators.tag_road import knn_join
+    edges = pd.DataFrame([
+        {"edge_id": 0, "orig_node_id": 0, "dest_node_id": 1,
+         "geometry": geom.wkb_linestring([(-122.33, 47.65), (-122.31, 47.65)]),
+         "props": {"highway": "footway"}, "dataset_id": "ds-e"},
+        {"edge_id": 1, "orig_node_id": 2, "dest_node_id": 3,
+         "geometry": geom.wkb_linestring([(-122.33, 47.66), (-122.31, 47.66)]),
+         "props": {"highway": "residential"}, "dataset_id": "ds-e"},
+        {"edge_id": 2, "orig_node_id": 4, "dest_node_id": 5,
+         "geometry": geom.wkb_linestring([(-122.33, 47.66), (-122.31, 47.66)]),
+         "props": {"highway": "steps"}, "dataset_id": "ds-e"},
+    ])
+    mid = -122.32
+    imgs = pd.DataFrame([
+        # 111 m above edge 0, ~994 m below edges 1&2 -> order 0, 1, 2
+        _img_row(0, mid, 47.65 + 111 / M_LAT),
+        _img_row(1, mid, 47.69),  # >= 3.3 km from everything
+    ])
+    e = spark.createDataFrame(edges, schema=EDGES_SCHEMA)
+    im = spark.createDataFrame(imgs, schema=IMAGES_SCHEMA)
+    out = knn_join(im, "ds-a", e, "ds-e", k=3, attrs=["highway"],
+                   cutoff_m=1500.0).collect()
+    by_rank = {(r["image_id"], r["knn_rank"]): r for r in out}
+    assert len(out) == 3 and all(r["image_id"] == "img-0000" for r in out)
+    assert by_rank[("img-0000", 1)]["edge_id"] == 0
+    assert by_rank[("img-0000", 1)]["_attr_highway"] == "footway"
+    # coincident edges 1 and 2: exact tie -> lower edge_id first
+    assert by_rank[("img-0000", 2)]["edge_id"] == 1
+    assert by_rank[("img-0000", 3)]["edge_id"] == 2
+    assert abs(by_rank[("img-0000", 1)]["dist_m"] - 111.0) < 0.5
+    d2, d3 = (by_rank[("img-0000", 2)]["dist_m"],
+              by_rank[("img-0000", 3)]["dist_m"])
+    assert d2 == d3  # coincident geometry: bit-exact tie
+
+    # k=2 truncates the same candidate order
+    out2 = knn_join(im, "ds-a", e, "ds-e", k=2, cutoff_m=1500.0).collect()
+    assert sorted(r["edge_id"] for r in out2) == [0, 1]
+
+
+def test_knn_join_agrees_with_tag_road_at_k1(spark):
+    """rank-1 of knn_join == dataset_tag_road's nearest over the synth
+    fixture (same candidate generation, same tie-break)."""
+    from tdei_backend_service_spark.datagen import (synth_edges_df,
+                                                    synth_images_df)
+    from tdei_backend_service_spark.operators.tag_road import knn_join
+    imgs = synth_images_df(spark, 800, with_bytes=False, dataset_id="ds-a")
+    edges = synth_edges_df(spark, 50, dataset_id="ds-e")
+    tag = dataset_tag_road(imgs, "ds-a", edges, "ds-e", cutoff_m=400.0)
+    k1 = knn_join(imgs, "ds-a", edges, "ds-e", k=1, cutoff_m=400.0)
+    t = {r["image_id"]: r["nearest_edge_id"] for r in tag.collect()
+         if r["nearest_edge_id"] is not None}
+    k = {r["image_id"]: r["edge_id"] for r in k1.collect()}
+    assert t == k
