@@ -542,6 +542,41 @@ def _q_windowed_events(spark: SparkSession, sf: str) -> DataFrame:
                     "event_type", F.col("n").cast("long")))
 
 
+def _q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked SESSION-window streaming aggregation driven
+    end-to-end (streaming/windows.session_window_counts): 10-minute
+    gap sessions per event_type, 30-minute watermark, APPEND mode —
+    the sink holds exactly the sessions whose end (last event + gap)
+    the final watermark (max ts - 30 min) passed. Both the merge rule
+    (strictly-greater gap break, same as operators/temporal.sessionize)
+    and the emission rule are closed-form over the static table, so
+    the stateful session operator gets a full SQL oracle."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from tdei_backend_service_spark.streaming.windows import \
+        run_session_counts
+    base = tempfile.mkdtemp(prefix="stream_sess_q_")
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    schema = T.StructType([T.StructField("event_id", T.LongType()),
+                           T.StructField("ts", T.TimestampType()),
+                           T.StructField("event_type", T.StringType())])
+    (spark.read.parquet(f"{sf}/events.parquet")
+     .select("event_id", "ts", "event_type")
+     .write.mode("overwrite").parquet(landing))
+    run_session_counts(spark, landing, out, ckpt, schema)
+    return (spark.read.parquet(out)
+            .select(F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("session_start"),
+                    F.date_format("session_end", "yyyy-MM-dd HH:mm:ss")
+                    .alias("session_end"),
+                    "event_type", F.col("n").cast("long")))
+
+
 def _q_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-zoom tile rollup (z15 down to z11): the corpus aggregates
     once at the base zoom, coarser levels integer-halve the previous
@@ -1060,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": _q_tile_pyramid,
         # watermarked windowed streaming aggregation (append-mode seals)
         "windowed_events": _q_windowed_events,
+        "session_windows": _q_session_windows,
     }
 
 
@@ -1427,6 +1463,37 @@ def oracle_sql() -> dict[str, str]:
                      event_type, COUNT(*) AS n
               FROM events GROUP BY 1, 2, 3) w, m
             WHERE w.window_end <= m.mx - INTERVAL 30 MINUTE
+        """,
+        # session merge rule: strictly-greater 10-min gap breaks (an
+        # event exactly gap after the previous merges — pinned against
+        # F.session_window in tests); emission: session end (last event
+        # + gap) <= final watermark (max ts - 30 min)
+        "session_windows": """
+            WITH m AS (SELECT MAX(ts) AS mx FROM events),
+            t AS (
+              SELECT event_type, ts, event_id,
+                     CASE WHEN LAG(ts) OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id) IS NULL
+                            OR ts - LAG(ts) OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id) > INTERVAL 10 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT event_type, ts,
+                     SUM(brk) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM t),
+            g AS (
+              SELECT event_type,
+                     MIN(ts) AS session_start,
+                     MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+                     COUNT(*) AS n
+              FROM s GROUP BY event_type, sid)
+            SELECT strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+                   event_type, n
+            FROM g, m WHERE session_end <= mx - INTERVAL 30 MINUTE
         """,
         # base tiles from the proven z15 formula; coarser levels are
         # exact integer floor-division chains (floor nests)

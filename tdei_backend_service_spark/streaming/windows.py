@@ -56,3 +56,52 @@ def run_windowed_counts(spark, landing_dir: str, out_dir: str,
             f"windowed aggregation still active after {timeout_s}s — "
             f"sink at {out_dir} is partial; raise timeout_s for this "
             f"input size")
+
+
+def session_window_counts(stream: DataFrame, gap: str = "10 minutes",
+                          watermark_delay: str = "30 minutes",
+                          ts_col: str = "ts",
+                          key_col: str = "event_type") -> DataFrame:
+    """(session_start, session_end, <key>, n) per sealed SESSION window
+    — ``F.session_window``: a session extends while consecutive events
+    (per key) arrive within ``gap`` of the last one (an event exactly
+    ``gap`` after the previous still merges; the break rule is
+    strictly-greater, the same rule as the batch operator
+    operators/temporal.sessionize), and the window end is the last
+    event time + gap. APPEND mode seals a session exactly once, when
+    the watermark passes its end — late rows inside the delay still
+    merge (possibly bridging two open sessions into one); rows later
+    than the delay are dropped by the engine.
+
+    Scale shape: state is one open session range per (key, session),
+    merged by the engine and pruned as the watermark passes — bounded
+    by keys x sessions-per-watermark-horizon, independent of stream
+    length."""
+    return (stream.withWatermark(ts_col, watermark_delay)
+            .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    key_col, "n"))
+
+
+def run_session_counts(spark, landing_dir: str, out_dir: str,
+                       checkpoint_dir: str, schema,
+                       gap: str = "10 minutes",
+                       watermark_delay: str = "30 minutes",
+                       timeout_s: int = 120) -> None:
+    """Drive the session-window aggregation over available files to a
+    parquet sink (append mode: only watermark-sealed sessions land)."""
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+    q = (session_window_counts(stream, gap, watermark_delay)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(
+            f"session-window aggregation still active after {timeout_s}s "
+            f"— sink at {out_dir} is partial; raise timeout_s for this "
+            f"input size")

@@ -199,3 +199,55 @@ def test_windowed_counts_watermark_late_data(spark, tmp_path):
             for r in spark.read.parquet(out).collect()}
     assert got2 == {(10, "A"): 2, (11, "B"): 1, (12, "C"): 2}
     assert not any(k == "D" for _, k in got2)
+
+
+def test_session_windows_merge_late_and_restart(spark, tmp_path):
+    """Session-window semantics end-to-end (append mode, checkpointed
+    across two runs): exactly-gap events merge, a second drop extends
+    an open session before it seals, a row later than the delay for a
+    sealed session is dropped, and the sealed row is never revised."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tdei_backend_service_spark.streaming.windows import \
+        run_session_counts
+
+    landing = str(tmp_path / "sland")
+    out = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    schema = T.StructType([T.StructField("event_id", T.LongType()),
+                           T.StructField("ts", T.TimestampType()),
+                           T.StructField("event_type", T.StringType())])
+
+    def drop(rows, mode):
+        pdf = pd.DataFrame(
+            [(i, dt.datetime(2024, 1, 1, h, m), k)
+             for i, (h, m, k) in enumerate(rows)],
+            columns=["event_id", "ts", "event_type"])
+        spark.createDataFrame(pdf, schema=schema) \
+            .write.mode(mode).parquet(landing)
+
+    # drop 1: A at 10:00 / 10:10 (exactly gap -> MERGE) / 10:16; open
+    # A session at 11:30; max ts 11:30 -> watermark 11:00 seals the
+    # first session (end 10:26)
+    drop([(10, 0, "A"), (10, 10, "A"), (10, 16, "A"), (11, 30, "A")],
+         "overwrite")
+    run_session_counts(spark, landing, out, ckpt, schema)
+    got1 = {(r.session_start.strftime("%H:%M"),
+             r.session_end.strftime("%H:%M"), r.event_type): r.n
+            for r in spark.read.parquet(out).collect()}
+    assert got1 == {("10:00", "10:26", "A"): 3}
+
+    # drop 2: 11:38 extends the open 11:30 session (8-min gap); 10:20
+    # is LATER than the delay for the sealed session -> dropped, no
+    # revision; 13:00 B advances the watermark to 12:30, sealing the
+    # extended session [11:30, 11:48) with n=2
+    drop([(11, 38, "A"), (10, 20, "A"), (13, 0, "B")], "append")
+    run_session_counts(spark, landing, out, ckpt, schema)
+    got2 = {(r.session_start.strftime("%H:%M"),
+             r.session_end.strftime("%H:%M"), r.event_type): r.n
+            for r in spark.read.parquet(out).collect()}
+    assert got2 == {("10:00", "10:26", "A"): 3,
+                    ("11:30", "11:48", "A"): 2}
