@@ -885,6 +885,31 @@ def _q_incremental_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .select("image_id"))
 
 
+def _q_store_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The incremental_phash_dedup scenario served from the BUCKETED
+    signature store (pipeline/ingest_drop.SignatureStore): the corpus
+    phashes are committed once with bucketBy(band, bucket), then the
+    drop dedups against the store — same survivor set as the plain
+    incremental operator (same oracle), but the corpus side of the
+    candidate join is scanned pre-partitioned with zero exchange."""
+    import re
+    import tempfile
+
+    from tdei_backend_service_spark.pipeline.ingest_drop import \
+        SignatureStore
+    from tdei_backend_service_spark.pipeline.multimodal import decode_metadata
+    meta = decode_metadata(FX.part_images(spark, sf)).persist()
+    corpus = meta.filter(F.col("image_id") % 127 < 80).select("phash")
+    batch = (meta.filter(F.col("image_id") % 127 >= 60)
+             .select("image_id", "phash"))
+    table = "sig_store_" + re.sub(r"\W", "_", sf).strip("_")
+    store = SignatureStore(spark, table, n_buckets=8,
+                           path=tempfile.mkdtemp(prefix="sigstore_"))
+    store.write(corpus)
+    return (store.dedup_batch(batch, "phash", "image_id", max_hamming=3)
+            .select("image_id"))
+
+
 def _q_incremental_union(spark: SparkSession, sf: str) -> DataFrame:
     """Geospatial incremental ingest: admit a new drop into an
     already-unioned dataset (operators/union_dataset.
@@ -1071,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_modal_dedup": _q_cross_modal_dedup,
         # incremental ingest dedup vs a committed corpus (no history re-pair)
         "incremental_phash_dedup": _q_incremental_phash_dedup,
+        "store_phash_dedup": _q_store_phash_dedup,
         "incremental_embedding_dedup": _q_incremental_embedding_dedup,
         "incremental_union": _q_incremental_union,
         "incremental_minhash_dedup": _q_incremental_minhash,
@@ -1775,6 +1801,13 @@ def oracle_sql() -> dict[str, str]:
         # (classes < 80), so survivors are exactly the min batch key of
         # each batch-only class (>= 80)
         "incremental_phash_dedup": """
+            SELECT CAST(MIN(p_partkey) AS BIGINT) AS image_id
+            FROM part WHERE p_partkey % 127 >= 80
+            GROUP BY p_partkey % 127
+        """,
+        # same scenario through the bucketed signature store: survivor
+        # semantics are identical by construction (parity-tested)
+        "store_phash_dedup": """
             SELECT CAST(MIN(p_partkey) AS BIGINT) AS image_id
             FROM part WHERE p_partkey % 127 >= 80
             GROUP BY p_partkey % 127

@@ -55,3 +55,84 @@ def read_admitted(spark: SparkSession, run_dir: str,
     ``corpus.unionByName(read_admitted(...).select(corpus.columns))``
     into the next drop's admission to grow the committed corpus."""
     return read_stage(spark, run_dir, f"admit_{drop_id}").drop("shard")
+
+
+class SignatureStore:
+    """Bucketed corpus-signature store for the hash tier: the banded
+    DISTINCT (band, bucket, _hc) relation persisted with
+    ``bucketBy(n, band, bucket)``, so every later drop admission joins
+    the corpus side with ZERO corpus exchange — the bucketed scan
+    reports HashPartitioning(band, bucket) and both the distinct and
+    the candidate equi-join are satisfied in place; only the (small)
+    drop side shuffles, sized to the bucket count.
+
+    This is the piece that changes the 10^12-row admission cost curve:
+    without it every drop re-shuffles the full corpus signature
+    relation (O(|corpus|) network per drop); with it the corpus
+    signatures move over the network exactly once, at commit time.
+    ``append`` adds each admitted drop's signatures with the same
+    bucket spec, so the invariant holds across drops. In this sandbox
+    the table metadata lives in the session's in-memory catalog; on a
+    real cluster the same code against a persistent metastore
+    (Hive/Iceberg) carries the bucket spec across jobs."""
+
+    def __init__(self, spark: SparkSession, table: str,
+                 n_buckets: int = 32, path: str | None = None):
+        self.spark = spark
+        self.table = table
+        self.n_buckets = n_buckets
+        self.path = path
+
+    def _banded(self, df: DataFrame, hash_col: str) -> DataFrame:
+        from .dedup import _banded16
+        return (_banded16(df.select(F.col(hash_col).alias("_hc")), [])
+                .dropDuplicates(["band", "bucket", "_hc"])
+                .select("band", "bucket", "_hc"))
+
+    def _writer(self, df: DataFrame):
+        w = (df.write.format("parquet")
+             .bucketBy(self.n_buckets, "band", "bucket")
+             .sortBy("band", "bucket", "_hc"))
+        return w.option("path", self.path) if self.path else w
+
+    def write(self, corpus: DataFrame, hash_col: str = "phash") -> None:
+        """Create/replace the store from the committed corpus hashes."""
+        self._writer(self._banded(corpus, hash_col)) \
+            .mode("overwrite").saveAsTable(self.table)
+
+    def append(self, admitted: DataFrame, hash_col: str = "phash") -> None:
+        """Add an admitted drop's signatures (same bucket spec, so the
+        zero-exchange property survives corpus growth)."""
+        self._writer(self._banded(admitted, hash_col)) \
+            .mode("append").saveAsTable(self.table)
+
+    def read(self) -> DataFrame:
+        return self.spark.table(self.table)
+
+    def dedup_batch(self, batch: DataFrame, hash_col: str, id_col: str,
+                    max_hamming: int = 3,
+                    bucket_cap: int | None = None) -> DataFrame:
+        """incremental_hash_neardup with the corpus side served from
+        the bucketed store: identical survivor set (parity-tested), but
+        the corpus relation is scanned pre-partitioned — the per-drop
+        distinct (appends may re-deliver a hash) and the candidate join
+        reuse the bucketing instead of exchanging."""
+        from .dedup import (BUCKET_CAP, _banded16, _finalize_losers,
+                            hash_neardup_losers)
+        bucket_cap = BUCKET_CAP if bucket_cap is None else bucket_cap
+        batch_sigs = batch.select(id_col,
+                                  F.col(hash_col).alias("_hc")).persist()
+        within = hash_neardup_losers(batch_sigs, "_hc", id_col,
+                                     max_hamming=max_hamming,
+                                     bucket_cap=bucket_cap)
+        corpus_b = (self.read()
+                    .dropDuplicates(["band", "bucket", "_hc"])
+                    .select("band", "bucket", F.col("_hc").alias("_ch")))
+        batch_b = _banded16(batch_sigs, [id_col])
+        cross = (batch_b.join(corpus_b, ["band", "bucket"])
+                 .filter(F.bit_count(F.col("_hc").bitwiseXOR(F.col("_ch")))
+                         <= max_hamming)
+                 .select(id_col))
+        losers = within.unionByName(cross).distinct()
+        losers = _finalize_losers(losers, [batch_sigs], True)
+        return batch.join(losers, id_col, "left_anti")

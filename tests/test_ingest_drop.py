@@ -110,3 +110,80 @@ def test_sequential_drops_grow_the_corpus(spark, tmp_path, corpus):
     admit_drop(d2, grown, run, "d2")
     assert [r.image_id for r in read_admitted(spark, run, "d2").collect()] \
         == [501]
+
+
+def test_signature_store_parity_and_zero_corpus_exchange(spark, tmp_path):
+    """SignatureStore.dedup_batch returns the same survivor set as
+    incremental_hash_neardup, and its candidate join reads the corpus
+    bucketed: distinct + join satisfied in place, the ONLY exchange on
+    the (band, bucket) keys is the small batch side."""
+    from pyspark.sql import functions as F
+
+    from tdei_backend_service_spark.pipeline.dedup import (
+        _banded16, incremental_hash_neardup)
+    from tdei_backend_service_spark.pipeline.ingest_drop import \
+        SignatureStore
+
+    corpus = spark.range(5000).select(
+        (F.col("id") * 2654435761).alias("phash"))
+    batch = spark.range(4000, 7000).select(
+        F.col("id").alias("image_id"),
+        (F.col("id") * 2654435761).alias("phash"))
+    store = SignatureStore(spark, "sig_store_test", n_buckets=4,
+                           path=str(tmp_path / "sigs"))
+    store.write(corpus)
+
+    got = sorted(r["image_id"] for r in
+                 store.dedup_batch(batch, "phash", "image_id").collect())
+    want = sorted(r["image_id"] for r in incremental_hash_neardup(
+        batch, corpus, "phash", "image_id").collect())
+    assert got == want and len(got) == 2000
+
+    # plan shape, with broadcast forced off so the shuffle-join case
+    # (the only case that matters at corpus scale) is what's planned
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        corpus_b = (store.read()
+                    .dropDuplicates(["band", "bucket", "_hc"])
+                    .select("band", "bucket", F.col("_hc").alias("_ch")))
+        batch_b = _banded16(batch.select(
+            "image_id", F.col("phash").alias("_hc")), ["image_id"])
+        cross = (batch_b.join(corpus_b, ["band", "bucket"])
+                 .filter(F.bit_count(F.col("_hc").bitwiseXOR(F.col("_ch")))
+                         <= 3).select("image_id"))
+        plan = cross._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert "SelectedBucketsCount" in plan
+        bb_exchanges = [ln for ln in plan.splitlines()
+                        if "Exchange hashpartitioning" in ln
+                        and "band" in ln]
+        assert len(bb_exchanges) == 1, plan  # batch side only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_signature_store_append_grows_corpus(spark, tmp_path):
+    """After appending the admitted survivors' signatures, re-running
+    the SAME drop admits nothing — the store now contains every hash
+    the drop carries."""
+    from pyspark.sql import functions as F
+
+    from tdei_backend_service_spark.pipeline.ingest_drop import \
+        SignatureStore
+
+    corpus = spark.range(1000).select(
+        (F.col("id") * 2654435761).alias("phash"))
+    batch = spark.range(500, 1500).select(
+        F.col("id").alias("image_id"),
+        (F.col("id") * 2654435761).alias("phash"))
+    store = SignatureStore(spark, "sig_store_grow", n_buckets=4,
+                           path=str(tmp_path / "sigs2"))
+    store.write(corpus)
+    survivors = store.dedup_batch(batch, "phash", "image_id")
+    assert survivors.count() == 500
+    store.append(survivors, "phash")
+    again = store.dedup_batch(batch, "phash", "image_id")
+    assert again.count() == 0
