@@ -957,6 +957,24 @@ def _q_incremental_embedding_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .select("vec_id"))
 
 
+def _q_store_embedding_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The incremental_embedding_dedup scenario served from the
+    BUCKETED vector store (pipeline/ingest_drop.VectorStore): corpus
+    vectors committed once hyperplane-keyed and bucketed on
+    (_band, _bkt); the drop joins them with zero corpus-side exchange.
+    Same survivor semantics, same oracle."""
+    import re
+    import tempfile
+
+    from tdei_backend_service_spark.pipeline.ingest_drop import VectorStore
+    corpus, batch = FX.planted_embedding_batch(spark, sf)
+    table = "vec_store_" + re.sub(r"\W", "_", sf).strip("_")
+    store = VectorStore(spark, table, n_buckets=8,
+                        path=tempfile.mkdtemp(prefix="vecstore_"))
+    store.write(corpus)
+    return store.dedup_batch(batch, threshold=0.98).select("vec_id")
+
+
 def _q_cross_modal_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-modal (image OR caption) dedup in one pass
     (pipeline/dedup.cross_modal_dedup): real decode -> recomputed-phash
@@ -1098,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_phash_dedup": _q_incremental_phash_dedup,
         "store_phash_dedup": _q_store_phash_dedup,
         "incremental_embedding_dedup": _q_incremental_embedding_dedup,
+        "store_embedding_dedup": _q_store_embedding_dedup,
         "incremental_union": _q_incremental_union,
         "incremental_minhash_dedup": _q_incremental_minhash,
         # corpus curation: sequence packing + stratified sampling
@@ -1836,6 +1855,12 @@ def oracle_sql() -> dict[str, str]:
         # (|cos| bounded ~0.6 organically), their batch-internal copies
         # lose to the smaller id -> survivors = the negated rows
         "incremental_embedding_dedup": """
+            SELECT CAST(vec_id + 2000000 AS BIGINT) AS vec_id
+            FROM embeddings WHERE vec_id % 7 = 3
+        """,
+        # same scenario through the bucketed vector store: survivor
+        # semantics identical by construction (parity-tested)
+        "store_embedding_dedup": """
             SELECT CAST(vec_id + 2000000 AS BIGINT) AS vec_id
             FROM embeddings WHERE vec_id % 7 = 3
         """,

@@ -136,3 +136,85 @@ class SignatureStore:
         losers = within.unionByName(cross).distinct()
         losers = _finalize_losers(losers, [batch_sigs], True)
         return batch.join(losers, id_col, "left_anti")
+
+
+class VectorStore:
+    """Bucketed corpus store for the EMBEDDING tier — the vector twin
+    of SignatureStore: the corpus's hyperplane-keyed relation
+    (_band, _bkt, _cv) persisted with ``bucketBy(n, _band, _bkt)``, so
+    incremental embedding dedup joins the corpus side with zero
+    exchange (only the drop shuffles, sized to the bucket count).
+
+    The hyperplane family is deterministic in (seed, dimension) —
+    dedup.py's ``_hyperplanes`` — so a drop keyed with the same
+    constructor parameters lands in the same buckets as the committed
+    corpus by construction; (planes, bands, seed) are therefore part
+    of the store's identity and must match between ``write`` and
+    ``dedup_batch`` (same rule as re-running the batch operator)."""
+
+    def __init__(self, spark: SparkSession, table: str,
+                 n_buckets: int = 32, planes: int = 16, bands: int = 2,
+                 seed: int = 11, path: str | None = None):
+        self.spark = spark
+        self.table = table
+        self.n_buckets = n_buckets
+        self.planes = planes
+        self.bands = bands
+        self.seed = seed
+        self.path = path
+
+    def _keyed(self, df: DataFrame, vec_col: str) -> DataFrame:
+        from .dedup import _hyperplane_keyed, _hyperplanes
+        H = _hyperplanes(df, vec_col, self.planes, self.bands, self.seed)
+        if H is None:
+            raise ValueError("VectorStore: empty frame has no dimension")
+        return (_hyperplane_keyed(df.select(F.col(vec_col).alias("_cv")),
+                                  "_cv", H)
+                .select("_band", "_bkt", "_cv"))
+
+    def _writer(self, df: DataFrame):
+        w = (df.write.format("parquet")
+             .bucketBy(self.n_buckets, "_band", "_bkt")
+             .sortBy("_band", "_bkt"))
+        return w.option("path", self.path) if self.path else w
+
+    def write(self, corpus: DataFrame, vec_col: str = "embedding") -> None:
+        self._writer(self._keyed(corpus, vec_col)) \
+            .mode("overwrite").saveAsTable(self.table)
+
+    def append(self, admitted: DataFrame,
+               vec_col: str = "embedding") -> None:
+        self._writer(self._keyed(admitted, vec_col)) \
+            .mode("append").saveAsTable(self.table)
+
+    def read(self) -> DataFrame:
+        return self.spark.table(self.table)
+
+    def dedup_batch(self, batch: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id", threshold: float = 0.98,
+                    bucket_cap: int | None = None) -> DataFrame:
+        """incremental_embedding_dedup with the corpus served from the
+        bucketed store: identical survivor set (parity-tested), corpus
+        vectors never re-shuffle. A batch row loses on exact cosine >=
+        threshold vs ANY stored vector (corpus always wins) or on the
+        min-id rule within the batch."""
+        from .dedup import (BUCKET_CAP, _dot, _embedding_losers,
+                            _finalize_losers, _hyperplane_keyed,
+                            _hyperplanes, _norm)
+        bucket_cap = BUCKET_CAP if bucket_cap is None else bucket_cap
+        H = _hyperplanes(batch, vec_col, self.planes, self.bands,
+                         self.seed)
+        if H is None:
+            return batch
+        b_keyed = _hyperplane_keyed(batch.select(id_col, vec_col),
+                                    vec_col, H).persist()
+        within = _embedding_losers(b_keyed, vec_col, id_col, threshold,
+                                   bucket_cap, False, self.planes)
+        cos_ok = (_dot(F.col(vec_col), F.col("_cv"))
+                  / (_norm(F.col(vec_col)) * _norm(F.col("_cv")))) \
+            >= threshold
+        cross = (b_keyed.join(self.read(), ["_band", "_bkt"])
+                 .filter(cos_ok).select(id_col))
+        losers = within.unionByName(cross).distinct()
+        losers = _finalize_losers(losers, [b_keyed], True)
+        return batch.join(losers, id_col, "left_anti")

@@ -187,3 +187,61 @@ def test_signature_store_append_grows_corpus(spark, tmp_path):
     store.append(survivors, "phash")
     again = store.dedup_batch(batch, "phash", "image_id")
     assert again.count() == 0
+
+
+def test_vector_store_parity_and_bucketed_plan(spark, tmp_path):
+    """VectorStore.dedup_batch == incremental_embedding_dedup on the
+    planted copy/negation fixture, and the corpus side of its
+    candidate join reads bucketed with zero (_band, _bkt) exchange."""
+    from pyspark.sql import functions as F
+
+    import tdei_backend_service_spark.fixtures_tpch as FX
+    from tdei_backend_service_spark.pipeline.dedup import \
+        incremental_embedding_dedup
+    from tdei_backend_service_spark.pipeline.ingest_drop import VectorStore
+
+    corpus, batch = FX.planted_embedding_batch(
+        spark, "/root/testdata/sf0.001")
+    store = VectorStore(spark, "vec_store_test", n_buckets=4,
+                        path=str(tmp_path / "vecs"))
+    store.write(corpus)
+    got = sorted(r["vec_id"] for r in
+                 store.dedup_batch(batch, threshold=0.98).collect())
+    want = sorted(r["vec_id"] for r in incremental_embedding_dedup(
+        batch, corpus, threshold=0.98).collect())
+    assert got == want and len(got) > 0
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        b_keyed = store._keyed(batch.select(
+            F.col("embedding").alias("embedding")), "embedding") \
+            .withColumnRenamed("_cv", "_bv")
+        cross = b_keyed.join(store.read(), ["_band", "_bkt"])
+        plan = cross._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        bb = [ln for ln in plan.splitlines()
+              if "Exchange hashpartitioning" in ln and "_band" in ln]
+        assert len(bb) == 1, plan  # batch side only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_vector_store_append_grows_corpus(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    import tdei_backend_service_spark.fixtures_tpch as FX
+    from tdei_backend_service_spark.pipeline.ingest_drop import VectorStore
+
+    corpus, batch = FX.planted_embedding_batch(
+        spark, "/root/testdata/sf0.001")
+    store = VectorStore(spark, "vec_store_grow", n_buckets=4,
+                        path=str(tmp_path / "vecs2"))
+    store.write(corpus)
+    survivors = store.dedup_batch(batch, threshold=0.98)
+    n = survivors.count()
+    assert n > 0
+    store.append(survivors)
+    assert store.dedup_batch(batch, threshold=0.98).count() == 0
