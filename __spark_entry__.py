@@ -98,6 +98,19 @@ def _q_tiles(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+def _q_incremental_tiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental tile-count maintenance (operators/tiling.
+    incremental_tile_counts): the committed z15 tile table (orders
+    points) absorbs a customer-point drop by aggregating ONLY the drop
+    and monoid-summing — the oracle recomputes over the union, so the
+    row pins merge == recompute without the corpus rescan."""
+    from tdei_backend_service_spark.operators.tiling import \
+        incremental_tile_counts
+    committed = _q_tiles(spark, sf)
+    drop = FX.customer_images(spark, sf, "A").select("lon", "lat")
+    return incremental_tile_counts(committed, drop, TILE_Z)
+
+
 def _q_knn_tag(spark: SparkSession, sf: str) -> DataFrame:
     pts = FX.orders_points(spark, sf)
     edges = FX.grid_edges(spark)
@@ -1054,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_points": _q_bbox,
         "cell_grid_agg": _q_cell_grid,
         "tile_assign": _q_tiles,
+        "incremental_tiles": _q_incremental_tiles,
         "knn_tag": _q_knn_tag,
         "knn_rank": _q_knn_rank,
         "spatial_join_count": _q_join_count,
@@ -1168,6 +1182,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * {n_tile}) AS INT) AS tile_y,
                    COUNT(*) AS n
             FROM {_PTS} GROUP BY 1, 2
+        """,
+        # merge == recompute: the incremental path only aggregates the
+        # drop, so the oracle recomputes tile counts over the union
+        "incremental_tiles": f"""
+            WITH u AS (
+              SELECT {_LON} AS lon, {_LAT} AS lat FROM orders
+              UNION ALL
+              SELECT {FX.SQL_LON.format(k="c_custkey")} AS lon,
+                     {FX.SQL_LAT.format(k="c_custkey")} AS lat
+              FROM customer)
+            SELECT CAST(FLOOR((lon + 180.0) / 360.0 * {n_tile}) AS INT) AS tile_x,
+                   CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * {n_tile}) AS INT) AS tile_y,
+                   COUNT(*) AS n
+            FROM u GROUP BY 1, 2
         """,
         "knn_tag": f"""
             SELECT o_orderkey,

@@ -81,3 +81,24 @@ def tile_pyramid(df: DataFrame, z_base: int, z_min: int,
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out.select("z", "tile_x", "tile_y", "n")
+
+
+def incremental_tile_counts(committed: DataFrame, drop: DataFrame,
+                            z: int, lon_col: str = "lon",
+                            lat_col: str = "lat") -> DataFrame:
+    """Additive maintenance of a committed per-tile count table
+    (tile_x, tile_y, n) when a new drop lands: aggregate ONLY the drop
+    at zoom ``z`` and monoid-sum it into the committed rows. Counts are
+    a commutative monoid, so the merged table equals the recompute
+    over corpus+drop (oracle-pinned) at the cost of one pass over the
+    DROP plus a shuffle over tile rows (bounded by 4^z) — never a
+    corpus rescan; at 10^12 committed images that difference is the
+    whole feasibility of keeping a live tile layer. Coarser pyramid
+    levels rebuild from this base via tile_pyramid's integer-halving
+    chain over the already-tiny tile table."""
+    d = (assign_tiles(drop, z, lon_col, lat_col)
+         .groupBy("tile_x", "tile_y")
+         .agg(F.count(F.lit(1)).alias("n")))
+    return (committed.select("tile_x", "tile_y", "n").unionByName(d)
+            .groupBy("tile_x", "tile_y")
+            .agg(F.sum("n").cast("long").alias("n")))

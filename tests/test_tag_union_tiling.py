@@ -521,3 +521,34 @@ def test_knn_join_agrees_with_tag_road_at_k1(spark):
          if r["nearest_edge_id"] is not None}
     k = {r["image_id"]: r["edge_id"] for r in k1.collect()}
     assert t == k
+
+
+def test_incremental_tile_counts_merge_equals_recompute(spark):
+    """Additive tile maintenance: committed(corpus) + drop agg ==
+    recompute over corpus+drop, and a pyramid rebuilt from the merged
+    base equals the recomputed pyramid level."""
+    from tdei_backend_service_spark.datagen import synth_images_df
+    from tdei_backend_service_spark.operators.tiling import (
+        assign_tiles, incremental_tile_counts, tile_pyramid)
+
+    corpus = synth_images_df(spark, 3000, with_bytes=False, seed=1)
+    drop = synth_images_df(spark, 700, with_bytes=False, seed=2)
+    committed = (assign_tiles(corpus, 15).groupBy("tile_x", "tile_y")
+                 .agg(F.count(F.lit(1)).alias("n")))
+    merged = incremental_tile_counts(committed, drop, 15)
+    full = (assign_tiles(corpus.unionByName(drop), 15)
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    key = lambda r: (r["tile_x"], r["tile_y"], r["n"])
+    assert sorted(map(key, merged.collect())) == \
+        sorted(map(key, full.collect()))
+
+    # coarser level from the merged base == recomputed coarser level
+    both = corpus.unionByName(drop)
+    pyr = {(r["tile_x"], r["tile_y"]): r["n"]
+           for r in tile_pyramid(both, 15, 14)
+           .filter(F.col("z") == 14).collect()}
+    up = {(r["tile_x"] // 2, r["tile_y"] // 2): 0 for r in merged.collect()}
+    for r in merged.collect():
+        up[(r["tile_x"] // 2, r["tile_y"] // 2)] += r["n"]
+    assert up == pyr
