@@ -72,6 +72,12 @@ def main() -> None:
         "corpus_report",
         "payload_invariants",
         "streaming_dedup", "windowed_events",
+        # r5 fourth session: temporal tier, ranked kNN, keep-best
+        # survivor policy, session windows, bucketed stores,
+        # incremental tiles
+        "sessionize", "asof_join", "knn_rank", "cluster_keep_best",
+        "session_windows", "store_phash_dedup", "store_embedding_dedup",
+        "incremental_tiles",
     ]
 
     # input size for throughput: rows entering the spatial suite

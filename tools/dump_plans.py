@@ -230,6 +230,15 @@ def main() -> None:
             land = tempfile.mkdtemp(prefix="plans_we_")
             stream = spark.readStream.schema(schema).parquet(land)
             return windowed_event_counts(stream)
+        if name == "session_windows":
+            from tdei_backend_service_spark.streaming.windows import \
+                session_window_counts
+            schema = T.StructType([T.StructField("event_id", T.LongType()),
+                                   T.StructField("ts", T.TimestampType()),
+                                   T.StructField("event_type", T.StringType())])
+            land = tempfile.mkdtemp(prefix="plans_sw_")
+            stream = spark.readStream.schema(schema).parquet(land)
+            return session_window_counts(stream)
         return None
 
     # every bench.py headline query gets an audited plan (VERDICT r3 #2)
