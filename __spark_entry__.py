@@ -603,6 +603,50 @@ def _q_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("tile_y").cast("int"), F.col("n").cast("long")))
 
 
+RASTER_PX = 16  # z11 tiles at 16px -> pixel lattice == the verified z15 grid
+
+
+def _q_tile_raster(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector->raster rendering (operators/raster.rasterize): the point
+    corpus aggregates ONCE into the nonzero pixel-count lattice (pure
+    Catalyst — pixel (i,j) of a z11 tile IS the z15 tile at coords
+    tile*16+i, the hash-verified grid), per-tile PNG tiles are encoded
+    by the in-repo codec, and the returned stats are recomputed FROM
+    THE DECODED PIXELS — render, encode, and decode all sit under the
+    hash-exact oracle. Bytes are created after the shuffle and never
+    shuffled again."""
+    from tdei_backend_service_spark.operators import raster
+    pts = FX.orders_points(spark, sf)
+    tiles = raster.rasterize(pts, TILE_Z - 4, RASTER_PX)
+    return raster.decode_tile_stats(tiles)
+
+
+def _q_raster_pyramid(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-space raster pyramid (operators/raster.pyramid_pixel_counts
+    + encode_tiles): z11 and z10 tile images from ONE corpus exchange —
+    the coarser level integer-halves the nonzero-pixel relation (raw
+    counts, clip only at encode), so every decoded level matches the
+    floor-arithmetic oracle exactly."""
+    from tdei_backend_service_spark.operators import raster
+    pts = FX.orders_points(spark, sf)
+    pix = raster.pixel_counts(pts, TILE_Z - 4, RASTER_PX)
+    pyr = raster.pyramid_pixel_counts(pix, TILE_Z - 4, TILE_Z - 5, RASTER_PX)
+    return raster.decode_tile_stats(raster.encode_tiles(pyr, RASTER_PX))
+
+
+def _q_tile_mosaic(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-space overview build (operators/raster.mosaic_tiles): the
+    rendered z11 tiles — not the corpus — are decoded in 2x2 sibling
+    groups, stitched, and integer-downsampled (2x2 block sum DIV 4) into
+    z10 tiles. The oracle replays the same integer arithmetic on the
+    pixel lattice, so the decode->stitch->pool->re-encode path is
+    hash-exact."""
+    from tdei_backend_service_spark.operators import raster
+    pts = FX.orders_points(spark, sf)
+    tiles = raster.rasterize(pts, TILE_Z - 4, RASTER_PX)
+    return raster.decode_tile_stats(raster.mosaic_tiles(tiles, RASTER_PX))
+
+
 def _q_union_cc(spark: SparkSession, sf: str) -> DataFrame:
     """The engine's one ITERATIVE algorithm under the oracle: exact
     connected components (union_dataset collapse='cc', pointer-jumped
@@ -1152,6 +1196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_cc": _q_union_cc,
         # multi-zoom tile rollup (one corpus pass + per-level halving)
         "tile_pyramid": _q_tile_pyramid,
+        # raster render tier: real PNG encode->decode under the oracle
+        "tile_raster": _q_tile_raster,
+        "raster_pyramid": _q_raster_pyramid,
+        "tile_mosaic": _q_tile_mosaic,
         # watermarked windowed streaming aggregation (append-mode seals)
         "windowed_events": _q_windowed_events,
         "session_windows": _q_session_windows,
@@ -1584,6 +1632,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(12 AS INT) AS z, CAST(x // 8 AS INT) AS tile_x, CAST(y // 8 AS INT) AS tile_y, COUNT(*) AS n FROM t GROUP BY 1, 2, 3
             UNION ALL
             SELECT CAST(11 AS INT) AS z, CAST(x // 16 AS INT) AS tile_x, CAST(y // 16 AS INT) AS tile_y, COUNT(*) AS n FROM t GROUP BY 1, 2, 3
+        """,
+        # raster render: pixel lattice = the z15 grid (tile*16 + px);
+        # decoded-pixel stats replay as floor arithmetic + LEAST clip
+        "tile_raster": f"""
+            WITH g AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS gx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS gy
+              FROM {_PTS}),
+            pix AS (SELECT gx, gy, COUNT(*) AS n FROM g GROUP BY 1, 2)
+            SELECT CAST(11 AS INT) AS z,
+                   CAST(gx // 16 AS INT) AS tile_x,
+                   CAST(gy // 16 AS INT) AS tile_y,
+                   CAST(COUNT(*) AS BIGINT) AS nonzero_px,
+                   CAST(SUM(LEAST(n, 255)) AS BIGINT) AS sum_px,
+                   CAST(MAX(LEAST(n, 255)) AS BIGINT) AS max_px
+            FROM pix GROUP BY 1, 2, 3
+        """,
+        # count-space pyramid: z10 halves raw counts BEFORE the clip
+        "raster_pyramid": f"""
+            WITH g AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS gx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS gy
+              FROM {_PTS}),
+            pix AS (SELECT gx, gy, COUNT(*) AS n FROM g GROUP BY 1, 2),
+            lv AS (
+              SELECT 11 AS z, gx, gy, n FROM pix
+              UNION ALL
+              SELECT 10 AS z, gx // 2 AS gx, gy // 2 AS gy, SUM(n) AS n
+              FROM pix GROUP BY 2, 3)
+            SELECT CAST(z AS INT) AS z,
+                   CAST(gx // 16 AS INT) AS tile_x,
+                   CAST(gy // 16 AS INT) AS tile_y,
+                   CAST(COUNT(*) AS BIGINT) AS nonzero_px,
+                   CAST(SUM(LEAST(n, 255)) AS BIGINT) AS sum_px,
+                   CAST(MAX(LEAST(n, 255)) AS BIGINT) AS max_px
+            FROM lv GROUP BY 1, 2, 3
+        """,
+        # image-space mosaic: children clip at encode, parents pool the
+        # CLIPPED child pixels (sum DIV 4); zero pixels don't count
+        "tile_mosaic": f"""
+            WITH g AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS gx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS gy
+              FROM {_PTS}),
+            pix AS (SELECT gx, gy, COUNT(*) AS n FROM g GROUP BY 1, 2),
+            cp AS (SELECT gx // 2 AS gx, gy // 2 AS gy,
+                          CAST(SUM(LEAST(n, 255)) // 4 AS BIGINT) AS v
+                   FROM pix GROUP BY 1, 2)
+            SELECT CAST(10 AS INT) AS z,
+                   CAST(gx // 16 AS INT) AS tile_x,
+                   CAST(gy // 16 AS INT) AS tile_y,
+                   CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero_px,
+                   CAST(SUM(v) AS BIGINT) AS sum_px,
+                   CAST(MAX(v) AS BIGINT) AS max_px
+            FROM cp GROUP BY 1, 2, 3
         """,
         # planted 4-member proximity chains: cc keeps exactly the
         # min-rank member (dataset A, id k*10) per chain; singles survive

@@ -78,6 +78,8 @@ def main() -> None:
         "sessionize", "asof_join", "knn_rank", "cluster_keep_best",
         "session_windows", "store_phash_dedup", "store_embedding_dedup",
         "incremental_tiles",
+        # r5 fifth session: raster render tier (real PNG encode/decode)
+        "tile_raster", "raster_pyramid", "tile_mosaic",
     ]
 
     # input size for throughput: rows entering the spatial suite

@@ -1,0 +1,234 @@
+"""Vector -> raster tile rendering: density rasters, pyramids, mosaics.
+
+The geospatial x image composition the graft's tier is named for: point
+corpora are aggregated into per-tile pixel-count lattices (pure
+Catalyst, ONE exchange over the whole corpus), rendered into real PNG
+tiles by the in-repo codec, and rolled up two ways —
+
+* count-space pyramid (``pyramid_pixel_counts``): integer-halving of
+  global pixel coordinates, exactly the tile_pyramid rollup at pixel
+  resolution — every level is bit-identical to re-aggregating the
+  corpus at the coarser zoom because floor nests;
+* image-space mosaic (``mosaic_tiles``): decode 2x2 child PNG tiles,
+  stitch, and 2x2-block integer downsample (sum DIV 4) — the real
+  overview-generation path a map server runs over already-rendered
+  tiles, without touching the point corpus again.
+
+The reference has no raster output (its exports are GeoJSON/OSM XML —
+osw-query-service.ts / osm-query-service.ts); tiles are this engine's
+image-payload output layout, so the render tier is built Spark-first:
+
+* pixel assignment is the web-mercator tile formula at zoom
+  ``z + log2(px)`` — a tile's pixel (i, j) IS the (z+log2(px)) tile
+  whose coords are (tile_x*px + i, tile_y*px + j), so the whole lattice
+  is one ``cells.tile_expr`` projection in whole-stage codegen;
+* the only data that ever reaches Python is the NONZERO pixel-count
+  relation (at most px*px narrow int rows per occupied tile, bounded by
+  min(corpus rows, 4^(z+log2(px))) overall) — bytes are produced, never
+  consumed, by the shuffle;
+* per-tile rendering is ``applyInPandas`` grouped on the tile key: at
+  1000 executors every tile renders independently, and a hot tile is
+  still at most px*px rows.
+
+Pixel values clip at 255 (uint8 gray) with LEAST semantics shared by
+the SQL oracle; pyramid levels sum RAW counts and clip only at encode,
+so coarser zooms don't inherit saturation error.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..core import cells
+from ..codecs.image import decode_image, encode_image
+
+TILE_SCHEMA = T.StructType([
+    T.StructField("z", T.IntegerType()),
+    T.StructField("tile_x", T.IntegerType()),
+    T.StructField("tile_y", T.IntegerType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("n_points", T.LongType()),
+])
+
+TILE_STATS_SCHEMA = T.StructType([
+    T.StructField("z", T.IntegerType()),
+    T.StructField("tile_x", T.IntegerType()),
+    T.StructField("tile_y", T.IntegerType()),
+    T.StructField("nonzero_px", T.LongType()),
+    T.StructField("sum_px", T.LongType()),
+    T.StructField("max_px", T.LongType()),
+])
+
+
+def _log2_px(px: int) -> int:
+    p = int(px).bit_length() - 1
+    if px <= 0 or (1 << p) != px or p > 8:
+        raise ValueError("px must be a power of two in [1, 256]")
+    return p
+
+
+def pixel_counts(df: DataFrame, z: int, px: int, lon_col: str = "lon",
+                 lat_col: str = "lat") -> DataFrame:
+    """Nonzero pixel counts of the ``px x px`` raster of every occupied
+    zoom-``z`` tile: (z, tile_x, tile_y, gx, gy, px_x, px_y, n).
+
+    (gx, gy) are GLOBAL pixel coords — the tile coords at zoom
+    ``z + log2(px)`` — kept so pyramid levels can integer-halve them;
+    (px_x, px_y) = (gx % px, gy % px) index within the tile. One
+    corpus-wide exchange (map-side partial combine), all JVM."""
+    p = _log2_px(px)
+    gx, gy, _ = cells.tile_expr(F.col(lon_col), F.col(lat_col), z + p)
+    return (df.select(gx.cast("long").alias("gx"), gy.cast("long").alias("gy"))
+            .groupBy("gx", "gy")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(z).cast("int").alias("z"),
+                    (F.col("gx") / px).cast("int").alias("tile_x"),
+                    (F.col("gy") / px).cast("int").alias("tile_y"),
+                    "gx", "gy",
+                    (F.col("gx") % px).cast("int").alias("px_x"),
+                    (F.col("gy") % px).cast("int").alias("px_y"),
+                    F.col("n").cast("long").alias("n")))
+
+
+def pyramid_pixel_counts(base: DataFrame, z_base: int, z_min: int,
+                         px: int) -> DataFrame:
+    """Pixel-count pyramid over ``pixel_counts`` output: every zoom in
+    ``[z_min, z_base]``. Level z-1's global pixel (gx DIV 2, gy DIV 2)
+    sums level z's RAW counts — floor nesting makes each level equal to
+    re-running pixel_counts at that zoom, while each rollup shuffles
+    only the previous level's nonzero-pixel relation (at most
+    4^(z+log2(px)) rows), never the corpus."""
+    if z_min > z_base:
+        raise ValueError("z_min must be <= z_base")
+    levels = [base]
+    cur = base.select("gx", "gy", "n")
+    for z in range(z_base - 1, z_min - 1, -1):
+        cur = (cur.groupBy((F.col("gx") / 2).cast("long").alias("gx"),
+                           (F.col("gy") / 2).cast("long").alias("gy"))
+               .agg(F.sum("n").alias("n")))
+        levels.append(cur.select(
+            F.lit(z).cast("int").alias("z"),
+            (F.col("gx") / px).cast("int").alias("tile_x"),
+            (F.col("gy") / px).cast("int").alias("tile_y"),
+            "gx", "gy",
+            (F.col("gx") % px).cast("int").alias("px_x"),
+            (F.col("gy") % px).cast("int").alias("px_y"),
+            F.col("n").cast("long").alias("n")))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def encode_tiles(pix: DataFrame, px: int, fmt: str = "png") -> DataFrame:
+    """Render one ``px x px`` grayscale image tile per (z, tile_x,
+    tile_y) group of a pixel-count relation: value = min(n, 255),
+    absent pixels 0. Input rows are narrow ints (bytes are CREATED
+    here, after the shuffle); a group is at most px*px rows."""
+    _log2_px(px)
+
+    def render(key, pdf):
+        img = np.zeros((px, px), dtype=np.uint8)
+        img[pdf["px_y"].to_numpy(np.int64),
+            pdf["px_x"].to_numpy(np.int64)] = np.minimum(
+                pdf["n"].to_numpy(np.int64), 255).astype(np.uint8)
+        return pd.DataFrame({
+            "z": pd.array([key[0]], dtype="int32"),
+            "tile_x": pd.array([key[1]], dtype="int32"),
+            "tile_y": pd.array([key[2]], dtype="int32"),
+            "w": pd.array([px], dtype="int32"),
+            "h": pd.array([px], dtype="int32"),
+            "fmt": [fmt],
+            "bytes": [encode_image(img, fmt)],
+            "n_points": pd.array([int(pdf["n"].sum())], dtype="int64"),
+        })
+
+    return (pix.select("z", "tile_x", "tile_y", "px_x", "px_y", "n")
+            .groupBy("z", "tile_x", "tile_y")
+            .applyInPandas(render, schema=TILE_SCHEMA))
+
+
+def rasterize(df: DataFrame, z: int, px: int, lon_col: str = "lon",
+              lat_col: str = "lat", fmt: str = "png") -> DataFrame:
+    """points -> rendered PNG density tiles at zoom ``z`` (the full
+    render path: one corpus exchange + per-tile encode)."""
+    return encode_tiles(pixel_counts(df, z, px, lon_col, lat_col), px, fmt)
+
+
+def mosaic_tiles(tiles: DataFrame, px: int) -> DataFrame:
+    """Image-space overview build: decode each parent's <=4 child PNG
+    tiles, stitch them into a 2px x 2px canvas, and downsample by
+    2x2-block integer mean (sum DIV 4 — exact, max 4*255 DIV 4 = 255
+    fits uint8). Groups are keyed by (z-1, tile_x DIV 2, tile_y DIV 2);
+    only already-rendered tile rows shuffle, never the corpus. Missing
+    children are zero canvas — identical to empty-tile semantics."""
+    _log2_px(px)
+
+    def stitch(key, pdf):
+        canvas = np.zeros((2 * px, 2 * px), dtype=np.int64)
+        n_points = 0
+        for i in range(len(pdf)):
+            child = decode_image(bytes(pdf["bytes"].iloc[i]),
+                                 pdf["fmt"].iloc[i])
+            if child.ndim == 3:  # gray encoded as RGB: take one channel
+                child = child[:, :, 0]
+            oy = (int(pdf["tile_y"].iloc[i]) % 2) * px
+            ox = (int(pdf["tile_x"].iloc[i]) % 2) * px
+            canvas[oy:oy + px, ox:ox + px] = child
+            n_points += int(pdf["n_points"].iloc[i])
+        pooled = (canvas.reshape(px, 2, px, 2).sum(axis=(1, 3)) // 4
+                  ).astype(np.uint8)
+        return pd.DataFrame({
+            "z": pd.array([key[0]], dtype="int32"),
+            "tile_x": pd.array([key[1]], dtype="int32"),
+            "tile_y": pd.array([key[2]], dtype="int32"),
+            "w": pd.array([px], dtype="int32"),
+            "h": pd.array([px], dtype="int32"),
+            "fmt": [str(pdf["fmt"].iloc[0])],
+            "bytes": [encode_image(pooled, str(pdf["fmt"].iloc[0]))],
+            "n_points": pd.array([n_points], dtype="int64"),
+        })
+
+    return (tiles.groupBy((F.col("z") - 1).cast("int").alias("z"),
+                          (F.col("tile_x") / 2).cast("int").alias("tile_x"),
+                          (F.col("tile_y") / 2).cast("int").alias("tile_y"))
+            .applyInPandas(stitch, schema=TILE_SCHEMA))
+
+
+def decode_tile_stats(tiles: DataFrame) -> DataFrame:
+    """Per-tile stats recomputed FROM THE DECODED PIXELS — nothing read
+    from stored metadata, so closed-form fixtures put the full
+    render -> encode -> decode path under the hash-exact SQL oracle
+    (the decode_meta pattern, multimodal.py:51). Map-only."""
+
+    def gen(batches):
+        for pdf in batches:
+            zs, xs, ys, nz, sm, mx = [], [], [], [], [], []
+            for i in range(len(pdf)):
+                img = decode_image(bytes(pdf["bytes"].iloc[i]),
+                                   pdf["fmt"].iloc[i])
+                if img.ndim == 3:
+                    img = img[:, :, 0]
+                v = img.astype(np.int64)
+                zs.append(int(pdf["z"].iloc[i]))
+                xs.append(int(pdf["tile_x"].iloc[i]))
+                ys.append(int(pdf["tile_y"].iloc[i]))
+                nz.append(int((v > 0).sum()))
+                sm.append(int(v.sum()))
+                mx.append(int(v.max()))
+            yield pd.DataFrame({
+                "z": pd.array(zs, dtype="int32"),
+                "tile_x": pd.array(xs, dtype="int32"),
+                "tile_y": pd.array(ys, dtype="int32"),
+                "nonzero_px": pd.array(nz, dtype="int64"),
+                "sum_px": pd.array(sm, dtype="int64"),
+                "max_px": pd.array(mx, dtype="int64"),
+            })
+
+    return (tiles.select("z", "tile_x", "tile_y", "fmt", "bytes")
+            .mapInPandas(gen, schema=TILE_STATS_SCHEMA))

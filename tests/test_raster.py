@@ -1,0 +1,138 @@
+"""operators/raster: vector->raster tiles, pyramids, image-space mosaic.
+
+Every test pins the rendered PIXELS (decoded from the real PNG bytes)
+against a numpy reference computed straight from the web-mercator
+formula — not against the operator's own intermediate relations.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tdei_backend_service_spark.codecs.image import decode_image
+from tdei_backend_service_spark.core import cells
+from tdei_backend_service_spark.operators import raster
+
+Z, PX = 11, 16
+ZP = Z + 4  # global pixel zoom
+
+
+def _points_df(spark, lons, lats):
+    pdf = pd.DataFrame({"lon": lons, "lat": lats})
+    return spark.createDataFrame(pdf)
+
+
+def _ref_pixels(lons, lats):
+    """numpy reference: global pixel coords at zoom ZP."""
+    gx, gy = cells.lonlat_to_tile(np.asarray(lons, dtype=np.float64),
+                                  np.asarray(lats, dtype=np.float64), ZP)
+    return gx, gy
+
+
+def _tile_arrays(tiles_df):
+    """{(z, tx, ty): decoded uint8 (px, px)} from rendered tile rows."""
+    out = {}
+    for r in tiles_df.collect():
+        img = decode_image(bytes(r["bytes"]), r["fmt"])
+        if img.ndim == 3:
+            img = img[:, :, 0]
+        out[(r["z"], r["tile_x"], r["tile_y"])] = img
+    return out
+
+
+def test_rasterize_pixels_match_reference(spark):
+    rng = np.random.default_rng(7)
+    lons = -122.35 + rng.random(500) * 0.08
+    lats = 47.60 + rng.random(500) * 0.06
+    tiles = raster.rasterize(_points_df(spark, lons, lats), Z, PX)
+    arrays = _tile_arrays(tiles)
+
+    gx, gy = _ref_pixels(lons, lats)
+    ref = {}
+    for x, y in zip(gx, gy):
+        key = (Z, int(x) // PX, int(y) // PX)
+        ref.setdefault(key, np.zeros((PX, PX), dtype=np.int64))
+        ref[key][int(y) % PX, int(x) % PX] += 1
+    assert set(arrays) == set(ref)
+    for key, img in arrays.items():
+        np.testing.assert_array_equal(img, np.minimum(ref[key], 255))
+
+
+def test_rasterize_clips_at_255(spark):
+    # 300 coincident points -> single pixel, clipped to 255
+    tiles = raster.rasterize(
+        _points_df(spark, [-122.3] * 300, [47.61] * 300), Z, PX)
+    arrays = _tile_arrays(tiles)
+    (img,) = arrays.values()
+    assert img.max() == 255 and (img > 0).sum() == 1
+    # but n_points keeps the raw count
+    assert tiles.collect()[0]["n_points"] == 300
+
+
+def test_pyramid_level_equals_direct_aggregation(spark):
+    """z10 from pyramid halving == pixel_counts recomputed at z10."""
+    rng = np.random.default_rng(11)
+    lons = -122.35 + rng.random(400) * 0.08
+    lats = 47.60 + rng.random(400) * 0.06
+    df = _points_df(spark, lons, lats)
+    pix = raster.pixel_counts(df, Z, PX)
+    pyr = raster.pyramid_pixel_counts(pix, Z, Z - 1, PX)
+    got = {tuple(r) for r in pyr.filter(F.col("z") == Z - 1)
+           .select("gx", "gy", "n").collect()}
+    want = {tuple(r) for r in raster.pixel_counts(df, Z - 1, PX)
+            .select("gx", "gy", "n").collect()}
+    assert got == want
+
+
+def test_mosaic_pools_children_exactly(spark):
+    """Parent pixels = 2x2 child-block sum DIV 4, missing children = 0."""
+    rng = np.random.default_rng(13)
+    lons = -122.35 + rng.random(600) * 0.08
+    lats = 47.60 + rng.random(600) * 0.06
+    tiles = raster.rasterize(_points_df(spark, lons, lats), Z, PX)
+    children = _tile_arrays(tiles)
+    parents = _tile_arrays(raster.mosaic_tiles(tiles, PX))
+
+    ref = {}
+    for (z, tx, ty), img in children.items():
+        pk = (z - 1, tx // 2, ty // 2)
+        canvas = ref.setdefault(pk, np.zeros((2 * PX, 2 * PX), dtype=np.int64))
+        canvas[(ty % 2) * PX:(ty % 2) * PX + PX,
+               (tx % 2) * PX:(tx % 2) * PX + PX] = img
+    assert set(parents) == set(ref)
+    for pk, canvas in ref.items():
+        pooled = canvas.reshape(PX, 2, PX, 2).sum(axis=(1, 3)) // 4
+        np.testing.assert_array_equal(parents[pk], pooled)
+
+
+def test_decode_tile_stats_roundtrip(spark):
+    rng = np.random.default_rng(17)
+    lons = -122.35 + rng.random(300) * 0.08
+    lats = 47.60 + rng.random(300) * 0.06
+    tiles = raster.rasterize(_points_df(spark, lons, lats), Z, PX)
+    arrays = _tile_arrays(tiles)
+    stats = {(r["z"], r["tile_x"], r["tile_y"]):
+             (r["nonzero_px"], r["sum_px"], r["max_px"])
+             for r in raster.decode_tile_stats(tiles).collect()}
+    assert set(stats) == set(arrays)
+    for key, img in arrays.items():
+        v = img.astype(np.int64)
+        assert stats[key] == (int((v > 0).sum()), int(v.sum()), int(v.max()))
+
+
+def test_pixel_counts_single_exchange(spark):
+    """The corpus-side plan is ONE hash aggregate exchange, all JVM —
+    no Python node before the pixel relation exists."""
+    df = _points_df(spark, [-122.3, -122.31], [47.61, 47.62])
+    plan = raster.pixel_counts(df, Z, PX)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_px_validation():
+    with pytest.raises(ValueError):
+        raster._log2_px(12)
+    with pytest.raises(ValueError):
+        raster._log2_px(512)
