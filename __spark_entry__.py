@@ -647,6 +647,20 @@ def _q_tile_mosaic(spark: SparkSession, sf: str) -> DataFrame:
     return raster.decode_tile_stats(raster.mosaic_tiles(tiles, RASTER_PX))
 
 
+def _q_geo_visual_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The A+B flagship composition (operators/geo_visual.py): a record
+    loses iff a smaller id sits within 5 m AND within hamming 8 of its
+    RECOMPUTED perceptual hash (real decode -> ahash64, padded-cell
+    candidate join, JVM bit_count verify). The planted 10-site lattice
+    disagrees with the 127 pixel classes on purpose, so survivors are
+    exactly the min of each joint k % 1270 class."""
+    from tdei_backend_service_spark.operators.geo_visual import \
+        geo_visual_dedup
+    imgs = FX.part_images_geo(spark, sf)
+    return (geo_visual_dedup(imgs, radius_m=5.0, max_hamming=8)
+            .select(F.col("image_id").cast("long")))
+
+
 def _q_union_cc(spark: SparkSession, sf: str) -> DataFrame:
     """The engine's one ITERATIVE algorithm under the oracle: exact
     connected components (union_dataset collapse='cc', pointer-jumped
@@ -1200,6 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_raster": _q_tile_raster,
         "raster_pyramid": _q_raster_pyramid,
         "tile_mosaic": _q_tile_mosaic,
+        # proximity AND visual near-dup over the real decode path
+        "geo_visual_dedup": _q_geo_visual_dedup,
         # watermarked windowed streaming aggregation (append-mode seals)
         "windowed_events": _q_windowed_events,
         "session_windows": _q_session_windows,
@@ -1687,6 +1703,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v) AS BIGINT) AS sum_px,
                    CAST(MAX(v) AS BIGINT) AS max_px
             FROM cp GROUP BY 1, 2, 3
+        """,
+        # co-located (k%10 site) AND visually duplicate (k%127 pixel
+        # class) -> min of the joint class k%1270 survives; the planted
+        # cross-class hamming floor (17) and ~157 m site spacing make
+        # every other pair fail exactly one of the two conditions
+        "geo_visual_dedup": """
+            SELECT CAST(MIN(p_partkey) AS BIGINT) AS image_id
+            FROM part GROUP BY p_partkey % 1270
         """,
         # planted 4-member proximity chains: cc keeps exactly the
         # min-rank member (dataset A, id k*10) per chain; singles survive

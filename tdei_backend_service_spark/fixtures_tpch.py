@@ -649,6 +649,25 @@ def part_images_captioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (F.col("image_id") % 89).cast("string")))
 
 
+def part_images_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part_images plus a planted 10-site location lattice that
+    deliberately disagrees with the pixel classes: site = k % 10 (all
+    members of a site share the EXACT same lon/lat; distinct sites sit
+    ~157 m apart, far beyond any dedup radius), while pixels repeat per
+    k % 127. geo_visual_dedup then sees both disagreement cases —
+    co-located but visually distinct (same k%10, different k%127:
+    planted hamming >= 17) and visual twins too far apart (same k%127,
+    different k%10) — and its survivor set is the min of the JOINT
+    class k % 1270, pure integer SQL. Location derivation is a column
+    expression over the cached blob table (the caption pattern,
+    part_images_captioned)."""
+    imgs = part_images(spark, sf_dir)
+    site = F.col("image_id") % 10
+    return (imgs
+            .withColumn("lon", F.lit(-122.0) + site / F.lit(1000.0))
+            .withColumn("lat", F.lit(47.0) + site / F.lit(1000.0)))
+
+
 def customer_images(spark: SparkSession, sf_dir: str, side: str,
                     n_dups: int = 300) -> DataFrame:
     """customer -> image-like point records for the union fixture.

@@ -1,0 +1,124 @@
+"""Geo-visual dedup: drop images that are BOTH co-located and visually
+near-duplicate — the A+B flagship composing the geospatial tier's
+proximity machinery (union-query-service.ts:21-41 semantics, the padded
+4-corner cell cover from operators/union_dataset.py) with the image
+tier's REAL decode path (pixels -> recomputed perceptual hash, nothing
+read from stored metadata).
+
+A record loses iff a record with a smaller ``pk`` exists within
+``radius_m`` meters whose recomputed 64-bit ahash is within
+``max_hamming`` bits (the min-winner rule, one pass, no iteration).
+
+Scale shape (the plan you'd run at 100 TB):
+* decode is MAP-ONLY — blobs are read once and reduced to a narrow
+  (pk, phash, lon, lat) relation before anything shuffles; bytes never
+  cross an exchange;
+* candidates come from the radius-derived cell grid (depth chosen so a
+  padded window spans <= 2 cells per axis — cover completeness per
+  operators/union_dataset._cell_cover_udfs), so pair generation is an
+  equi-join on cell, never all-pairs;
+* the hamming verify is JVM ``bit_count(xor)`` and runs INSIDE the join
+  condition, before the pair distinct — non-matching candidates die in
+  whole-stage codegen without materializing;
+* the narrow frame is persisted for its two join sides and released
+  after the loser ids are checkpointed (the dedup-tier cache-lifetime
+  rule, pipeline/dedup._finalize_losers).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..codecs.image import ahash64, decode_image
+from ..core import cells
+from .union_dataset import _cell_cover_udfs
+
+_KEYED_SCHEMA_FMT = "{pk} {pk_type}, phash long, lon double, lat double"
+
+
+def decode_phash_points(df: DataFrame, pk: str = "image_id") -> DataFrame:
+    """(pk, recomputed phash, lon, lat) from the blobs — one map-only
+    pass; undecodable rows are dropped (they cannot lose visually)."""
+    pk_type = dict(df.dtypes)[pk]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, lons, lats = [], [], [], []
+            for i in range(len(pdf)):
+                try:
+                    img = decode_image(pdf["bytes"].iloc[i],
+                                       pdf["fmt"].iloc[i])
+                except (NotImplementedError, ValueError):
+                    continue
+                ids.append(pdf[pk].iloc[i])
+                hashes.append(ahash64(img))
+                lons.append(float(pdf["lon"].iloc[i]))
+                lats.append(float(pdf["lat"].iloc[i]))
+            yield pd.DataFrame({
+                pk: ids,
+                "phash": pd.array(hashes, dtype="int64"),
+                "lon": pd.array(lons, dtype="float64"),
+                "lat": pd.array(lats, dtype="float64"),
+            })
+
+    return (df.select(pk, "bytes", "fmt", "lon", "lat")
+            .mapInPandas(gen, schema=_KEYED_SCHEMA_FMT.format(
+                pk=pk, pk_type=pk_type)))
+
+
+def geo_visual_losers(keyed: DataFrame, radius_m: float, max_hamming: int,
+                      pk: str = "image_id",
+                      release_cache: bool = True) -> DataFrame:
+    """Loser ids over a (pk, phash, lon, lat) relation. ``pk`` must be
+    orderable (the smaller value wins); exposed separately so stored
+    narrow relations (e.g. a committed corpus's phash table) can reuse
+    the rule without re-decoding."""
+    from ..pipeline.dedup import _finalize_losers
+
+    keyed = keyed.select(pk, "phash", "lon", "lat")
+    own_caches = []
+    if keyed.storageLevel.useMemory or keyed.storageLevel.useDisk:
+        pass  # caller already persisted
+    else:
+        keyed = keyed.persist()
+        own_caches.append(keyed)
+
+    _cell_once, _cover_once = _cell_cover_udfs(radius_m)
+    left = (keyed.withColumn("cell", F.explode(
+                _cover_once(F.col("lon"), F.col("lat"))))
+            .select(F.col(pk).alias("l_pk"), F.col("phash").alias("l_ph"),
+                    F.col("lon").alias("l_lon"), F.col("lat").alias("l_lat"),
+                    "cell"))
+    right = (keyed.withColumn("cell", _cell_once(F.col("lon"), F.col("lat")))
+             .select(F.col(pk).alias("r_pk"), F.col("phash").alias("r_ph"),
+                     F.col("lon").alias("r_lon"), F.col("lat").alias("r_lat"),
+                     "cell"))
+
+    sx = cells.M_PER_DEG_LON_EQ
+    sy = cells.M_PER_DEG_LAT
+    cond = ((left.cell == right.cell)
+            & (F.col("l_pk") > F.col("r_pk"))
+            & (F.bit_count(F.col("l_ph").bitwiseXOR(F.col("r_ph")))
+               <= max_hamming))
+    losers = (left.join(right, cond)
+              .filter(F.sqrt(F.pow((F.col("l_lon") - F.col("r_lon")) * sx, 2)
+                             + F.pow((F.col("l_lat") - F.col("r_lat")) * sy, 2))
+                      <= radius_m)
+              .select(F.col("l_pk").alias(pk)).distinct())
+    return _finalize_losers(losers, own_caches, release_cache)
+
+
+def geo_visual_dedup(images: DataFrame, radius_m: float = 5.0,
+                     max_hamming: int = 8, pk: str = "image_id",
+                     release_cache: bool = True) -> DataFrame:
+    """Survivors of the co-located visual near-dup rule (see module
+    docstring). Returns the ORIGINAL rows (full width) minus losers —
+    the anti-join runs on the narrow id relation only."""
+    keyed = decode_phash_points(images, pk)
+    losers = geo_visual_losers(keyed, radius_m, max_hamming, pk,
+                               release_cache)
+    return images.join(losers, pk, "left_anti")

@@ -1,0 +1,90 @@
+"""operators/geo_visual: co-located AND visually-near-dup min-winner."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tdei_backend_service_spark.codecs.image import encode_image
+from tdei_backend_service_spark.core import cells
+from tdei_backend_service_spark.operators.geo_visual import (
+    decode_phash_points, geo_visual_dedup)
+
+M_LAT = cells.M_PER_DEG_LAT
+
+
+def _img_bytes(pattern: int, flip_bits: tuple = ()) -> bytes:
+    """8x8 gray blocks from a 64-bit pattern (the ahash64 fixture law:
+    constant blocks above/below the mean reproduce the pattern)."""
+    v = pattern
+    for b in flip_bits:
+        v ^= 1 << b
+    cell = np.array([[(v >> (63 - (8 * i + j))) & 1 for j in range(8)]
+                     for i in range(8)], dtype=np.uint8)
+    return encode_image(np.where(cell == 1, 200, 40).astype(np.uint8), "png")
+
+
+BASE = 0x5A5A_3C3C_A5A5_C3C3
+
+
+def _rows():
+    lon0, lat0 = -122.30, 47.61
+    return [
+        # 0: survivor (smallest id at site A)
+        {"image_id": 0, "bytes": _img_bytes(BASE), "fmt": "png",
+         "lon": lon0, "lat": lat0},
+        # 1: same site, hamming 2 -> loses to 0
+        {"image_id": 1, "bytes": _img_bytes(BASE, (3, 17)), "fmt": "png",
+         "lon": lon0, "lat": lat0 + 1.0 / M_LAT},
+        # 2: same site, hamming 9 > budget 8 -> survives
+        {"image_id": 2, "bytes": _img_bytes(BASE, tuple(range(9))),
+         "fmt": "png", "lon": lon0, "lat": lat0},
+        # 3: identical pixels to 0 but 20 m away -> survives
+        {"image_id": 3, "bytes": _img_bytes(BASE), "fmt": "png",
+         "lon": lon0, "lat": lat0 + 20.0 / M_LAT},
+        # 4: identical pixels, 4.9 m away -> loses to 0
+        {"image_id": 4, "bytes": _img_bytes(BASE), "fmt": "png",
+         "lon": lon0, "lat": lat0 + 4.9 / M_LAT},
+        # 5: undecodable blob at site A -> passes through untouched
+        {"image_id": 5, "bytes": b"not an image", "fmt": "png",
+         "lon": lon0, "lat": lat0},
+    ]
+
+
+def test_geo_visual_min_winner(spark):
+    df = spark.createDataFrame(pd.DataFrame(_rows()))
+    out = geo_visual_dedup(df, radius_m=5.0, max_hamming=8)
+    assert sorted(r["image_id"] for r in out.collect()) == [0, 2, 3, 5]
+
+
+def test_geo_visual_boundary_hamming_inclusive(spark):
+    """hamming == budget still loses (<=, not <)."""
+    rows = [r for r in _rows() if r["image_id"] in (0,)]
+    rows.append({"image_id": 9, "bytes": _img_bytes(BASE, tuple(range(8))),
+                 "fmt": "png", "lon": rows[0]["lon"], "lat": rows[0]["lat"]})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = geo_visual_dedup(df, radius_m=5.0, max_hamming=8)
+    assert sorted(r["image_id"] for r in out.collect()) == [0]
+
+
+def test_decode_phash_points_drops_undecodable(spark):
+    df = spark.createDataFrame(pd.DataFrame(_rows()))
+    keyed = decode_phash_points(df)
+    ids = sorted(r["image_id"] for r in keyed.collect())
+    assert ids == [0, 1, 2, 3, 4]  # 5 is undecodable
+
+
+def test_geo_visual_survivors_keep_full_width(spark):
+    df = spark.createDataFrame(pd.DataFrame(_rows()))
+    out = geo_visual_dedup(df, radius_m=5.0, max_hamming=8)
+    assert set(out.columns) == set(df.columns)
+
+
+def test_geo_visual_releases_cache(spark):
+    """The dedup-tier cache-lifetime rule: after the call, at most the
+    checkpointed narrow loser ids remain as persisted blocks."""
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    df = spark.createDataFrame(pd.DataFrame(_rows()))
+    geo_visual_dedup(df, radius_m=5.0, max_hamming=8).count()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after - before <= 1
