@@ -364,14 +364,26 @@ def _q_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
     buckets' files (PartitionFilters). At nprobe = n_centroids every
     bucket is probed, so the scan is complete and the result exact —
     the partition-pruned physical layout gets the brute-force oracle."""
+    import os
     import tempfile
     from tdei_backend_service_spark.pipeline.similarity import (
         build_ivf_index, ivf_topk_indexed)
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = (emb.filter(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("q_id"), "embedding"))
-    idx = tempfile.mkdtemp(prefix="ivf_index_")
-    build_ivf_index(emb, idx, n_centroids=8)
+    # build-once/search-many is the point of the persistent index: the
+    # built index is itself a deterministic fixture of (sf, seed,
+    # n_centroids), so it caches per SF like the blob tables — a bench
+    # row then measures the partition-pruned SEARCH, not the build
+    root = FX._cache_root()
+    if root is None:
+        idx = tempfile.mkdtemp(prefix="ivf_index_")
+        build_ivf_index(emb, idx, n_centroids=8)
+    else:
+        tag = sf.strip("/").replace("/", "_")
+        idx = os.path.join(root, f"v{FX._CACHE_VERSION}", tag, "ivf_index_c8")
+        if not os.path.exists(os.path.join(idx, "corpus", "_SUCCESS")):
+            build_ivf_index(emb, idx, n_centroids=8)
     return (ivf_topk_indexed(spark, idx, queries, k=5, nprobe=8)
             .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank")))
 
@@ -645,6 +657,43 @@ def _q_tile_mosaic(spark: SparkSession, sf: str) -> DataFrame:
     pts = FX.orders_points(spark, sf)
     tiles = raster.rasterize(pts, TILE_Z - 4, RASTER_PX)
     return raster.decode_tile_stats(raster.mosaic_tiles(tiles, RASTER_PX))
+
+
+def _q_tile_viewport(spark: SparkSession, sf: str) -> DataFrame:
+    """Tile-store round trip (io/tile_store.py): rendered z11 tiles
+    land as (z, xs)-partitioned parquet THROUGH the checkpoint manifest
+    (per-stripe lineage, resumable), then a viewport read prunes to the
+    requested stripes at the directory level (PartitionFilters — pinned
+    in tests/test_tile_store.py) before decoding. Stats come from the
+    decoded bytes that survived the store round trip."""
+    import tempfile
+    from tdei_backend_service_spark.io.tile_store import (
+        read_viewport, write_tile_layout)
+    from tdei_backend_service_spark.operators import raster
+    pts = FX.orders_points(spark, sf)
+    run_dir = tempfile.mkdtemp(prefix="tile_store_")
+    write_tile_layout(raster.rasterize(pts, TILE_Z - 4, RASTER_PX), run_dir)
+    vp = read_viewport(spark, run_dir, TILE_Z - 4, 327, 327, 714, 715)
+    return raster.decode_tile_stats(
+        vp.select(F.lit(TILE_Z - 4).cast("int").alias("z"),
+                  "tile_x", "tile_y", "fmt", "bytes"))
+
+
+def _q_incremental_raster(spark: SparkSession, sf: str) -> DataFrame:
+    """Live raster-layer maintenance (operators/raster.
+    incremental_raster_tiles): a customer-point drop merges into the
+    committed orders-point layer by re-encoding ONLY the tiles the drop
+    touches (untouched tiles keep their committed bytes via anti-join).
+    The oracle recomputes the whole layer over the union, pinning
+    merge == recompute without the corpus rescan."""
+    from tdei_backend_service_spark.operators import raster
+    committed_pix = raster.pixel_counts(FX.orders_points(spark, sf),
+                                        TILE_Z - 4, RASTER_PX)
+    committed_tiles = raster.encode_tiles(committed_pix, RASTER_PX)
+    drop = FX.customer_images(spark, sf, "A").select("lon", "lat")
+    merged = raster.incremental_raster_tiles(
+        committed_pix, committed_tiles, drop, TILE_Z - 4, RASTER_PX)
+    return raster.decode_tile_stats(merged)
 
 
 def _q_geo_visual_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -1216,6 +1265,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_mosaic": _q_tile_mosaic,
         # proximity AND visual near-dup over the real decode path
         "geo_visual_dedup": _q_geo_visual_dedup,
+        # manifest-lineage tile store + partition-pruned viewport read
+        "tile_viewport": _q_tile_viewport,
+        # drop-merge re-encoding only affected tiles (merge == recompute)
+        "incremental_raster": _q_incremental_raster,
         # watermarked windowed streaming aggregation (append-mode seals)
         "windowed_events": _q_windowed_events,
         "session_windows": _q_session_windows,
@@ -1703,6 +1756,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v) AS BIGINT) AS sum_px,
                    CAST(MAX(v) AS BIGINT) AS max_px
             FROM cp GROUP BY 1, 2, 3
+        """,
+        # store round trip changes nothing: the viewport stats equal the
+        # lattice stats restricted to the requested tile range
+        "tile_viewport": f"""
+            WITH g AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS gx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS gy
+              FROM {_PTS}),
+            pix AS (SELECT gx, gy, COUNT(*) AS n FROM g GROUP BY 1, 2)
+            SELECT CAST(11 AS INT) AS z,
+                   CAST(gx // 16 AS INT) AS tile_x,
+                   CAST(gy // 16 AS INT) AS tile_y,
+                   CAST(COUNT(*) AS BIGINT) AS nonzero_px,
+                   CAST(SUM(LEAST(n, 255)) AS BIGINT) AS sum_px,
+                   CAST(MAX(LEAST(n, 255)) AS BIGINT) AS max_px
+            FROM pix
+            WHERE gx // 16 = 327 AND gy // 16 BETWEEN 714 AND 715
+            GROUP BY 1, 2, 3
+        """,
+        # merge == recompute: the incremental path re-encodes only
+        # drop-touched tiles, the oracle renders the whole union
+        "incremental_raster": f"""
+            WITH u AS (
+              SELECT {_LON} AS lon, {_LAT} AS lat FROM orders
+              UNION ALL
+              SELECT {FX.SQL_LON.format(k="c_custkey")} AS lon,
+                     {FX.SQL_LAT.format(k="c_custkey")} AS lat
+              FROM customer),
+            g AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS gx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS gy
+              FROM u),
+            pix AS (SELECT gx, gy, COUNT(*) AS n FROM g GROUP BY 1, 2)
+            SELECT CAST(11 AS INT) AS z,
+                   CAST(gx // 16 AS INT) AS tile_x,
+                   CAST(gy // 16 AS INT) AS tile_y,
+                   CAST(COUNT(*) AS BIGINT) AS nonzero_px,
+                   CAST(SUM(LEAST(n, 255)) AS BIGINT) AS sum_px,
+                   CAST(MAX(LEAST(n, 255)) AS BIGINT) AS max_px
+            FROM pix GROUP BY 1, 2, 3
         """,
         # co-located (k%10 site) AND visually duplicate (k%127 pixel
         # class) -> min of the joint class k%1270 survives; the planted

@@ -78,8 +78,10 @@ def main() -> None:
         "sessionize", "asof_join", "knn_rank", "cluster_keep_best",
         "session_windows", "store_phash_dedup", "store_embedding_dedup",
         "incremental_tiles",
-        # r5 fifth session: raster render tier (real PNG encode/decode)
+        # r5 fifth session: raster render tier (real PNG encode/decode),
+        # geo-visual dedup, manifest-lineage tile store, live-layer merge
         "tile_raster", "raster_pyramid", "tile_mosaic",
+        "geo_visual_dedup", "tile_viewport", "incremental_raster",
     ]
 
     # input size for throughput: rows entering the spatial suite
