@@ -88,3 +88,54 @@ def test_geo_visual_releases_cache(spark):
     geo_visual_dedup(df, radius_m=5.0, max_hamming=8).count()
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after - before <= 1
+
+
+# -- property-based parity vs a pure-python reference ---------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tdei_backend_service_spark.operators.geo_visual import geo_visual_losers
+
+# hashes biased around two base values so hamming-<=budget collisions
+# actually occur; coords on a 0.5 m grid within ~25 m
+_BASES = (0x0123456789ABCDEF, 0x7EDCBA9876543210)
+_hash = st.tuples(st.sampled_from(_BASES),
+                  st.sets(st.integers(0, 63), max_size=6)).map(
+    lambda t: t[0] ^ sum(1 << b for b in t[1]))
+_rec = st.tuples(st.integers(0, 50), st.integers(0, 50), _hash)
+_batch = st.lists(st.tuples(st.integers(0, 10_000), _rec),
+                  min_size=1, max_size=22, unique_by=lambda t: t[0])
+
+
+def _ll(xhm: int, yhm: int) -> tuple:
+    return (xhm / 2.0 / cells.M_PER_DEG_LON_EQ,
+            yhm / 2.0 / cells.M_PER_DEG_LAT)
+
+
+def _dist_m(a: tuple, b: tuple) -> float:
+    # EXACTLY the operator's formula (same op order, float64 throughout)
+    return (((a[0] - b[0]) * cells.M_PER_DEG_LON_EQ) ** 2
+            + ((a[1] - b[1]) * cells.M_PER_DEG_LAT) ** 2) ** 0.5
+
+
+@settings(max_examples=6, deadline=None)
+@given(_batch)
+def test_geo_visual_losers_match_bruteforce(spark, rows):
+    """Randomized parity with the O(n^2) definition: id loses iff a
+    smaller id sits within 5 m with hamming(phash) <= 3 — the padded
+    cover and the bit_count verify must surface every true pair."""
+    recs = [(pk, *_ll(x, y), ph) for pk, (x, y, ph) in rows]
+    keyed = spark.createDataFrame(
+        pd.DataFrame(recs, columns=["image_id", "lon", "lat", "phash"]),
+        schema="image_id long, lon double, lat double, phash long")
+    got = sorted(r.image_id for r in
+                 geo_visual_losers(keyed, radius_m=5.0, max_hamming=3,
+                                   pk="image_id").collect())
+    pts = {pk: (_ll(x, y), ph) for pk, (x, y, ph) in rows}
+    want = sorted(
+        pk for pk, (p, ph) in pts.items()
+        if any(pk2 < pk and bin(ph ^ ph2).count("1") <= 3
+               and _dist_m(p, p2) <= 5.0
+               for pk2, (p2, ph2) in pts.items()))
+    assert got == want

@@ -136,3 +136,30 @@ def test_px_validation():
         raster._log2_px(12)
     with pytest.raises(ValueError):
         raster._log2_px(512)
+
+
+# -- property-based parity vs the numpy tile kernel ------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_lon = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+_lat = st.floats(min_value=-84.9, max_value=84.9, allow_nan=False)
+_pts = st.lists(st.tuples(_lon, _lat), min_size=1, max_size=30)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_pts)
+def test_pixel_counts_match_kernel_prop(spark, pts):
+    """The Catalyst pixel lattice == the numpy tile kernel at zoom z+4
+    for arbitrary world coordinates (incl. ones near tile edges)."""
+    lons = np.array([p[0] for p in pts])
+    lats = np.array([p[1] for p in pts])
+    df = spark.createDataFrame(pd.DataFrame({"lon": lons, "lat": lats}))
+    got = {(r["gx"], r["gy"]): r["n"]
+           for r in raster.pixel_counts(df, Z, PX).collect()}
+    gx, gy = cells.lonlat_to_tile(lons, lats, ZP)
+    want = {}
+    for x, y in zip(gx, gy):
+        want[(int(x), int(y))] = want.get((int(x), int(y)), 0) + 1
+    assert got == want
