@@ -755,6 +755,21 @@ def _q_decode_meta(spark: SparkSession, sf: str) -> DataFrame:
     return decode_metadata(FX.part_images(spark, sf))
 
 
+def _q_augment_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic augmentation under the hash oracle (pipeline/
+    multimodal.augment_images): each planted blob decodes once, fans out
+    to flip_h / rot90 / crop_tl, re-encodes losslessly, and the returned
+    (w, h, sum_px) are recomputed FROM THE RE-DECODED augmented bytes.
+    Flips/rotation preserve the total pixel sum; the top-left crop keeps
+    exactly the quadrant bits of the planted pattern — both closed-form
+    integer SQL (popcounts of V stated as 61-term bit extractions)."""
+    from tdei_backend_service_spark.pipeline.multimodal import (
+        augment_images, decode_pixel_sums)
+    aug = augment_images(FX.part_images(spark, sf),
+                         ops=("flip_h", "rot90", "crop_tl"))
+    return decode_pixel_sums(aug)
+
+
 def _q_pack_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence packing (pipeline/curation.pack_documents): shard ->
     window token-cumsum -> document-boundary block pack assignment.
@@ -1229,6 +1244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real image decode with decode-derived dims + recomputed ahash
         # under the hash oracle (only pixel PSNR stays pytest-only)
         "decode_meta": _q_decode_meta,
+        # flip/rotate/crop augmentation under the re-decoded-sum oracle
+        "augment_meta": _q_augment_meta,
         # perceptual-hash image dedup over the real decode path
         "image_phash_dedup": _q_image_phash_dedup,
         # one-pass cross-modal (phash OR caption) dedup composition
@@ -1826,6 +1843,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(((1000 + s_suppkey % 100) - 1)
                         // (2 + s_suppkey % 7) AS BIGINT) AS zero_crossings
             FROM supplier
+        """,
+        # augmented planted images: V's bits drive the pixel blocks, so
+        # the re-decoded sums are integer polynomials in popcount(V)
+        # (full 61-bit popcount for flips/rotation, the top-left-quadrant
+        # 13 live bits for the crop); qimg sources decode to 202/42
+        "augment_meta": f"""
+            WITH v AS (
+              SELECT p_partkey,
+                     CAST((CAST(p_partkey % 127 + 1 AS HUGEINT)
+                           * 11400714819323198485)
+                          % 2305843009213693952 AS BIGINT) AS V,
+                     1 + p_partkey % 3 AS s,
+                     CASE WHEN p_partkey % 2 = 0 THEN 200 ELSE 202 END AS hi,
+                     CASE WHEN p_partkey % 2 = 0 THEN 40 ELSE 42 END AS lo
+              FROM part),
+            p AS (
+              SELECT *,
+                     ({" + ".join(f"((V // {1 << i}) % 2)" for i in range(61))}) AS pop,
+                     ({" + ".join(f"((V // {1 << e}) % 2)" for e in [60, 55, 54, 53, 52, 47, 46, 45, 44, 39, 38, 37, 36])}) AS qpop
+              FROM v)
+            SELECT CAST(p_partkey AS BIGINT) AS image_id, 'flip_h' AS op,
+                   CAST(8 * s AS INT) AS w, CAST(8 * s AS INT) AS h,
+                   CAST(3 * s * s * (hi * pop + lo * (64 - pop)) AS BIGINT) AS sum_px
+            FROM p
+            UNION ALL
+            SELECT CAST(p_partkey AS BIGINT), 'rot90',
+                   CAST(8 * s AS INT), CAST(8 * s AS INT),
+                   CAST(3 * s * s * (hi * pop + lo * (64 - pop)) AS BIGINT)
+            FROM p
+            UNION ALL
+            SELECT CAST(p_partkey AS BIGINT), 'crop_tl',
+                   CAST(4 * s AS INT), CAST(4 * s AS INT),
+                   CAST(3 * s * s * (hi * qpop + lo * (16 - qpop)) AS BIGINT)
+            FROM p
         """,
         # planted pixel-block images (part_images): decoded dims are
         # 8s x 8s with s=1+k%3, and ahash64's pooled 8x8 grid reproduces

@@ -162,6 +162,109 @@ def resize_images(df: DataFrame, out_px: int = 4) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(gen, schema=RESIZED_SCHEMA)
 
 
+AUGMENT_OPS = ("flip_h", "flip_v", "rot90", "crop_tl")
+
+AUGMENT_SCHEMA = T.StructType([
+    T.StructField("image_id", T.LongType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+])
+
+PIXEL_SUM_SCHEMA = T.StructType([
+    T.StructField("image_id", T.LongType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("sum_px", T.LongType()),
+])
+
+
+def _apply_aug(img: np.ndarray, op: str) -> np.ndarray:
+    if op == "flip_h":
+        return img[:, ::-1]
+    if op == "flip_v":
+        return img[::-1, :]
+    if op == "rot90":
+        return np.rot90(img)
+    if op == "crop_tl":
+        return img[: img.shape[0] // 2, : img.shape[1] // 2]
+    raise ValueError(f"unknown augmentation {op!r}")
+
+
+def augment_images(df: DataFrame, ops: tuple = AUGMENT_OPS,
+                   id_col: str = "image_id") -> DataFrame:
+    """Deterministic training-data augmentation: decode each blob ONCE,
+    apply every requested transform (horizontal/vertical flip, 90-degree
+    rotation, top-left half crop), re-encode losslessly as PNG. Map-only
+    — each input row fans out to len(ops) output rows inside the same
+    task, so at 10^12 images the stage is one pass with no shuffle and
+    no second decode per op. Undecodable blobs are dropped."""
+    bad = [o for o in ops if o not in AUGMENT_OPS]
+    if bad:
+        raise ValueError(f"unknown augmentation(s) {bad}")
+    from ..codecs.image import encode_image
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, names, ws, hs, fmts, blobs = [], [], [], [], [], []
+            for i in range(len(pdf)):
+                try:
+                    img = decode_image(pdf["bytes"].iloc[i],
+                                       pdf["fmt"].iloc[i])
+                except (NotImplementedError, ValueError):
+                    continue
+                for op in ops:
+                    out = np.ascontiguousarray(_apply_aug(img, op))
+                    ids.append(int(pdf[id_col].iloc[i]))
+                    names.append(op)
+                    hs.append(out.shape[0])
+                    ws.append(out.shape[1])
+                    fmts.append("png")
+                    blobs.append(encode_image(out, "png"))
+            yield pd.DataFrame({
+                "image_id": pd.array(ids, dtype="int64"),
+                "op": names,
+                "w": pd.array(ws, dtype="int32"),
+                "h": pd.array(hs, dtype="int32"),
+                "fmt": fmts,
+                "bytes": blobs,
+            })
+
+    return (df.select(F.col(id_col).alias(id_col), "bytes", "fmt")
+            .mapInPandas(gen, schema=AUGMENT_SCHEMA))
+
+
+def decode_pixel_sums(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """(id, op, w, h, total pixel sum over all channels) recomputed from
+    the DECODED bytes — the decode_meta pattern for augmented blobs, so
+    closed-form fixtures put transform+re-encode under the SQL oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, names, ws, hs, sums = [], [], [], [], []
+            for i in range(len(pdf)):
+                img = decode_image(pdf["bytes"].iloc[i], pdf["fmt"].iloc[i])
+                ids.append(int(pdf[id_col].iloc[i]))
+                names.append(pdf["op"].iloc[i] if "op" in pdf else "")
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                sums.append(int(img.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "image_id": pd.array(ids, dtype="int64"),
+                "op": names,
+                "w": pd.array(ws, dtype="int32"),
+                "h": pd.array(hs, dtype="int32"),
+                "sum_px": pd.array(sums, dtype="int64"),
+            })
+
+    cols = [id_col, "op", "bytes", "fmt"] if "op" in df.columns \
+        else [id_col, "bytes", "fmt"]
+    return df.select(*cols).mapInPandas(gen, schema=PIXEL_SUM_SCHEMA)
+
+
 def verify_payload_invariants(df: DataFrame) -> DataFrame:
     """Per-row payload invariants from BASELINE.json input_hint:
     lossless rows decode to pixels whose rehash matches phash exactly;

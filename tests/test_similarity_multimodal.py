@@ -289,3 +289,63 @@ def test_ivf_indexed_exact_at_full_probe(spark, vectors, tmp_path):
     ind = S.ivf_topk_indexed(spark, idx, queries, k=5, nprobe=8)
     assert (sorted((r.q_id, r.rank, r.vec_id) for r in exact.collect())
             == sorted((r.q_id, r.rank, r.vec_id) for r in ind.collect()))
+
+
+# -- deterministic augmentation (flip / rot90 / crop) ----------------------
+
+def test_augment_images_pixel_exact(spark):
+    """Every op's decoded pixels == the numpy transform of the decoded
+    source, through the real codecs (png lossless; qimg source decodes
+    to its reconstruction levels first), incl. a NON-square image so
+    rot90's dimension swap is visible."""
+    import numpy as np
+    import pandas as pd
+    from tdei_backend_service_spark.codecs.image import (
+        decode_image, encode_image)
+    from tdei_backend_service_spark.pipeline.multimodal import (
+        AUGMENT_OPS, augment_images, _apply_aug)
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for i, (h, w, fmt) in enumerate([(6, 10, "png"), (8, 8, "qimg"),
+                                     (12, 4, "png")]):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        rows.append({"image_id": i, "bytes": encode_image(img, fmt),
+                     "fmt": fmt})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = {(r["image_id"], r["op"]): r
+           for r in augment_images(df).collect()}
+    assert len(out) == 3 * len(AUGMENT_OPS)
+    for row in rows:
+        src = decode_image(row["bytes"], row["fmt"])  # post-codec truth
+        for op in AUGMENT_OPS:
+            got_row = out[(row["image_id"], op)]
+            got = decode_image(bytes(got_row["bytes"]), "png")
+            want = _apply_aug(src, op)
+            np.testing.assert_array_equal(got, want)
+            assert (got_row["w"], got_row["h"]) == (want.shape[1],
+                                                    want.shape[0])
+
+
+def test_augment_images_rejects_unknown_op(spark):
+    import pandas as pd
+    import pytest as _pt
+    from tdei_backend_service_spark.pipeline.multimodal import augment_images
+    df = spark.createDataFrame(pd.DataFrame(
+        [{"image_id": 0, "bytes": b"", "fmt": "png"}]))
+    with _pt.raises(ValueError):
+        augment_images(df, ops=("flip_h", "sharpen"))
+
+
+def test_augment_images_drops_undecodable(spark):
+    import numpy as np
+    import pandas as pd
+    from tdei_backend_service_spark.codecs.image import encode_image
+    from tdei_backend_service_spark.pipeline.multimodal import augment_images
+    ok = encode_image(np.zeros((4, 4, 3), dtype=np.uint8), "png")
+    df = spark.createDataFrame(pd.DataFrame([
+        {"image_id": 0, "bytes": ok, "fmt": "png"},
+        {"image_id": 1, "bytes": b"garbage", "fmt": "png"},
+    ]))
+    got = augment_images(df, ops=("flip_h",)).collect()
+    assert [r["image_id"] for r in got] == [0]
