@@ -602,6 +602,36 @@ def _q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
                     "event_type", F.col("n").cast("long")))
 
 
+def _q_streaming_tiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming tile-count maintenance driven end-to-end (streaming/
+    raster.py): geotagged events aggregate into per-(hour-window, z15
+    tile) counts under a 30-minute watermark, APPEND mode — the sink
+    holds exactly the windows the final watermark sealed, a rule that
+    is closed-form over the static table, so the streaming front end
+    of the live tile layer carries a full SQL oracle."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from tdei_backend_service_spark.streaming.raster import run_tile_counts
+    base = tempfile.mkdtemp(prefix="stream_tiles_q_")
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("lon", T.DoubleType()),
+                           T.StructField("lat", T.DoubleType())])
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    (FX.derive_lonlat(ev, "event_id").select("ts", "lon", "lat")
+     .write.mode("overwrite").parquet(landing))
+    run_tile_counts(spark, landing, out, ckpt, schema, TILE_Z)
+    return (spark.read.parquet(out)
+            .select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "tile_x", "tile_y", F.col("n").cast("long").alias("n")))
+
+
 def _q_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-zoom tile rollup (z15 down to z11): the corpus aggregates
     once at the base zoom, coarser levels integer-halve the previous
@@ -1289,6 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # watermarked windowed streaming aggregation (append-mode seals)
         "windowed_events": _q_windowed_events,
         "session_windows": _q_session_windows,
+        # streaming front end of the live tile layer
+        "streaming_tiles": _q_streaming_tiles,
     }
 
 
@@ -1670,6 +1702,24 @@ def oracle_sql() -> dict[str, str]:
                      event_type, COUNT(*) AS n
               FROM events GROUP BY 1, 2, 3) w, m
             WHERE w.window_end <= m.mx - INTERVAL 30 MINUTE
+        """,
+        # streaming tile maintenance: same tile formula + the windowed
+        # emission rule (window end <= max ts - 30 min)
+        "streaming_tiles": f"""
+            WITH m AS (SELECT MAX(ts) AS mx FROM events),
+            e AS (
+              SELECT date_trunc('hour', ts) AS ws,
+                     date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
+                     CAST(FLOOR(({FX.SQL_LON.format(k="event_id")} + 180.0)
+                                / 360.0 * 32768) AS INT) AS tile_x,
+                     CAST(FLOOR((1.0 - ln(tan(radians({FX.SQL_LAT.format(k="event_id")}))
+                                          + 1.0 / cos(radians({FX.SQL_LAT.format(k="event_id")})))
+                                 / pi()) / 2.0 * 32768) AS INT) AS tile_y
+              FROM events)
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS n
+            FROM e, m WHERE we <= mx - INTERVAL 30 MINUTE
+            GROUP BY 1, 2, 3
         """,
         # session merge rule: strictly-greater 10-min gap breaks (an
         # event exactly gap after the previous merges — pinned against

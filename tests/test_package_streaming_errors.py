@@ -251,3 +251,56 @@ def test_session_windows_merge_late_and_restart(spark, tmp_path):
             for r in spark.read.parquet(out).collect()}
     assert got2 == {("10:00", "10:26", "A"): 3,
                     ("11:30", "11:48", "A"): 2}
+
+
+def test_streaming_tiles_seal_and_restart(spark, tmp_path):
+    """Streaming tile maintenance end-to-end (append mode, checkpointed
+    across two runs): points land in their z15 tiles per hour window,
+    only watermark-sealed windows emit, a late row inside the delay
+    still counts, and a restart emits only newly sealed windows."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tdei_backend_service_spark.core import cells
+    from tdei_backend_service_spark.streaming.raster import run_tile_counts
+
+    landing = str(tmp_path / "tland")
+    out = str(tmp_path / "tout")
+    ckpt = str(tmp_path / "tckpt")
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("lon", T.DoubleType()),
+                           T.StructField("lat", T.DoubleType())])
+
+    P1, P2 = (-122.30, 47.61), (-122.20, 47.65)  # distinct z15 tiles
+    tx, ty = cells.lonlat_to_tile(np.array([P1[0], P2[0]]),
+                                  np.array([P1[1], P2[1]]), 15)
+    t1, t2 = (int(tx[0]), int(ty[0])), (int(tx[1]), int(ty[1]))
+    assert t1 != t2
+
+    def drop(rows, mode):
+        pdf = pd.DataFrame(
+            [(dt.datetime(2024, 1, 1, h, m), p[0], p[1])
+             for h, m, p in rows], columns=["ts", "lon", "lat"])
+        spark.createDataFrame(pdf, schema=schema) \
+            .write.mode(mode).parquet(landing)
+
+    # window 10:00-11:00 gets 2x P1 + 1x P2; max ts 11:45 -> watermark
+    # 11:15 seals it; window 11:00-12:00 stays open
+    drop([(10, 5, P1), (10, 40, P1), (10, 50, P2), (11, 45, P1)],
+         "overwrite")
+    run_tile_counts(spark, landing, out, ckpt, schema, 15)
+    got1 = {(r.window_start.strftime("%H:%M"), r.tile_x, r.tile_y): r.n
+            for r in spark.read.parquet(out).collect()}
+    assert got1 == {("10:00", *t1): 2, ("10:00", *t2): 1}
+
+    # restart: 11:20 is a LATE row inside the open 11:00 window (counts);
+    # 13:00 advances the watermark to 12:30, sealing 11:00-12:00
+    drop([(11, 20, P2), (13, 0, P1)], "append")
+    run_tile_counts(spark, landing, out, ckpt, schema, 15)
+    got2 = {(r.window_start.strftime("%H:%M"), r.tile_x, r.tile_y): r.n
+            for r in spark.read.parquet(out).collect()}
+    assert got2 == {("10:00", *t1): 2, ("10:00", *t2): 1,
+                    ("11:00", *t1): 1, ("11:00", *t2): 1}

@@ -239,6 +239,15 @@ def main() -> None:
             land = tempfile.mkdtemp(prefix="plans_sw_")
             stream = spark.readStream.schema(schema).parquet(land)
             return session_window_counts(stream)
+        if name == "streaming_tiles":
+            from tdei_backend_service_spark.streaming.raster import \
+                windowed_tile_counts
+            schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                                   T.StructField("lon", T.DoubleType()),
+                                   T.StructField("lat", T.DoubleType())])
+            land = tempfile.mkdtemp(prefix="plans_st_")
+            stream = spark.readStream.schema(schema).parquet(land)
+            return windowed_tile_counts(stream, 15)
         return None
 
     # every bench.py headline query gets an audited plan (VERDICT r3 #2)
