@@ -689,6 +689,27 @@ def _q_tile_mosaic(spark: SparkSession, sf: str) -> DataFrame:
     return raster.decode_tile_stats(raster.mosaic_tiles(tiles, RASTER_PX))
 
 
+def _q_incremental_geo_visual(spark: SparkSession, sf: str) -> DataFrame:
+    """Geo-visual drop admission vs a committed corpus (operators/
+    geo_visual.incremental_geo_visual): the corpus ships only its
+    narrow (phash, lon, lat) relation — batch records lose to ANY
+    corpus match within 5 m + hamming 8 (no id rule: the corpus is
+    published) or to a smaller batch id; history is never re-paired.
+    Corpus = joint classes k%1270 < 635, batch = classes >= 400 — the
+    overlap re-delivery all loses, survivors are exactly the min batch
+    key of each batch-only class."""
+    from tdei_backend_service_spark.operators.geo_visual import (
+        decode_phash_points, incremental_geo_visual)
+    imgs = FX.part_images_geo(spark, sf)
+    corpus = decode_phash_points(
+        imgs.filter(F.col("image_id") % 1270 < 635)).select(
+            "phash", "lon", "lat")
+    batch = imgs.filter(F.col("image_id") % 1270 >= 400)
+    return (incremental_geo_visual(batch, corpus,
+                                   radius_m=5.0, max_hamming=8)
+            .select(F.col("image_id").cast("long")))
+
+
 def _q_tile_viewport(spark: SparkSession, sf: str) -> DataFrame:
     """Tile-store round trip (io/tile_store.py): rendered z11 tiles
     land as (z, xs)-partitioned parquet THROUGH the checkpoint manifest
@@ -1312,6 +1333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_mosaic": _q_tile_mosaic,
         # proximity AND visual near-dup over the real decode path
         "geo_visual_dedup": _q_geo_visual_dedup,
+        # geo-visual drop admission vs the committed narrow corpus
+        "incremental_geo_visual": _q_incremental_geo_visual,
         # manifest-lineage tile store + partition-pruned viewport read
         "tile_viewport": _q_tile_viewport,
         # drop-merge re-encoding only affected tiles (merge == recompute)
@@ -1871,6 +1894,14 @@ def oracle_sql() -> dict[str, str]:
         "geo_visual_dedup": """
             SELECT CAST(MIN(p_partkey) AS BIGINT) AS image_id
             FROM part GROUP BY p_partkey % 1270
+        """,
+        # drop admission: overlap classes (635 <= r < ... shared with the
+        # corpus r < 635 range via 400 <= r < 635) all lose to the
+        # corpus; survivors = min batch key per batch-only class
+        "incremental_geo_visual": """
+            SELECT CAST(MIN(p_partkey) AS BIGINT) AS image_id
+            FROM part WHERE p_partkey % 1270 >= 635
+            GROUP BY p_partkey % 1270
         """,
         # planted 4-member proximity chains: cc keeps exactly the
         # min-rank member (dataset A, id k*10) per chain; singles survive

@@ -82,7 +82,7 @@ def main() -> None:
         # geo-visual dedup, manifest-lineage tile store, live-layer merge
         "tile_raster", "raster_pyramid", "tile_mosaic",
         "geo_visual_dedup", "tile_viewport", "incremental_raster",
-        "augment_meta", "streaming_tiles",
+        "augment_meta", "streaming_tiles", "incremental_geo_visual",
     ]
 
     # input size for throughput: rows entering the spatial suite

@@ -112,6 +112,56 @@ def geo_visual_losers(keyed: DataFrame, radius_m: float, max_hamming: int,
     return _finalize_losers(losers, own_caches, release_cache)
 
 
+def incremental_geo_visual(batch: DataFrame, corpus: DataFrame,
+                           radius_m: float = 5.0, max_hamming: int = 8,
+                           pk: str = "image_id",
+                           release_cache: bool = True) -> DataFrame:
+    """Admit a NEW image drop against an already-committed corpus
+    without re-pairing history — the geo-visual tier's member of the
+    incremental-ingest family (pipeline/dedup.incremental_hash_neardup,
+    operators/union_dataset.incremental_union_dataset, ...).
+
+    ``corpus`` is the stored NARROW (phash, lon, lat) relation of prior
+    survivors (ids irrelevant: the corpus is already published, so a
+    batch record loses to ANY corpus match — no id rule); ``batch``
+    carries blobs and decodes once. Batch-internal duplicates fall to
+    the ordinary min-winner rule. Cost: one decode pass over the DROP,
+    a cover-explode of the drop against the corpus's cell relation, and
+    the drop's self-join — the committed corpus is never self-paired,
+    so admission cost tracks drop size, not corpus size."""
+    from ..pipeline.dedup import _finalize_losers
+
+    keyed_b = decode_phash_points(batch, pk).persist()
+    _cell_once, _cover_once = _cell_cover_udfs(radius_m)
+
+    left = (keyed_b.withColumn("cell", F.explode(
+                _cover_once(F.col("lon"), F.col("lat"))))
+            .select(F.col(pk).alias("l_pk"), F.col("phash").alias("l_ph"),
+                    F.col("lon").alias("l_lon"), F.col("lat").alias("l_lat"),
+                    "cell"))
+    right = (corpus.select("phash", "lon", "lat")
+             .withColumn("cell", _cell_once(F.col("lon"), F.col("lat")))
+             .select(F.col("phash").alias("r_ph"),
+                     F.col("lon").alias("r_lon"), F.col("lat").alias("r_lat"),
+                     "cell"))
+    sx = cells.M_PER_DEG_LON_EQ
+    sy = cells.M_PER_DEG_LAT
+    cond = ((left.cell == right.cell)
+            & (F.bit_count(F.col("l_ph").bitwiseXOR(F.col("r_ph")))
+               <= max_hamming))
+    corpus_losers = (left.join(right, cond)
+                     .filter(F.sqrt(
+                         F.pow((F.col("l_lon") - F.col("r_lon")) * sx, 2)
+                         + F.pow((F.col("l_lat") - F.col("r_lat")) * sy, 2))
+                         <= radius_m)
+                     .select(F.col("l_pk").alias(pk)).distinct())
+    batch_losers = geo_visual_losers(keyed_b, radius_m, max_hamming, pk,
+                                     release_cache=False)
+    losers = _finalize_losers(corpus_losers.unionByName(batch_losers)
+                              .distinct(), [keyed_b], release_cache)
+    return batch.join(losers, pk, "left_anti")
+
+
 def geo_visual_dedup(images: DataFrame, radius_m: float = 5.0,
                      max_hamming: int = 8, pk: str = "image_id",
                      release_cache: bool = True) -> DataFrame:

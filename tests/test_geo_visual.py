@@ -100,9 +100,13 @@ from tdei_backend_service_spark.operators.geo_visual import geo_visual_losers
 # hashes biased around two base values so hamming-<=budget collisions
 # actually occur; coords on a 0.5 m grid within ~25 m
 _BASES = (0x0123456789ABCDEF, 0x7EDCBA9876543210)
+def _fold64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 _hash = st.tuples(st.sampled_from(_BASES),
                   st.sets(st.integers(0, 63), max_size=6)).map(
-    lambda t: t[0] ^ sum(1 << b for b in t[1]))
+    lambda t: _fold64(t[0] ^ sum(1 << b for b in t[1])))
 _rec = st.tuples(st.integers(0, 50), st.integers(0, 50), _hash)
 _batch = st.lists(st.tuples(st.integers(0, 10_000), _rec),
                   min_size=1, max_size=22, unique_by=lambda t: t[0])
@@ -135,7 +139,38 @@ def test_geo_visual_losers_match_bruteforce(spark, rows):
     pts = {pk: (_ll(x, y), ph) for pk, (x, y, ph) in rows}
     want = sorted(
         pk for pk, (p, ph) in pts.items()
-        if any(pk2 < pk and bin(ph ^ ph2).count("1") <= 3
+        if any(pk2 < pk
+               and bin((ph ^ ph2) & ((1 << 64) - 1)).count("1") <= 3
                and _dist_m(p, p2) <= 5.0
                for pk2, (p2, ph2) in pts.items()))
     assert got == want
+
+
+def test_incremental_geo_visual_admission(spark):
+    """Drop admission vs a committed narrow corpus: a batch record
+    loses to ANY corpus match within radius+hamming (no id rule), a
+    batch-internal dup falls to min-winner, and far / visually-distant
+    records survive."""
+    from tdei_backend_service_spark.operators.geo_visual import \
+        incremental_geo_visual
+    lon0, lat0 = -122.30, 47.61
+    corpus = spark.createDataFrame(pd.DataFrame([
+        {"phash": BASE, "lon": lon0, "lat": lat0},
+    ]), schema="phash long, lon double, lat double")
+    batch = spark.createDataFrame(pd.DataFrame([
+        # 0: matches the corpus (hamming 2, 1 m away) -> rejected
+        {"image_id": 0, "bytes": _img_bytes(BASE, (5, 9)), "fmt": "png",
+         "lon": lon0, "lat": lat0 + 1.0 / M_LAT},
+        # 1: same pixels as corpus but 30 m away -> admitted
+        {"image_id": 1, "bytes": _img_bytes(BASE), "fmt": "png",
+         "lon": lon0, "lat": lat0 + 30.0 / M_LAT},
+        # 2: co-located with corpus, hamming 12 > 8 -> admitted
+        {"image_id": 2, "bytes": _img_bytes(BASE, tuple(range(12))),
+         "fmt": "png", "lon": lon0, "lat": lat0},
+        # 3: batch-internal dup of 1 (same spot, hamming 1) -> rejected
+        {"image_id": 3, "bytes": _img_bytes(BASE, (40,)), "fmt": "png",
+         "lon": lon0, "lat": lat0 + 30.0 / M_LAT},
+    ]))
+    out = incremental_geo_visual(batch, corpus, radius_m=5.0,
+                                 max_hamming=8)
+    assert sorted(r["image_id"] for r in out.collect()) == [1, 2]
