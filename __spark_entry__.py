@@ -747,6 +747,18 @@ def _q_incremental_raster(spark: SparkSession, sf: str) -> DataFrame:
     return raster.decode_tile_stats(merged)
 
 
+def _q_raster_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """The raster->vector round trip (operators/raster.raster_to_points):
+    points rasterize into PNG tiles, the tiles decode back into the
+    pixel relation at threshold 2 — exactly the lattice rows whose
+    clipped count reaches 2, so the full vector->raster->vector loop
+    sits under one hash-exact oracle."""
+    from tdei_backend_service_spark.operators import raster
+    pts = FX.orders_points(spark, sf)
+    tiles = raster.rasterize(pts, TILE_Z - 4, RASTER_PX)
+    return raster.raster_to_points(tiles, min_value=2)
+
+
 def _q_geo_visual_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """The A+B flagship composition (operators/geo_visual.py): a record
     loses iff a smaller id sits within 5 m AND within hamming 8 of its
@@ -1331,6 +1343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_raster": _q_tile_raster,
         "raster_pyramid": _q_raster_pyramid,
         "tile_mosaic": _q_tile_mosaic,
+        # raster -> vector extraction (the round trip)
+        "raster_extract": _q_raster_extract,
         # proximity AND visual near-dup over the real decode path
         "geo_visual_dedup": _q_geo_visual_dedup,
         # geo-visual drop admission vs the committed narrow corpus
@@ -1886,6 +1900,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(LEAST(n, 255)) AS BIGINT) AS sum_px,
                    CAST(MAX(LEAST(n, 255)) AS BIGINT) AS max_px
             FROM pix GROUP BY 1, 2, 3
+        """,
+        # vector->raster->vector round trip: extracted pixels are the
+        # lattice rows whose clipped count reaches the threshold
+        "raster_extract": f"""
+            WITH g AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS gx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS gy
+              FROM {_PTS}),
+            pix AS (SELECT gx, gy, COUNT(*) AS n FROM g GROUP BY 1, 2)
+            SELECT CAST(11 AS INT) AS z, gx, gy,
+                   CAST(LEAST(n, 255) AS BIGINT) AS v
+            FROM pix WHERE LEAST(n, 255) >= 2
         """,
         # co-located (k%10 site) AND visually duplicate (k%127 pixel
         # class) -> min of the joint class k%1270 survives; the planted

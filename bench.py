@@ -83,6 +83,7 @@ def main() -> None:
         "tile_raster", "raster_pyramid", "tile_mosaic",
         "geo_visual_dedup", "tile_viewport", "incremental_raster",
         "augment_meta", "streaming_tiles", "incremental_geo_visual",
+        "raster_extract",
     ]
 
     # input size for throughput: rows entering the spatial suite

@@ -246,6 +246,47 @@ def incremental_raster_tiles(committed_pix: DataFrame,
     return untouched.unionByName(new_tiles)
 
 
+def raster_to_points(tiles: DataFrame, min_value: int = 1) -> DataFrame:
+    """The raster->vector direction: decode rendered tiles and emit one
+    row per pixel at/above ``min_value`` as (z, gx, gy, v) — global
+    pixel coords on the same integer lattice ``pixel_counts`` produces,
+    so rasterize -> raster_to_points is an exact round trip on the
+    clipped counts (and the extracted relation feeds any vector-side
+    operator: cell joins, pyramids, viewport cuts). Map-only over tile
+    rows; a tile emits at most px*px rows."""
+    if not 0 <= min_value <= 255:
+        raise ValueError("min_value must be in [0, 255]")
+
+    def gen(batches):
+        for pdf in batches:
+            zs, gxs, gys, vs = [], [], [], []
+            for i in range(len(pdf)):
+                img = decode_image(bytes(pdf["bytes"].iloc[i]),
+                                   pdf["fmt"].iloc[i])
+                if img.ndim == 3:
+                    img = img[:, :, 0]
+                ys, xs = np.nonzero(img >= min_value)
+                v = img[ys, xs].astype(np.int64)
+                px = img.shape[1]
+                bx = int(pdf["tile_x"].iloc[i]) * px
+                by = int(pdf["tile_y"].iloc[i]) * px
+                zs.append(np.full(len(xs), int(pdf["z"].iloc[i]),
+                                  dtype=np.int32))
+                gxs.append(bx + xs.astype(np.int64))
+                gys.append(by + ys.astype(np.int64))
+                vs.append(v)
+            if zs:
+                yield pd.DataFrame({
+                    "z": np.concatenate(zs),
+                    "gx": np.concatenate(gxs),
+                    "gy": np.concatenate(gys),
+                    "v": np.concatenate(vs),
+                })
+
+    return (tiles.select("z", "tile_x", "tile_y", "fmt", "bytes")
+            .mapInPandas(gen, schema="z int, gx long, gy long, v long"))
+
+
 def decode_tile_stats(tiles: DataFrame) -> DataFrame:
     """Per-tile stats recomputed FROM THE DECODED PIXELS — nothing read
     from stored metadata, so closed-form fixtures put the full

@@ -163,3 +163,23 @@ def test_pixel_counts_match_kernel_prop(spark, pts):
     for x, y in zip(gx, gy):
         want[(int(x), int(y))] = want.get((int(x), int(y)), 0) + 1
     assert got == want
+
+
+def test_raster_to_points_roundtrip(spark):
+    """rasterize -> raster_to_points == the clipped pixel lattice, and
+    a threshold drops exactly the below-threshold pixels."""
+    rng = np.random.default_rng(41)
+    lons = -122.35 + rng.random(400) * 0.02
+    lats = 47.60 + rng.random(400) * 0.02
+    df = _points_df(spark, lons, lats)
+    tiles = raster.rasterize(df, Z, PX)
+    got = {(r["gx"], r["gy"]): r["v"]
+           for r in raster.raster_to_points(tiles, min_value=1).collect()}
+    want = {(r["gx"], r["gy"]): min(r["n"], 255)
+            for r in raster.pixel_counts(df, Z, PX).collect()}
+    assert got == want
+    got2 = {(r["gx"], r["gy"]): r["v"]
+            for r in raster.raster_to_points(tiles, min_value=2).collect()}
+    assert got2 == {k: v for k, v in want.items() if v >= 2}
+    with pytest.raises(ValueError):
+        raster.raster_to_points(tiles, min_value=300)
