@@ -759,6 +759,70 @@ def _q_raster_extract(spark: SparkSession, sf: str) -> DataFrame:
     return raster.raster_to_points(tiles, min_value=2)
 
 
+def _q_raster_focal(spark: SparkSession, sf: str) -> DataFrame:
+    """Focal (moving-window) 3x3 box sum over the rendered lattice
+    (operators/raster.focal_sum) — heat-map smoothing as two separable
+    rank-1 passes, each shuffling only (2r+1) x the nonzero relation.
+    The smoothed layer re-encodes into PNG tiles and the stats come
+    from the decoded pixels, so smoothing + render sit under the
+    floor-arithmetic oracle (clip at encode, AFTER the window sum)."""
+    from tdei_backend_service_spark.operators import raster
+    pts = FX.orders_points(spark, sf)
+    pix = raster.pixel_counts(pts, TILE_Z - 4, RASTER_PX)
+    sm = raster.focal_sum(pix, RASTER_PX, radius=1)
+    return raster.decode_tile_stats(raster.encode_tiles(sm, RASTER_PX))
+
+
+def _q_raster_algebra(spark: SparkSession, sf: str) -> DataFrame:
+    """Raster algebra / change detection (operators/raster.
+    combine_pixel_counts): the order corpus splits into two layers by
+    key parity, each rasterizes once, and the pixel-wise |A - B| layer
+    renders into tiles — a full-outer join over the two NONZERO pixel
+    relations (never corpus rows), zero-difference pixels dropped.
+    Stats are recomputed from the decoded diff tiles."""
+    from tdei_backend_service_spark.operators import raster
+    pts = FX.orders_points(spark, sf)
+    a = raster.pixel_counts(pts.filter(F.col("o_orderkey") % 2 == 0),
+                            TILE_Z - 4, RASTER_PX)
+    b = raster.pixel_counts(pts.filter(F.col("o_orderkey") % 2 == 1),
+                            TILE_Z - 4, RASTER_PX)
+    diff = raster.combine_pixel_counts(a, b, RASTER_PX, "absdiff")
+    return raster.decode_tile_stats(raster.encode_tiles(diff, RASTER_PX))
+
+
+def _q_zonal_raster(spark: SparkSession, sf: str) -> DataFrame:
+    """Zonal statistics over a RENDERED raster (operators/raster.
+    zonal_stats): tiles decode back to the pixel-value relation
+    (raster_to_points, map-only) and integer zone rectangles aggregate
+    count/sum/max per zone through the tile-cover equi-join (zones
+    explode to the tiles they span; no nested-loop range join — pinned
+    in tests). Zone bounds are deliberately misaligned with the tile
+    grid, so windows crossing tile borders are exercised."""
+    from tdei_backend_service_spark.operators import raster
+    pts = FX.orders_points(spark, sf)
+    tiles = raster.rasterize(pts, TILE_Z - 4, RASTER_PX)
+    pix = raster.raster_to_points(tiles, min_value=1)
+    return (raster.zonal_stats(pix, FX.pixel_zones(spark), RASTER_PX)
+            .select(F.col("zone_id").cast("long"),
+                    F.col("n_px").cast("long"),
+                    F.col("sum_v").cast("long"),
+                    F.col("max_v").cast("long")))
+
+
+def _q_raster_hotspots(spark: SparkSession, sf: str) -> DataFrame:
+    """Neighborhood-density hotspots: 3x3 focal sum over the lattice,
+    then the top 20 pixels under the deterministic total order (value
+    desc, gx, gy) — Catalyst plans the sort+limit as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    from tdei_backend_service_spark.operators import raster
+    pts = FX.orders_points(spark, sf)
+    pix = raster.pixel_counts(pts, TILE_Z - 4, RASTER_PX)
+    sm = raster.focal_sum(pix, RASTER_PX, radius=1)
+    return (raster.hotspots(sm, 20)
+            .select(F.col("gx").cast("long"), F.col("gy").cast("long"),
+                    F.col("v").cast("long")))
+
+
 def _q_geo_visual_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """The A+B flagship composition (operators/geo_visual.py): a record
     loses iff a smaller id sits within 5 m AND within hamming 8 of its
@@ -1345,6 +1409,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_mosaic": _q_tile_mosaic,
         # raster -> vector extraction (the round trip)
         "raster_extract": _q_raster_extract,
+        # raster analytics: focal smoothing, layer algebra, zonal stats
+        "raster_focal": _q_raster_focal,
+        "raster_algebra": _q_raster_algebra,
+        "zonal_raster": _q_zonal_raster,
+        "raster_hotspots": _q_raster_hotspots,
         # proximity AND visual near-dup over the real decode path
         "geo_visual_dedup": _q_geo_visual_dedup,
         # geo-visual drop admission vs the committed narrow corpus
@@ -1912,6 +1981,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(11 AS INT) AS z, gx, gy,
                    CAST(LEAST(n, 255) AS BIGINT) AS v
             FROM pix WHERE LEAST(n, 255) >= 2
+        """,
+        # 3x3 focal sum over raw counts, clip only at encode; the box
+        # kernel is the cross join with the 9 integer offsets
+        "raster_focal": f"""
+            WITH g AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS gx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS gy
+              FROM {_PTS}),
+            pix AS (SELECT gx, gy, COUNT(*) AS n FROM g GROUP BY 1, 2),
+            o AS (SELECT a.dx, b.dy
+                  FROM (VALUES (-1), (0), (1)) a(dx)
+                  CROSS JOIN (VALUES (-1), (0), (1)) b(dy)),
+            f AS (SELECT gx + dx AS gx, gy + dy AS gy, SUM(n) AS n
+                  FROM pix CROSS JOIN o GROUP BY 1, 2)
+            SELECT CAST(11 AS INT) AS z,
+                   CAST(gx // 16 AS INT) AS tile_x,
+                   CAST(gy // 16 AS INT) AS tile_y,
+                   CAST(COUNT(*) AS BIGINT) AS nonzero_px,
+                   CAST(SUM(LEAST(n, 255)) AS BIGINT) AS sum_px,
+                   CAST(MAX(LEAST(n, 255)) AS BIGINT) AS max_px
+            FROM f GROUP BY 1, 2, 3
+        """,
+        # |A - B| over the parity-split layers: full outer join of the
+        # two nonzero lattices, zero-diff pixels drop before encode
+        "raster_algebra": f"""
+            WITH g AS (
+              SELECT o_orderkey,
+                     CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS gx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS gy
+              FROM {_PTS}),
+            pa AS (SELECT gx, gy, COUNT(*) AS n FROM g
+                   WHERE o_orderkey % 2 = 0 GROUP BY 1, 2),
+            pb AS (SELECT gx, gy, COUNT(*) AS n FROM g
+                   WHERE o_orderkey % 2 = 1 GROUP BY 1, 2),
+            d AS (SELECT COALESCE(pa.gx, pb.gx) AS gx,
+                         COALESCE(pa.gy, pb.gy) AS gy,
+                         ABS(COALESCE(pa.n, 0) - COALESCE(pb.n, 0)) AS n
+                  FROM pa FULL OUTER JOIN pb
+                  ON pa.gx = pb.gx AND pa.gy = pb.gy)
+            SELECT CAST(11 AS INT) AS z,
+                   CAST(gx // 16 AS INT) AS tile_x,
+                   CAST(gy // 16 AS INT) AS tile_y,
+                   CAST(COUNT(*) AS BIGINT) AS nonzero_px,
+                   CAST(SUM(LEAST(n, 255)) AS BIGINT) AS sum_px,
+                   CAST(MAX(LEAST(n, 255)) AS BIGINT) AS max_px
+            FROM d WHERE n > 0 GROUP BY 1, 2, 3
+        """,
+        # zonal stats of the DECODED layer: clipped pixel values joined
+        # to the shared integer zone rectangles (inclusive bounds)
+        "zonal_raster": f"""
+            WITH g AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS gx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS gy
+              FROM {_PTS}),
+            pix AS (SELECT gx, gy, LEAST(COUNT(*), 255) AS v
+                    FROM g GROUP BY 1, 2),
+            zz AS (SELECT * FROM {FX.pixel_zones_sql()} z)
+            SELECT CAST(zone_id AS BIGINT) AS zone_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS sum_v,
+                   CAST(MAX(v) AS BIGINT) AS max_v
+            FROM pix JOIN zz
+            ON pix.gx BETWEEN zz.gx0 AND zz.gx1
+               AND pix.gy BETWEEN zz.gy0 AND zz.gy1
+            GROUP BY 1
+        """,
+        # top-20 focal-density pixels under the deterministic total
+        # order (v desc, gx, gy) — (gx, gy) is unique, so no rank ties
+        "raster_hotspots": f"""
+            WITH g AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS gx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS gy
+              FROM {_PTS}),
+            pix AS (SELECT gx, gy, COUNT(*) AS n FROM g GROUP BY 1, 2),
+            o AS (SELECT a.dx, b.dy
+                  FROM (VALUES (-1), (0), (1)) a(dx)
+                  CROSS JOIN (VALUES (-1), (0), (1)) b(dy)),
+            f AS (SELECT gx + dx AS gx, gy + dy AS gy, SUM(n) AS n
+                  FROM pix CROSS JOIN o GROUP BY 1, 2)
+            SELECT gx, gy, CAST(n AS BIGINT) AS v
+            FROM f ORDER BY n DESC, gx, gy LIMIT 20
         """,
         # co-located (k%10 site) AND visually duplicate (k%127 pixel
         # class) -> min of the joint class k%1270 survives; the planted

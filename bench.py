@@ -84,6 +84,10 @@ def main() -> None:
         "geo_visual_dedup", "tile_viewport", "incremental_raster",
         "augment_meta", "streaming_tiles", "incremental_geo_visual",
         "raster_extract",
+        # r5 sixth session: raster analytics (focal smoothing, layer
+        # algebra, zonal stats over the decoded layer, hotspot top-k)
+        "raster_focal", "raster_algebra", "zonal_raster",
+        "raster_hotspots",
     ]
 
     # input size for throughput: rows entering the spatial suite

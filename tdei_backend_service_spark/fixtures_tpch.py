@@ -802,3 +802,46 @@ def chain_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
                            base.bitwiseXOR(F.lit(mask)).alias("phash"))
                for mask, off in ((0, 0), (0b111, 2), (0b111111, 1))]
     return members[0].unionByName(members[1]).unionByName(members[2])
+
+
+# ---------------------------------------------------------------------------
+# Integer pixel-zone rectangles for zonal raster statistics
+# ---------------------------------------------------------------------------
+# A 6x5 grid of 2px x 3px zones in GLOBAL z15 pixel coordinates, anchored
+# to cover the full derived-point lattice (lon in [-122.35, -122.25) ->
+# gx in [5247, 5256]; lat in [47.60, 47.70) -> gy in [11431, 11444] at
+# every SF, since the key derivation is modular). Zone edges are integer
+# pixel bounds (inclusive) deliberately misaligned with the 16px tile
+# grid, so the tile-cover equi-join in raster.zonal_stats is exercised
+# across tile borders. The same constants build the DuckDB VALUES oracle.
+PIXEL_ZONE_GX0, PIXEL_ZONE_GY0 = 5246, 11430
+PIXEL_ZONE_W, PIXEL_ZONE_H = 2, 3
+PIXEL_ZONE_COLS, PIXEL_ZONE_ROWS = 6, 5
+
+
+def _pixel_zone_rows() -> list[dict]:
+    rows = []
+    for zid in range(PIXEL_ZONE_COLS * PIXEL_ZONE_ROWS):
+        c, r = zid % PIXEL_ZONE_COLS, zid // PIXEL_ZONE_COLS
+        gx0 = PIXEL_ZONE_GX0 + c * PIXEL_ZONE_W
+        gy0 = PIXEL_ZONE_GY0 + r * PIXEL_ZONE_H
+        rows.append({"zone_id": zid, "gx0": gx0, "gy0": gy0,
+                     "gx1": gx0 + PIXEL_ZONE_W - 1,
+                     "gy1": gy0 + PIXEL_ZONE_H - 1})
+    return rows
+
+
+def pixel_zones(spark: SparkSession) -> DataFrame:
+    """The zone-rectangle table (zone_id, gx0, gy0, gx1, gy1), longs."""
+    return spark.createDataFrame(
+        pd.DataFrame(_pixel_zone_rows()),
+        schema="zone_id long, gx0 long, gy0 long, gx1 long, gy1 long")
+
+
+def pixel_zones_sql() -> str:
+    """The same zones as a DuckDB inline relation for the oracle."""
+    vals = ", ".join(
+        f"({z['zone_id']}, {z['gx0']}, {z['gy0']}, {z['gx1']}, {z['gy1']})"
+        for z in _pixel_zone_rows())
+    return (f"(SELECT * FROM (VALUES {vals}) "
+            "AS zz(zone_id, gx0, gy0, gx1, gy1))")

@@ -200,6 +200,19 @@ def mosaic_tiles(tiles: DataFrame, px: int) -> DataFrame:
             .applyInPandas(stitch, schema=TILE_SCHEMA))
 
 
+def _tile_cols(pix: DataFrame, px: int) -> DataFrame:
+    """Re-derive (tile_x, tile_y, px_x, px_y) from global pixel coords —
+    the canonical pixel-relation shape every raster operator emits."""
+    return pix.select(
+        F.col("z").cast("int").alias("z"),
+        (F.col("gx") / px).cast("int").alias("tile_x"),
+        (F.col("gy") / px).cast("int").alias("tile_y"),
+        "gx", "gy",
+        (F.col("gx") % px).cast("int").alias("px_x"),
+        (F.col("gy") % px).cast("int").alias("px_y"),
+        F.col("n").cast("long").alias("n"))
+
+
 def merge_pixel_counts(committed: DataFrame, dpix: DataFrame,
                        px: int) -> DataFrame:
     """Monoid-sum two pixel-count relations (state maintenance for a
@@ -211,14 +224,114 @@ def merge_pixel_counts(committed: DataFrame, dpix: DataFrame,
     cols = ["gx", "gy", "n"]
     merged = (committed.select("z", *cols).unionByName(dpix.select("z", *cols))
               .groupBy("z", "gx", "gy").agg(F.sum("n").alias("n")))
-    return merged.select(
-        F.col("z").cast("int").alias("z"),
-        (F.col("gx") / px).cast("int").alias("tile_x"),
-        (F.col("gy") / px).cast("int").alias("tile_y"),
-        "gx", "gy",
-        (F.col("gx") % px).cast("int").alias("px_x"),
-        (F.col("gy") % px).cast("int").alias("px_y"),
-        F.col("n").cast("long").alias("n"))
+    return _tile_cols(merged, px)
+
+
+def focal_sum(pix: DataFrame, px: int, radius: int = 1) -> DataFrame:
+    """(2r+1) x (2r+1) moving-window (focal/box) sum over the GLOBAL
+    pixel lattice — the kernel-density smoothing pass a heat-map layer
+    runs before rendering. The box kernel is separable, so this is two
+    rank-1 passes: each explodes the nonzero relation by only (2r+1)
+    shifted copies and partially aggregates before its exchange —
+    O((2r+1) * nnz) shuffled rows per pass instead of the naive
+    O((2r+1)^2 * nnz) single pass, and never the corpus. Windows span
+    tile borders for free because the lattice is global (pixel (i, j)
+    of a tile IS a zoom-(z+log2(px)) tile); output pixels that spill
+    into previously-empty tiles simply materialize those tiles.
+    All JVM: explode over a literal offset array + two hash aggregates.
+    """
+    if radius < 0:
+        raise ValueError("radius must be >= 0")
+    offs = F.array(*[F.lit(d) for d in range(-radius, radius + 1)])
+    cur = pix.select("z", "gx", "gy", "n")
+    for axis in ("gx", "gy"):
+        other = "gy" if axis == "gx" else "gx"
+        cur = (cur.select("z", other, axis, "n",
+                          F.explode(offs).alias("_d"))
+               .select("z", other, (F.col(axis) + F.col("_d")).alias(axis),
+                       "n")
+               .groupBy("z", "gx", "gy").agg(F.sum("n").alias("n")))
+    return _tile_cols(cur, px)
+
+
+_COMBINE_OPS = {
+    "add": lambda a, b: a + b,
+    "absdiff": lambda a, b: F.abs(a - b),
+    "max": lambda a, b: F.greatest(a, b),
+    "min": lambda a, b: F.least(a, b),
+}
+
+
+def combine_pixel_counts(a: DataFrame, b: DataFrame, px: int,
+                         op: str = "add") -> DataFrame:
+    """Raster algebra: pixel-wise combine of two layers of the same
+    lattice (change detection via ``absdiff``, compositing via ``add``
+    / ``max``, intersection via ``min``). One full-outer sort-merge
+    join on the (z, gx, gy) key over the two NONZERO relations —
+    missing pixels count 0, and result-0 pixels drop so the output
+    stays a nonzero pixel relation (empty tiles never materialize).
+    At 10^12 points per layer the join still only moves each layer's
+    occupied-pixel rows, bounded by min(corpus, 4^(z+log2(px)))."""
+    if op not in _COMBINE_OPS:
+        raise ValueError(f"op must be one of {sorted(_COMBINE_OPS)}")
+    key = ["z", "gx", "gy"]
+    ja = a.select(*key, F.col("n").alias("_na"))
+    jb = b.select(*key, F.col("n").alias("_nb"))
+    combined = (ja.join(jb, key, "full_outer")
+                .select(*key,
+                        _COMBINE_OPS[op](
+                            F.coalesce(F.col("_na"), F.lit(0).cast("long")),
+                            F.coalesce(F.col("_nb"), F.lit(0).cast("long")),
+                        ).alias("n"))
+                .filter(F.col("n") > 0))
+    return _tile_cols(combined, px)
+
+
+def zonal_stats(pix: DataFrame, zones: DataFrame, px: int,
+                value_col: str = "v") -> DataFrame:
+    """Zonal statistics over a pixel-value relation: per-zone pixel
+    count / sum / max for axis-aligned zones given in GLOBAL pixel
+    coordinates (zone_id, gx0, gy0, gx1, gy1; bounds inclusive).
+
+    Scales like the engine's cell joins, not like a nested-loop range
+    join: each zone explodes into the bounded set of ``px x px`` tiles
+    its rectangle covers (``F.sequence`` — pure Catalyst), the pixel
+    relation equi-joins that cover on the tile key, and the exact
+    range test refines inside the join. With the zone-cover broadcast
+    (zones are small relative to pixels) the pixel side never
+    shuffles; the only exchange is the final per-zone aggregate. Feed
+    it ``raster_to_points`` output to compute zonal stats of a
+    RENDERED layer — decode sits upstream, map-only."""
+    cover = zones.select(
+        "zone_id", "gx0", "gy0", "gx1", "gy1",
+        F.explode(F.sequence((F.col("gx0") / px).cast("long"),
+                             (F.col("gx1") / px).cast("long"))).alias("_tx"))
+    cover = cover.select(
+        "zone_id", "gx0", "gy0", "gx1", "gy1", "_tx",
+        F.explode(F.sequence((F.col("gy0") / px).cast("long"),
+                             (F.col("gy1") / px).cast("long"))).alias("_ty"))
+    keyed = pix.select((F.col("gx") / px).cast("long").alias("_tx"),
+                       (F.col("gy") / px).cast("long").alias("_ty"),
+                       "gx", "gy", F.col(value_col).alias("_v"))
+    joined = keyed.join(
+        F.broadcast(cover),
+        on=[keyed["_tx"] == cover["_tx"], keyed["_ty"] == cover["_ty"],
+            F.col("gx").between(F.col("gx0"), F.col("gx1")),
+            F.col("gy").between(F.col("gy0"), F.col("gy1"))])
+    return (joined.groupBy("zone_id")
+            .agg(F.count(F.lit(1)).alias("n_px"),
+                 F.sum("_v").alias("sum_v"),
+                 F.max("_v").alias("max_v")))
+
+
+def hotspots(pix: DataFrame, k: int, value_col: str = "n") -> DataFrame:
+    """Top-k densest lattice pixels (deterministic total order: value
+    desc, then gx, gy). Catalyst turns the global sort + limit into
+    TakeOrderedAndProject — per-partition heaps of k rows, no full
+    sort, no single-partition shuffle. Compose with ``focal_sum`` for
+    neighborhood-density hotspots rather than single-pixel spikes."""
+    return (pix.select("z", "gx", "gy", F.col(value_col).alias("v"))
+            .orderBy(F.desc("v"), "gx", "gy").limit(k))
 
 
 def incremental_raster_tiles(committed_pix: DataFrame,

@@ -183,3 +183,111 @@ def test_raster_to_points_roundtrip(spark):
     assert got2 == {k: v for k, v in want.items() if v >= 2}
     with pytest.raises(ValueError):
         raster.raster_to_points(tiles, min_value=300)
+
+
+def _pix_df(spark, counts, z=Z):
+    """pixel relation from {(gx, gy): n} dict."""
+    rows = [{"z": z, "tile_x": gx // PX, "tile_y": gy // PX,
+             "gx": gx, "gy": gy, "px_x": gx % PX, "px_y": gy % PX, "n": n}
+            for (gx, gy), n in counts.items()]
+    return spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="z int, tile_x int, tile_y int, gx long, gy long,"
+               " px_x int, px_y int, n long")
+
+
+def test_focal_sum_matches_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    counts = {}
+    for _ in range(120):  # sparse blob spanning several tiles
+        counts[(int(rng.integers(5240, 5280)),
+                int(rng.integers(11420, 11460)))] = int(rng.integers(1, 9))
+    for radius in (0, 1, 2):
+        got = {(r["gx"], r["gy"]): r["n"]
+               for r in raster.focal_sum(_pix_df(spark, counts), PX,
+                                         radius).collect()}
+        ref = {}
+        for (gx, gy), n in counts.items():
+            for dx in range(-radius, radius + 1):
+                for dy in range(-radius, radius + 1):
+                    k = (gx + dx, gy + dy)
+                    ref[k] = ref.get(k, 0) + n
+        assert got == ref
+    # derived tile/pixel columns stay consistent with the global coords
+    row = raster.focal_sum(_pix_df(spark, counts), PX, 1).collect()[0]
+    assert row["tile_x"] == row["gx"] // PX and row["px_x"] == row["gx"] % PX
+
+
+def test_combine_pixel_counts_ops_match_bruteforce(spark):
+    rng = np.random.default_rng(12)
+    keys = [(int(rng.integers(5240, 5260)), int(rng.integers(11420, 11440)))
+            for _ in range(60)]
+    a = {k: int(rng.integers(1, 9)) for k in keys[:40]}
+    b = {k: int(rng.integers(1, 9)) for k in keys[20:]}
+    ops = {"add": lambda x, y: x + y, "absdiff": lambda x, y: abs(x - y),
+           "max": max, "min": min}
+    for op, fn in ops.items():
+        got = {(r["gx"], r["gy"]): r["n"]
+               for r in raster.combine_pixel_counts(
+                   _pix_df(spark, a), _pix_df(spark, b), PX, op).collect()}
+        ref = {k: fn(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+        ref = {k: v for k, v in ref.items() if v > 0}
+        assert got == ref, op
+    with pytest.raises(ValueError):
+        raster.combine_pixel_counts(_pix_df(spark, a), _pix_df(spark, b),
+                                    PX, "sub")
+
+
+def test_combine_add_equals_merge(spark):
+    """'add' is the merge monoid: parity with merge_pixel_counts."""
+    rng = np.random.default_rng(13)
+    a = {(int(rng.integers(5240, 5250)), int(rng.integers(11420, 11430))):
+         int(rng.integers(1, 5)) for _ in range(30)}
+    b = {(int(rng.integers(5240, 5250)), int(rng.integers(11420, 11430))):
+         int(rng.integers(1, 5)) for _ in range(30)}
+    got = raster.combine_pixel_counts(_pix_df(spark, a), _pix_df(spark, b),
+                                      PX, "add")
+    ref = raster.merge_pixel_counts(_pix_df(spark, a), _pix_df(spark, b), PX)
+    assert ({tuple(r) for r in got.collect()}
+            == {tuple(r) for r in ref.collect()})
+
+
+def test_zonal_stats_matches_bruteforce(spark):
+    from tdei_backend_service_spark import fixtures_tpch as FX
+    rng = np.random.default_rng(14)
+    counts = {(int(rng.integers(5244, 5260)),
+               int(rng.integers(11428, 11448))): int(rng.integers(1, 300))
+              for _ in range(200)}
+    pix = _pix_df(spark, counts).withColumn("v", F.col("n"))
+    zones = FX.pixel_zones(spark)
+    got = {r["zone_id"]: (r["n_px"], r["sum_v"], r["max_v"])
+           for r in raster.zonal_stats(pix, zones, PX).collect()}
+    ref = {}
+    for zr in FX._pixel_zone_rows():
+        vals = [n for (gx, gy), n in counts.items()
+                if zr["gx0"] <= gx <= zr["gx1"] and zr["gy0"] <= gy <= zr["gy1"]]
+        if vals:
+            ref[zr["zone_id"]] = (len(vals), sum(vals), max(vals))
+    assert got == ref
+    assert ref  # the planted window must actually intersect zones
+
+
+def test_zonal_stats_plan_is_equi_join(spark):
+    """The zone cover joins on the tile key — no nested-loop join."""
+    from tdei_backend_service_spark import fixtures_tpch as FX
+    pix = _pix_df(spark, {(5246, 11430): 3}).withColumn("v", F.col("n"))
+    plan = (raster.zonal_stats(pix, FX.pixel_zones(spark), PX)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hotspots_deterministic_topk(spark):
+    rng = np.random.default_rng(15)
+    counts = {(int(rng.integers(5240, 5250)), int(rng.integers(11420, 11430))):
+              int(rng.integers(1, 4)) for _ in range(80)}
+    got = [(r["gx"], r["gy"], r["v"])
+           for r in raster.hotspots(_pix_df(spark, counts), 10).collect()]
+    ref = sorted(((gx, gy, n) for (gx, gy), n in counts.items()),
+                 key=lambda t: (-t[2], t[0], t[1]))[:10]
+    assert got == ref
