@@ -823,6 +823,44 @@ def _q_raster_hotspots(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("v").cast("long")))
 
 
+def _q_zone_burnin(spark: SparkSession, sf: str) -> DataFrame:
+    """Areal vector->raster (operators/raster.rasterize_zones): the
+    integer zone rectangles burn into the lattice at weight zone_id+1
+    (two sequence explodes — work = burned area), the result
+    monoid-adds onto the order-point density layer
+    (combine_pixel_counts 'add'), and the composite renders to tiles.
+    Stats come from the decoded pixels, so burn + combine + render sit
+    under one floor-arithmetic oracle."""
+    from tdei_backend_service_spark.operators import raster
+    pts = FX.orders_points(spark, sf)
+    pix = raster.pixel_counts(pts, TILE_Z - 4, RASTER_PX)
+    burn = raster.rasterize_zones(FX.pixel_zones(spark), TILE_Z - 4,
+                                  RASTER_PX, weight=F.col("zone_id") + 1)
+    layer = raster.combine_pixel_counts(pix, burn, RASTER_PX, "add")
+    return raster.decode_tile_stats(raster.encode_tiles(layer, RASTER_PX))
+
+
+VIEWPORT_QUERY_CLASS = 37
+VIEWPORT_BBOX = (-121.9975, 47.0025, -121.9935, 47.0065)  # sites 3..6
+
+
+def _q_viewport_similar(spark: SparkSession, sf: str) -> DataFrame:
+    """Viewport visual search (operators/geo_visual.viewport_similar):
+    top-25 images inside the bbox (planted sites 3..6) by hamming
+    distance between a query hash (class 37's closed-form value) and
+    the phash RECOMPUTED from each decoded blob. The bbox filter runs
+    before the decode (only viewport rows reach Python) and the ranked
+    cut is TakeOrderedAndProject. The oracle recomputes every distance
+    in SQL from the planted hash law — xor + 61-term popcount."""
+    from tdei_backend_service_spark.operators.geo_visual import \
+        viewport_similar
+    imgs = FX.part_images_geo(spark, sf)
+    qh = FX.phash_class_value(VIEWPORT_QUERY_CLASS)
+    return (viewport_similar(imgs, qh, VIEWPORT_BBOX, k=25)
+            .select(F.col("image_id").cast("long"),
+                    F.col("hamming").cast("long")))
+
+
 def _q_geo_visual_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """The A+B flagship composition (operators/geo_visual.py): a record
     loses iff a smaller id sits within 5 m AND within hamming 8 of its
@@ -1414,6 +1452,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_algebra": _q_raster_algebra,
         "zonal_raster": _q_zonal_raster,
         "raster_hotspots": _q_raster_hotspots,
+        # areal burn-in composited onto the point-density layer
+        "zone_burnin": _q_zone_burnin,
+        # bbox-scoped visual top-k over recomputed perceptual hashes
+        "viewport_similar": _q_viewport_similar,
         # proximity AND visual near-dup over the real decode path
         "geo_visual_dedup": _q_geo_visual_dedup,
         # geo-visual drop admission vs the committed narrow corpus
@@ -2062,6 +2104,52 @@ def oracle_sql() -> dict[str, str]:
                   FROM pix CROSS JOIN o GROUP BY 1, 2)
             SELECT gx, gy, CAST(n AS BIGINT) AS v
             FROM f ORDER BY n DESC, gx, gy LIMIT 20
+        """,
+        # areal burn-in: zones expand by the constant W x H offset grid
+        # (rectangles are uniform), weights sum onto the point lattice
+        "zone_burnin": f"""
+            WITH g AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS gx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS gy
+              FROM {_PTS}),
+            ppix AS (SELECT gx, gy, COUNT(*) AS n FROM g GROUP BY 1, 2),
+            zz AS (SELECT * FROM {FX.pixel_zones_sql()} z),
+            ox AS (SELECT * FROM (VALUES {", ".join(f"({i})" for i in range(FX.PIXEL_ZONE_W))}) t(dx)),
+            oy AS (SELECT * FROM (VALUES {", ".join(f"({i})" for i in range(FX.PIXEL_ZONE_H))}) t(dy)),
+            burn AS (SELECT gx0 + dx AS gx, gy0 + dy AS gy,
+                            SUM(zone_id + 1) AS n
+                     FROM zz CROSS JOIN ox CROSS JOIN oy GROUP BY 1, 2),
+            m AS (SELECT gx, gy, SUM(n) AS n FROM (
+                    SELECT gx, gy, n FROM ppix
+                    UNION ALL SELECT gx, gy, n FROM burn)
+                  GROUP BY 1, 2)
+            SELECT CAST(11 AS INT) AS z,
+                   CAST(gx // 16 AS INT) AS tile_x,
+                   CAST(gy // 16 AS INT) AS tile_y,
+                   CAST(COUNT(*) AS BIGINT) AS nonzero_px,
+                   CAST(SUM(LEAST(n, 255)) AS BIGINT) AS sum_px,
+                   CAST(MAX(LEAST(n, 255)) AS BIGINT) AS max_px
+            FROM m GROUP BY 1, 2, 3
+        """,
+        # viewport visual search: the planted hash law reproduces every
+        # recomputed phash in SQL, so the ranked distances are exact —
+        # xor + 61-term popcount, ties broken by id
+        "viewport_similar": f"""
+            WITH v AS (
+              SELECT p_partkey,
+                     CAST((CAST(p_partkey % 127 + 1 AS HUGEINT)
+                           * 11400714819323198485)
+                          % 2305843009213693952 AS BIGINT) AS h
+              FROM part WHERE p_partkey % 10 BETWEEN 3 AND 6),
+            x AS (SELECT p_partkey,
+                         xor(h, {FX.phash_class_value(VIEWPORT_QUERY_CLASS)}) AS xv
+                  FROM v),
+            d AS (SELECT p_partkey,
+                         ({" + ".join(f"((xv // {1 << i}) % 2)" for i in range(61))}) AS hamming
+                  FROM x)
+            SELECT CAST(p_partkey AS BIGINT) AS image_id,
+                   CAST(hamming AS BIGINT) AS hamming
+            FROM d ORDER BY hamming, p_partkey LIMIT 25
         """,
         # co-located (k%10 site) AND visually duplicate (k%127 pixel
         # class) -> min of the joint class k%1270 survives; the planted

@@ -87,7 +87,7 @@ def main() -> None:
         # r5 sixth session: raster analytics (focal smoothing, layer
         # algebra, zonal stats over the decoded layer, hotspot top-k)
         "raster_focal", "raster_algebra", "zonal_raster",
-        "raster_hotspots",
+        "raster_hotspots", "zone_burnin", "viewport_similar",
     ]
 
     # input size for throughput: rows entering the spatial suite

@@ -70,6 +70,32 @@ def decode_phash_points(df: DataFrame, pk: str = "image_id") -> DataFrame:
                 pk=pk, pk_type=pk_type)))
 
 
+def viewport_similar(images: DataFrame, query_hash: int,
+                     bbox: tuple[float, float, float, float], k: int,
+                     pk: str = "image_id") -> DataFrame:
+    """Visual similarity search scoped to a geographic viewport: the
+    top-``k`` images inside ``bbox`` ranked by hamming distance between
+    ``query_hash`` and the perceptual hash RECOMPUTED from the decoded
+    pixels (ties broken by ``pk`` — a deterministic total order).
+
+    Plan shape, inside-out: the bbox filter runs FIRST against the raw
+    lon/lat columns (Catalyst pushes it to the scan, so at 10^12 images
+    only viewport rows are ever fetched, let alone decoded), the decode
+    is one map-only pass over the survivors, the distance is JVM
+    ``bit_count(xor)``, and the sort+limit plans as
+    TakeOrderedAndProject — per-partition heaps of k, no global sort.
+    Returns (pk, hamming)."""
+    minx, miny, maxx, maxy = bbox
+    vp = images.filter(F.col("lon").between(minx, maxx)
+                       & F.col("lat").between(miny, maxy))
+    hashed = decode_phash_points(vp, pk)
+    return (hashed.select(
+        pk,
+        F.bit_count(F.col("phash").bitwiseXOR(F.lit(int(query_hash))))
+        .cast("long").alias("hamming"))
+        .orderBy("hamming", pk).limit(k))
+
+
 def geo_visual_losers(keyed: DataFrame, radius_m: float, max_hamming: int,
                       pk: str = "image_id",
                       release_cache: bool = True) -> DataFrame:

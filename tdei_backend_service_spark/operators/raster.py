@@ -287,6 +287,30 @@ def combine_pixel_counts(a: DataFrame, b: DataFrame, px: int,
     return _tile_cols(combined, px)
 
 
+def rasterize_zones(zones: DataFrame, z: int, px: int,
+                    weight=None) -> DataFrame:
+    """Burn axis-aligned zone rectangles (GLOBAL pixel bounds,
+    inclusive: zone_id, gx0, gy0, gx1, gy1) into the pixel lattice —
+    the areal-feature side of vector->raster (points go through
+    ``pixel_counts``). Each zone explodes to exactly the pixels it
+    covers via two ``F.sequence`` explodes (pure Catalyst; work is
+    proportional to the burned AREA, distributed across however many
+    partitions hold the zone rows), and overlapping zones sum their
+    weights — the same count monoid the rest of the tier uses, so the
+    result composes with ``combine_pixel_counts`` / ``encode_tiles`` /
+    pyramids unchanged. ``weight`` is a Column (default 1 per zone)."""
+    w = F.lit(1) if weight is None else weight
+    burn = (zones.select("gx0", "gy0", "gx1", "gy1",
+                         w.cast("long").alias("_w"))
+            .select("gy0", "gy1", "_w",
+                    F.explode(F.sequence("gx0", "gx1")).alias("gx"))
+            .select("gx", "_w",
+                    F.explode(F.sequence("gy0", "gy1")).alias("gy"))
+            .groupBy("gx", "gy").agg(F.sum("_w").alias("n"))
+            .select(F.lit(z).cast("int").alias("z"), "gx", "gy", "n"))
+    return _tile_cols(burn, px)
+
+
 def zonal_stats(pix: DataFrame, zones: DataFrame, px: int,
                 value_col: str = "v") -> DataFrame:
     """Zonal statistics over a pixel-value relation: per-zone pixel

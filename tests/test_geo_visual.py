@@ -174,3 +174,39 @@ def test_incremental_geo_visual_admission(spark):
     out = incremental_geo_visual(batch, corpus, radius_m=5.0,
                                  max_hamming=8)
     assert sorted(r["image_id"] for r in out.collect()) == [1, 2]
+
+
+def test_viewport_similar_ranks_by_recomputed_hamming(spark):
+    from tdei_backend_service_spark.operators.geo_visual import \
+        viewport_similar
+    lon0, lat0 = -122.30, 47.61
+    rows = []
+    # inside the viewport: hamming i to BASE (flip the i lowest bits)
+    for i in range(6):
+        rows.append({"image_id": 10 + i,
+                     "bytes": _img_bytes(BASE, tuple(range(i))),
+                     "fmt": "png", "lon": lon0 + i * 1e-4, "lat": lat0})
+    # a perfect match OUTSIDE the viewport must never appear
+    rows.append({"image_id": 99, "bytes": _img_bytes(BASE), "fmt": "png",
+                 "lon": lon0 + 1.0, "lat": lat0})
+    # an undecodable blob inside the viewport is dropped, not ranked
+    rows.append({"image_id": 98, "bytes": b"junk", "fmt": "png",
+                 "lon": lon0, "lat": lat0})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    bbox = (lon0 - 0.01, lat0 - 0.01, lon0 + 0.01, lat0 + 0.01)
+    got = [(r["image_id"], r["hamming"])
+           for r in viewport_similar(df, BASE, bbox, k=4).collect()]
+    assert got == [(10, 0), (11, 1), (12, 2), (13, 3)]
+
+
+def test_viewport_similar_tie_breaks_on_id(spark):
+    from tdei_backend_service_spark.operators.geo_visual import \
+        viewport_similar
+    lon0, lat0 = -122.30, 47.61
+    rows = [{"image_id": i, "bytes": _img_bytes(BASE), "fmt": "png",
+             "lon": lon0, "lat": lat0} for i in (7, 3, 5)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    bbox = (lon0 - 0.01, lat0 - 0.01, lon0 + 0.01, lat0 + 0.01)
+    got = [r["image_id"]
+           for r in viewport_similar(df, BASE, bbox, k=2).collect()]
+    assert got == [3, 5]

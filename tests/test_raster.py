@@ -291,3 +291,33 @@ def test_hotspots_deterministic_topk(spark):
     ref = sorted(((gx, gy, n) for (gx, gy), n in counts.items()),
                  key=lambda t: (-t[2], t[0], t[1]))[:10]
     assert got == ref
+
+
+def test_rasterize_zones_burns_exact_area(spark):
+    from tdei_backend_service_spark import fixtures_tpch as FX
+    zones = FX.pixel_zones(spark)
+    got = {(r["gx"], r["gy"]): r["n"]
+           for r in raster.rasterize_zones(
+               zones, Z, PX, weight=F.col("zone_id") + 1).collect()}
+    ref = {}
+    for zr in FX._pixel_zone_rows():
+        for gx in range(zr["gx0"], zr["gx1"] + 1):
+            for gy in range(zr["gy0"], zr["gy1"] + 1):
+                ref[(gx, gy)] = ref.get((gx, gy), 0) + zr["zone_id"] + 1
+    assert got == ref
+    # fixture zones are disjoint: burned area == sum of rectangle areas
+    assert len(got) == 30 * 2 * 3
+
+
+def test_rasterize_zones_overlap_sums_weights(spark):
+    zones = spark.createDataFrame(
+        pd.DataFrame([{"zone_id": 0, "gx0": 10, "gy0": 20, "gx1": 12,
+                       "gy1": 21},
+                      {"zone_id": 1, "gx0": 11, "gy0": 20, "gx1": 11,
+                       "gy1": 22}]),
+        schema="zone_id long, gx0 long, gy0 long, gx1 long, gy1 long")
+    got = {(r["gx"], r["gy"]): r["n"]
+           for r in raster.rasterize_zones(zones, Z, PX).collect()}
+    assert got[(11, 20)] == 2 and got[(11, 21)] == 2
+    assert got[(10, 20)] == 1 and got[(11, 22)] == 1
+    assert sum(got.values()) == 6 + 3
