@@ -27,6 +27,7 @@ from tdei_backend_service_spark.operators.spatial_join import spatial_join
 from tdei_backend_service_spark.operators.tag_road import (
     dataset_tag_road, knn_join)
 from tdei_backend_service_spark.operators import temporal as TP
+from tdei_backend_service_spark.operators import trajectory as TJ
 from tdei_backend_service_spark.operators.tiling import assign_tiles
 from tdei_backend_service_spark.operators.union_dataset import (
     incremental_union_dataset, union_dataset)
@@ -231,6 +232,54 @@ def _q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
             .select("event_id",
                     F.col("asof_event_id").alias("match_id"),
                     F.col("asof_value").alias("match_value")))
+
+
+def _q_map_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Trajectory map matching (operators/trajectory.map_match): snap
+    each GPS ping to a grid edge with one-step hysteresis — keep the
+    previous ping's nearest edge while it stays within 1500 m, else
+    take the current nearest (candidates complete within 2500 m). The
+    Spark side runs the real broadcast cover-index probe + exact
+    vectorized distances; the oracle works in closed-form lattice units
+    (0.11054 m each, thresholds 22616/13569 units sit >= 2 cm from the
+    float cutoffs, far above ulp noise)."""
+    pings = FX.event_pings(spark, sf)
+    edges = FX.grid_edges(spark)
+    return TJ.map_match(pings, edges, "tpch-edges", cutoff_m=2500.0,
+                        keep_within_m=1500.0).select(
+        "event_id", "nearest_edge_id", "matched_edge_id", "n_cand")
+
+
+def _q_trip_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-sessionized trips with exact-integer path length
+    (operators/trajectory.trip_geo_stats): each planar step floors to
+    whole millimeters BEFORE the sum, so len_mm is independent of
+    partitioning and addition order — both engines evaluate the same
+    IEEE expression tree bit-for-bit."""
+    return TJ.trip_geo_stats(FX.event_pings(spark, sf), gap_s=21600)
+
+
+def _q_od_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Origin/destination matrix (operators/trajectory.od_matrix):
+    per-trip first/last ping through the REAL polygon PIP join against
+    the half-lattice quad zones (no ping can sit on a zone edge, so
+    the zone of an endpoint is pure integer arithmetic for the
+    oracle)."""
+    pings = FX.event_pings(spark, sf)
+    zones = FX.quad_zones(spark, side=4, dataset_id="tpch-z")
+    return TJ.od_matrix(pings, zones, "tpch-z", gap_s=21600)
+
+
+def _q_coverage_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Spatial ANTI join (operators/trajectory.coverage_gaps): pings
+    with NO grid edge within 300 m — the complement of
+    dataset_tag_road's tagged set. 300 m = 2713.9 lattice units, so
+    the covered/gap decision is >= 5 cm from the threshold for every
+    lattice point."""
+    pings = FX.event_pings(spark, sf)
+    edges = FX.grid_edges(spark)
+    return TJ.coverage_gaps(pings, edges, "tpch-edges", pk="event_id",
+                            cutoff_m=300.0).select("event_id", "lon", "lat")
 
 
 def _q_token_count(spark: SparkSession, sf: str) -> DataFrame:
@@ -1367,6 +1416,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_per_user": _q_events_top_per_user,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
+        # trajectory tier: hysteresis map matching, exact-integer trip
+        # geometry, PIP OD matrix, spatial-anti coverage gaps
+        "map_match": _q_map_match,
+        "trip_stats": _q_trip_stats,
+        "od_matrix": _q_od_matrix,
+        "coverage_gaps": _q_coverage_gaps,
         "token_count": _q_token_count,
         "text_quality": _q_quality,
         "langid": _q_langid,
@@ -1633,6 +1688,127 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN a_us IS NOT NULL AND us - a_us <= 7200000000
                         THEN a_val END AS match_value
             FROM f WHERE tag = 1
+        """,
+        # trajectory tier over the event-ping fixture: lon/lat derive
+        # from event_id (lattice units of 1e-6 deg = 0.11054 m vs the
+        # grid edges); rows with lat-hash % 5000 == 0 are excluded —
+        # on-line / equidistant points where argmin tie order is
+        # float-ulp-dependent (the knn_rank exclusion). 2500 m = units
+        # <= 22616 (2499.97), 1500 m = units <= 13569 (1499.92): every
+        # lattice distance sits >= 2 cm from the float threshold.
+        "map_match": """
+            WITH p AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     (event_id * 40503 + 12345) % 100000 AS v
+              FROM events
+              WHERE (event_id * 40503 + 12345) % 5000 <> 0),
+            c AS (
+              SELECT p.*, j.k, ABS(p.v - (5000 + j.k * 10000)) AS du
+              FROM p, (SELECT CAST(range AS BIGINT) AS k FROM range(10)) j
+              WHERE ABS(p.v - (5000 + j.k * 10000)) <= 22616),
+            n AS (
+              SELECT event_id, user_id, us, v,
+                     COUNT(*) AS n_cand,
+                     arg_min(k, du) AS nearest_edge_id
+              FROM c GROUP BY 1, 2, 3, 4),
+            f AS (
+              SELECT *, LAG(nearest_edge_id) OVER (
+                  PARTITION BY user_id ORDER BY us, event_id) AS prev_e
+              FROM n)
+            SELECT event_id, nearest_edge_id,
+                   CASE WHEN prev_e IS NOT NULL
+                         AND ABS(v - (5000 + prev_e * 10000)) <= 13569
+                        THEN prev_e ELSE nearest_edge_id END
+                     AS matched_edge_id,
+                   n_cand
+            FROM f
+        """,
+        # planar steps replicate the operator's exact IEEE expression
+        # (dlon*111320, dlat*110540, floor(sqrt*1000) per step)
+        "trip_stats": f"""
+            WITH p AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     {FX.SQL_LON.format(k="event_id")} AS lon,
+                     {FX.SQL_LAT.format(k="event_id")} AS lat
+              FROM events
+              WHERE (event_id * 40503 + 12345) % 5000 <> 0),
+            t AS (
+              SELECT *, LAG(us) OVER w AS prev_us,
+                     LAG(lon) OVER w AS prev_lon,
+                     LAG(lat) OVER w AS prev_lat
+              FROM p WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY us, event_id)),
+            s AS (
+              SELECT *, SUM(CASE WHEN prev_us IS NULL
+                                   OR us - prev_us > 21600000000
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM t),
+            st AS (
+              SELECT *, LAG(session_seq) OVER (
+                  PARTITION BY user_id ORDER BY us, event_id) AS prev_seq
+              FROM s)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   COUNT(*) AS n_pings, MIN(event_id) AS first_ping,
+                   CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+                   CAST(SUM(CASE WHEN prev_seq = session_seq THEN
+                     CAST(FLOOR(SQRT(
+                       (lon - prev_lon) * 111320.0
+                         * ((lon - prev_lon) * 111320.0)
+                       + (lat - prev_lat) * 110540.0
+                         * ((lat - prev_lat) * 110540.0)) * 1000.0)
+                       AS BIGINT) ELSE 0 END) AS BIGINT) AS len_mm
+            FROM st GROUP BY user_id, session_seq
+        """,
+        # endpoint zone = integer arithmetic on the key hash (quad
+        # zones sit on half-lattice boundaries; every ping is interior)
+        "od_matrix": """
+            WITH p AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     ((event_id * 40503 + 12345) % 100000) // 25000 * 4
+                     + ((event_id * 2654435761) % 100000) // 25000
+                       AS zone_id
+              FROM events
+              WHERE (event_id * 40503 + 12345) % 5000 <> 0),
+            s AS (
+              SELECT *, SUM(CASE WHEN prev_us IS NULL
+                                   OR us - prev_us > 21600000000
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM (SELECT *, LAG(us) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id) AS prev_us FROM p)),
+            r AS (
+              SELECT user_id, session_seq, zone_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                        ORDER BY us, event_id) AS ra,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                        ORDER BY us DESC, event_id DESC)
+                       AS rd
+              FROM s)
+            SELECT o.zone_id AS o_zone, d.zone_id AS d_zone,
+                   COUNT(*) AS n_trips
+            FROM (SELECT user_id, session_seq, zone_id
+                  FROM r WHERE ra = 1) o
+            JOIN (SELECT user_id, session_seq, zone_id
+                  FROM r WHERE rd = 1) d
+            USING (user_id, session_seq)
+            GROUP BY 1, 2
+        """,
+        # gap iff EVERY grid line is > 300 m away (2713 units = 299.89,
+        # 2714 = 300.006 — no lattice point near the float threshold)
+        "coverage_gaps": f"""
+            SELECT event_id,
+                   {FX.SQL_LON.format(k="event_id")} AS lon,
+                   {FX.SQL_LAT.format(k="event_id")} AS lat
+            FROM events
+            WHERE (event_id * 40503 + 12345) % 5000 <> 0
+              AND NOT EXISTS (
+                SELECT 1 FROM range(10) j
+                WHERE ABS((event_id * 40503 + 12345) % 100000
+                          - (5000 + CAST(j.range AS BIGINT) * 10000))
+                      <= 2713)
         """,
         "token_count": r"""
             SELECT doc_id,

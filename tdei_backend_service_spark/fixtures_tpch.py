@@ -845,3 +845,18 @@ def pixel_zones_sql() -> str:
         for z in _pixel_zone_rows())
     return (f"(SELECT * FROM (VALUES {vals}) "
             "AS zz(zone_id, gx0, gy0, gx1, gy1))")
+
+
+def event_pings(spark: SparkSession, sf_dir: str,
+                dataset_id: str = "tpch-pings") -> DataFrame:
+    """events -> GPS ping trajectories: per-user fixes ordered by
+    (ts, event_id), lon/lat derived from event_id with the standard
+    exact-int scheme. Rows whose lat hash ≡ 0 (mod 5000) are excluded
+    — those sit exactly ON a grid edge or exactly equidistant between
+    two, where the engine's argmin tie-break and SQL ROUND's half rule
+    could legitimately disagree (same exclusion knn_rank uses)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.filter(((F.col("event_id") * 40503 + 12345) % 5000) != 0)
+    return (derive_lonlat(ev, "event_id")
+            .select("event_id", "user_id", "ts", "lon", "lat")
+            .withColumn("dataset_id", F.lit(dataset_id)))

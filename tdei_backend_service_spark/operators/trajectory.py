@@ -1,0 +1,420 @@
+"""Trajectory operators: map matching, geo trip stats, OD matrices,
+coverage gaps.
+
+The reference service tags STATIC features with road information
+(dataset_tag_road, /root/reference/src/service/services/
+dataset-road-tag-service.ts:28-40); a transportation-data pipeline at
+100 TB also carries MOVING observations — GPS ping streams from data
+collectors. This module is the sequence-aware extension of the O3 kNN
+machinery:
+
+* ``map_match`` — snap each ping of an ordered trajectory to a road
+  edge. Per ping the candidate set is every edge within ``cutoff_m``
+  (padded-cover completeness, exactly dataset_tag_road's guarantee);
+  the matched edge applies one-step hysteresis — keep the PREVIOUS
+  ping's nearest edge when it is still within ``keep_within_m`` —
+  which suppresses the nearest-edge flapping that raw per-point
+  snapping produces between parallel roads. The transition rule reads
+  only the lag of the raw nearest edge (never the chosen edge), so the
+  operator stays one window pass instead of a sequential scan, and the
+  whole rule is expressible in ANSI SQL for the oracle.
+* ``trip_geo_stats`` — gap-sessionized trips (operators/temporal.
+  sessionize) with exact-integer geometry: per trip the planar path
+  length is summed in integer millimeters (each step floors to mm
+  BEFORE the sum, so the result is independent of partitioning and
+  addition order — float sums are not).
+* ``od_matrix`` — trip origin/destination zone counts: first/last ping
+  per trip through the REAL polygon PIP join (core/join.two_phase_join)
+  against a zone table.
+* ``coverage_gaps`` — points with NO source edge within ``cutoff_m``:
+  the spatial ANTI join (the complement of dataset_tag_road's tagged
+  set, e.g. collected images too far from any known sidewalk edge).
+  No argmin is computed — candidates within the cutoff directly
+  anti-join the target side.
+
+Scale shape: candidate generation is the zero-shuffle broadcast-index
+probe when the edge side fits a broadcast (road networks are tiny next
+to ping corpora), falling back to the padded-cover distributed join;
+the only unavoidable exchange is the per-entity window (any engine
+must co-locate a trajectory to order it). Distances use the same
+vectorized numpy kernels as O3 (core/geom.point_polyline_dist), so
+map_match results are consistent with dataset_tag_road to the bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql.window import Window
+
+from ..core import cells, geom
+from ..core.ingest import cover_geometry
+from .temporal import _us, sessionize
+
+__all__ = ["map_match", "trip_geo_stats", "od_matrix", "coverage_gaps"]
+
+
+# ---------------------------------------------------------------------------
+# candidate generation: per-ping sorted (dist, edge) arrays
+# ---------------------------------------------------------------------------
+
+def _cand_arrays_map_only(pings: DataFrame, edges: DataFrame,
+                          cutoff_m: float, depth: int,
+                          lon_col: str, lat_col: str) -> DataFrame | None:
+    """Zero-shuffle candidate stage: broadcast a padded cell->edge cover
+    index (core/join.build_cover_index, the same structure
+    tag_road._tag_map_only probes) and emit per ping the edge ids and
+    exact distances of EVERY edge within ``cutoff_m``, sorted by
+    (dist, edge_id). Returns None when the edge side exceeds the
+    broadcast cover cap — callers fall back to the distributed join."""
+    from ..core import join as _J
+    cap = _J.BROADCAST_GEOM_MAX_ROWS
+    rows = edges.select("edge_id", "geometry").limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    wkbs = [bytes(r[1]) for r in rows]
+    g = geom.parse_wkb_batch(wkbs)
+    box = geom.geom_bbox(g)
+    edge_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    pad_deg = max(cells.meters_to_deg_lat(cutoff_m),
+                  cells.meters_to_deg_lon(cutoff_m))
+    cell_index = _J.build_cover_index(g, box, depth, pad_deg,
+                                      _J.COVER_INDEX_MAX_ENTRIES)
+    if cell_index is None:
+        return None
+
+    bc = pings.sparkSession.sparkContext.broadcast({
+        "index": cell_index,
+        "coords": g.coords, "offsets": g.offsets, "kinds": g.kinds,
+        "box": box, "edge_ids": edge_ids,
+    })
+    pad_lon = cutoff_m / cells.M_PER_DEG_LON_EQ * (1 + 1e-6) + 1e-9
+    pad_lat = cutoff_m / cells.M_PER_DEG_LAT * (1 + 1e-6) + 1e-9
+    schema = T.StructType(list(pings.schema.fields) + [
+        T.StructField("cand_edges", T.ArrayType(T.LongType())),
+        T.StructField("cand_dists", T.ArrayType(T.DoubleType()))])
+
+    def _probe(batches):
+        v = bc.value
+        gg = geom.RaggedGeoms(v["coords"], v["offsets"], v["kinds"])
+        ix, bx, eids = v["index"], v["box"], v["edge_ids"]
+        for pdf in batches:
+            n = len(pdf)
+            ce: list = [[] for _ in range(n)]
+            cd: list = [[] for _ in range(n)]
+            if n:
+                px = pdf[lon_col].to_numpy(np.float64)
+                py = pdf[lat_col].to_numpy(np.float64)
+                cell = cells.encode(px, py, depth)
+                pt, cand = ix.probe(cell)
+                if pt.size:
+                    keep = ((px[pt] >= bx[cand, 0] - pad_lon)
+                            & (px[pt] <= bx[cand, 2] + pad_lon)
+                            & (py[pt] >= bx[cand, 1] - pad_lat)
+                            & (py[pt] <= bx[cand, 3] + pad_lat))
+                    pt, cand = pt[keep], cand[keep]
+                if pt.size:
+                    d = geom.point_polyline_dist(px[pt], py[pt], cand, gg)
+                    ok = d <= cutoff_m
+                    pt, cand, d = pt[ok], cand[ok], d[ok]
+                if pt.size:
+                    # per ping ascending (dist, edge_id) — the same total
+                    # order tag_road's argmin struct uses
+                    order = np.lexsort((eids[cand], d, pt))
+                    pt, cand, d = pt[order], cand[order], d[order]
+                    for i, c, dist in zip(pt, eids[cand], d):
+                        ce[i].append(int(c))
+                        cd[i].append(float(dist))
+            res = pdf.copy()
+            res["cand_edges"] = ce
+            res["cand_dists"] = cd
+            yield res
+
+    return pings.mapInPandas(_probe, schema)
+
+
+def _cand_arrays_distributed(pings: DataFrame, edges: DataFrame,
+                             cutoff_m: float, depth: int, pk: str,
+                             lon_col: str, lat_col: str) -> DataFrame:
+    """Distributed candidate stage (tag_road's one-candidate-join shape):
+    the EDGE covers take the ``cutoff_m`` pad, pings encode to one cell
+    each, a single equi-join + JVM envelope prefilter + exact distance,
+    then one groupBy(pk) collects the sorted candidate arrays. Pings
+    with no candidate re-attach by left join (empty arrays)."""
+    from .tag_road import _dist_udf
+    env_cols = ["gmin_lon", "gmin_lat", "gmax_lon", "gmax_lat"]
+    padded = (cover_geometry(edges, depth, cutoff_m, out_col="_cov",
+                             with_envelope=True)
+              .withColumn("cell", F.explode("_cov"))
+              .select("cell", "edge_id", *env_cols, "geometry"))
+    pad_lon = cutoff_m / cells.M_PER_DEG_LON_EQ * (1 + 1e-6) + 1e-9
+    pad_lat = cutoff_m / cells.M_PER_DEG_LAT * (1 + 1e-6) + 1e-9
+
+    @F.pandas_udf(T.LongType())
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cells.encode(lon.to_numpy(np.float64),
+                                      lat.to_numpy(np.float64), depth))
+
+    dist = _dist_udf(None)
+    cand = (pings.select(pk, F.col(lon_col).alias("_lon"),
+                         F.col(lat_col).alias("_lat"))
+            .withColumn("cell", _enc.asNondeterministic()(
+                F.col("_lon"), F.col("_lat")))
+            .join(padded, "cell").drop("cell")
+            .filter((F.col("_lon") >= F.col("gmin_lon") - pad_lon)
+                    & (F.col("_lon") <= F.col("gmax_lon") + pad_lon)
+                    & (F.col("_lat") >= F.col("gmin_lat") - pad_lat)
+                    & (F.col("_lat") <= F.col("gmax_lat") + pad_lat))
+            .withColumn("dist_m", dist(F.col("_lon"), F.col("_lat"),
+                                       F.col("geometry")))
+            .filter(F.col("dist_m") <= cutoff_m))
+    agg = (cand.groupBy(pk)
+           .agg(F.sort_array(F.collect_list(
+               F.struct(F.col("dist_m"), F.col("edge_id")))).alias("_c"))
+           .select(pk,
+                   F.transform("_c", lambda s: s["edge_id"])
+                   .alias("cand_edges"),
+                   F.transform("_c", lambda s: s["dist_m"])
+                   .alias("cand_dists")))
+    empty_e = F.array().cast("array<bigint>")
+    empty_d = F.array().cast("array<double>")
+    return (pings.join(agg, pk, "left")
+            .withColumn("cand_edges", F.coalesce("cand_edges", empty_e))
+            .withColumn("cand_dists", F.coalesce("cand_dists", empty_d)))
+
+
+# ---------------------------------------------------------------------------
+# map matching
+# ---------------------------------------------------------------------------
+
+def map_match(pings: DataFrame, edges_df: DataFrame,
+              edge_dataset_id: str | None = None, *,
+              key_col: str = "user_id", ts_col: str = "ts",
+              id_col: str = "event_id",
+              lon_col: str = "lon", lat_col: str = "lat",
+              cutoff_m: float = 600.0,
+              keep_within_m: float | None = None,
+              depth: int | None = None) -> DataFrame:
+    """Snap each ping of a per-``key_col`` trajectory (ordered by
+    ``ts_col`` then ``id_col``) to a road edge.
+
+    Output = pings plus ``nearest_edge_id`` (raw per-point argmin over
+    edges within ``cutoff_m``; null when none), ``matched_edge_id``
+    (the hysteresis-smoothed assignment) and ``n_cand``. The transition
+    rule: keep the previous ping's NEAREST edge when its exact distance
+    to the current ping is within ``keep_within_m`` (default: cutoff);
+    otherwise take the current nearest. Reading the lag of the raw
+    nearest (not of the chosen edge) keeps the rule non-recursive —
+    one window pass, no sequential scan — while still absorbing the
+    flap between parallel edges. Determinism: argmin and candidate
+    order tie-break on (dist, edge_id), a total order.
+    """
+    if keep_within_m is None:
+        keep_within_m = cutoff_m
+    if keep_within_m > cutoff_m:
+        raise ValueError("keep_within_m must be <= cutoff_m (candidate "
+                         "sets are only complete within the cutoff)")
+    if depth is None:
+        depth = int(np.clip(cells.depth_for_radius_m(max(cutoff_m, 1.0)),
+                            cells.RES_GRID[7], cells.RES_GRID[10]))
+    edges = edges_df
+    if edge_dataset_id is not None:
+        edges = edges.filter(F.col("dataset_id") == edge_dataset_id)
+
+    with_cand = _cand_arrays_map_only(pings, edges, cutoff_m, depth,
+                                      lon_col, lat_col)
+    if with_cand is None:
+        with_cand = _cand_arrays_distributed(pings, edges, cutoff_m, depth,
+                                             id_col, lon_col, lat_col)
+
+    us = _us(pings, ts_col)
+    w = Window.partitionBy(key_col).orderBy(us.asc(), F.col(id_col).asc())
+    nearest = F.when(F.size("cand_edges") > 0,
+                     F.element_at("cand_edges", 1))
+    prev_e = F.lag(F.col("nearest_edge_id")).over(w)
+    out = with_cand.withColumn("nearest_edge_id", nearest)
+    out = out.withColumn("_prev_e", prev_e)
+    prev_dist = F.when(
+        F.col("_prev_e").isNotNull() & (F.size("cand_edges") > 0),
+        F.element_at(F.map_from_arrays("cand_edges", "cand_dists"),
+                     F.col("_prev_e")))
+    matched = (F.when(prev_dist <= F.lit(float(keep_within_m)),
+                      F.col("_prev_e"))
+               .otherwise(F.col("nearest_edge_id")))
+    return (out.withColumn("matched_edge_id", matched)
+            .withColumn("n_cand", F.size("cand_edges").cast("long"))
+            .drop("_prev_e", "cand_edges", "cand_dists"))
+
+
+# ---------------------------------------------------------------------------
+# trip statistics
+# ---------------------------------------------------------------------------
+
+def trip_geo_stats(pings: DataFrame, *,
+                   key_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id",
+                   lon_col: str = "lon", lat_col: str = "lat",
+                   gap_s: int = 21600) -> DataFrame:
+    """Gap-sessionized trips with exact-integer geometry rollups.
+
+    Output: (key, session_seq, n_pings, first_ping, span_us, len_mm) —
+    ``len_mm`` is the planar path length in whole millimeters, each
+    inter-ping step floored to mm BEFORE the sum. Summing integers
+    makes the result independent of addition order (a float sum is
+    not), so the answer is identical across partitionings and engines.
+    Steps use the engine's planar scale (core/cells constants):
+    dx = dlon * 111320, dy = dlat * 110540, step = sqrt(dx*dx + dy*dy).
+
+    Plan: ONE exchange on ``key_col`` feeds the sessionize window, the
+    lag columns, and the (key, session) aggregate (the groupBy keys are
+    a superset of the window partition key — no second exchange).
+    """
+    s = sessionize(pings, key_col, ts_col, id_col, gap_s)
+    us = _us(pings, ts_col)
+    w = Window.partitionBy(key_col).orderBy(us.asc(), F.col(id_col).asc())
+    dx = (F.col(lon_col) - F.lag(F.col(lon_col)).over(w)) \
+        * F.lit(cells.M_PER_DEG_LON_EQ)
+    dy = (F.col(lat_col) - F.lag(F.col(lat_col)).over(w)) \
+        * F.lit(cells.M_PER_DEG_LAT)
+    same = F.lag(F.col("session_seq")).over(w) == F.col("session_seq")
+    step_mm = F.when(same, F.floor(F.sqrt(dx * dx + dy * dy)
+                                   * F.lit(1000.0))).otherwise(F.lit(0))
+    return (s.withColumn("_step_mm", step_mm)
+            .groupBy(key_col, "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_pings"),
+                 F.min(id_col).alias("first_ping"),
+                 (F.max(us) - F.min(us)).cast("long").alias("span_us"),
+                 F.sum("_step_mm").cast("long").alias("len_mm")))
+
+
+# ---------------------------------------------------------------------------
+# origin/destination matrix
+# ---------------------------------------------------------------------------
+
+def od_matrix(pings: DataFrame, zones_df: DataFrame,
+              zone_dataset_id: str | None = None, *,
+              key_col: str = "user_id", ts_col: str = "ts",
+              id_col: str = "event_id",
+              lon_col: str = "lon", lat_col: str = "lat",
+              gap_s: int = 21600,
+              depth: int | None = None) -> DataFrame:
+    """Trip origin/destination counts between zones.
+
+    Trips come from gap sessionization; each trip's FIRST and LAST ping
+    (by (ts, id) — a total order) assign to zones through the real
+    polygon point-in-polygon join (core/join.two_phase_join, the same
+    path the O2 spatial join runs), then one aggregate counts trips per
+    (o_zone, d_zone). Trips whose endpoint falls in no zone are dropped
+    (inner PIP), matching the SQL definition.
+
+    Plan: one exchange on ``key_col`` (sessionize window + endpoint
+    argmin/argmax share it), a broadcast PIP join for any realistic
+    zone table, one exchange on (o_zone, d_zone).
+    """
+    from ..core.compiler import compile_join_condition
+    from ..core.join import GeomSide, two_phase_join
+    zones = zones_df
+    if zone_dataset_id is not None:
+        zones = zones.filter(F.col("dataset_id") == zone_dataset_id)
+
+    s = sessionize(pings, key_col, ts_col, id_col, gap_s)
+    us = _us(pings, ts_col)
+    pt = F.struct(us.alias("us"), F.col(id_col).alias("id"),
+                  F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat"))
+    # (us, id) is a total order, so min/max of the struct select the
+    # first/last ping; (key, session_seq) is the deterministic trip key
+    trips = (s.groupBy(key_col, "session_seq")
+             .agg(F.min(pt).alias("o"), F.max(pt).alias("d")))
+    ends = trips.select(
+        key_col, "session_seq",
+        F.explode(F.array(
+            F.struct(F.lit("o").alias("which"),
+                     F.col("o.lon").alias("lon"), F.col("o.lat").alias("lat")),
+            F.struct(F.lit("d").alias("which"),
+                     F.col("d.lon").alias("lon"), F.col("d.lat").alias("lat")),
+        )).alias("e")).select(key_col, "session_seq",
+                              "e.which", "e.lon", "e.lat")
+    ends = ends.withColumn(
+        "_pk", F.concat_ws(":", F.col(key_col).cast("string"),
+                           F.col("session_seq").cast("string"),
+                           F.col("which")))
+    pred = compile_join_condition(
+        "ST_Intersects(geometry_target, geometry_source)")
+    pairs = two_phase_join(
+        GeomSide(df=zones, pk="zone_id", kind="polygon",
+                 geom_col="geometry"),
+        GeomSide(df=ends, pk="_pk", kind="point",
+                 carry=[key_col, "session_seq", "which"]),
+        pred, depth=depth)
+    z = pairs.select(F.col(f"s_{key_col}").alias(key_col),
+                     F.col("s_session_seq").alias("session_seq"),
+                     F.col("s_which").alias("which"),
+                     F.col("t_zone_id").alias("zone_id"))
+    o = z.filter(F.col("which") == "o").select(
+        key_col, "session_seq", F.col("zone_id").alias("o_zone"))
+    d = z.filter(F.col("which") == "d").select(
+        key_col, "session_seq", F.col("zone_id").alias("d_zone"))
+    return (o.join(d, [key_col, "session_seq"])
+            .groupBy("o_zone", "d_zone")
+            .agg(F.count(F.lit(1)).alias("n_trips")))
+
+
+# ---------------------------------------------------------------------------
+# coverage gaps (spatial anti join)
+# ---------------------------------------------------------------------------
+
+def coverage_gaps(points: DataFrame, edges_df: DataFrame,
+                  edge_dataset_id: str | None = None, *,
+                  pk: str = "image_id",
+                  lon_col: str = "lon", lat_col: str = "lat",
+                  cutoff_m: float = 300.0,
+                  depth: int | None = None) -> DataFrame:
+    """Points with NO edge within ``cutoff_m`` — the spatial anti join.
+
+    The candidate stage is dataset_tag_road's one-candidate-join shape
+    (edge covers padded by the cutoff, points encode to one cell, JVM
+    envelope prefilter, exact vectorized distance), but instead of an
+    argmin the within-cutoff candidates LEFT-ANTI join the point table:
+    no per-point aggregation, no tag-back join — a covered point is
+    dropped on first proof, an uncovered point never shuffles at all
+    beyond the anti join itself. Padded-cover completeness guarantees
+    no false gap: every edge within the cutoff produces its candidate
+    row.
+    """
+    from .tag_road import _dist_udf
+    if depth is None:
+        depth = int(np.clip(cells.depth_for_radius_m(max(cutoff_m, 1.0)),
+                            cells.RES_GRID[7], cells.RES_GRID[10]))
+    edges = edges_df
+    if edge_dataset_id is not None:
+        edges = edges.filter(F.col("dataset_id") == edge_dataset_id)
+
+    env_cols = ["gmin_lon", "gmin_lat", "gmax_lon", "gmax_lat"]
+    padded = (cover_geometry(edges, depth, cutoff_m, out_col="_cov",
+                             with_envelope=True)
+              .withColumn("cell", F.explode("_cov"))
+              .select("cell", "edge_id", *env_cols, "geometry"))
+    pad_lon = cutoff_m / cells.M_PER_DEG_LON_EQ * (1 + 1e-6) + 1e-9
+    pad_lat = cutoff_m / cells.M_PER_DEG_LAT * (1 + 1e-6) + 1e-9
+
+    @F.pandas_udf(T.LongType())
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cells.encode(lon.to_numpy(np.float64),
+                                      lat.to_numpy(np.float64), depth))
+
+    dist = _dist_udf(None)
+    covered = (points.select(pk, F.col(lon_col).alias("_lon"),
+                             F.col(lat_col).alias("_lat"))
+               .withColumn("cell", _enc.asNondeterministic()(
+                   F.col("_lon"), F.col("_lat")))
+               .join(padded, "cell").drop("cell")
+               .filter((F.col("_lon") >= F.col("gmin_lon") - pad_lon)
+                       & (F.col("_lon") <= F.col("gmax_lon") + pad_lon)
+                       & (F.col("_lat") >= F.col("gmin_lat") - pad_lat)
+                       & (F.col("_lat") <= F.col("gmax_lat") + pad_lat))
+               .withColumn("_d", dist(F.col("_lon"), F.col("_lat"),
+                                      F.col("geometry")))
+               .filter(F.col("_d") <= cutoff_m)
+               .select(pk))
+    return points.join(covered, pk, "left_anti")

@@ -1,0 +1,215 @@
+"""Trajectory operators (operators/trajectory.py): map-match hysteresis
+semantics, map-only vs distributed candidate-stage parity, exact-integer
+trip geometry, OD endpoint selection, and the coverage anti join."""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from tdei_backend_service_spark.core import cells, geom, join as J
+from tdei_backend_service_spark.core.schema import EDGES_SCHEMA, ZONES_SCHEMA
+from tdei_backend_service_spark.operators.trajectory import (
+    coverage_gaps, map_match, od_matrix, trip_geo_stats)
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+_PING_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("ts", T.TimestampNTZType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("lon", T.DoubleType()),
+    T.StructField("lat", T.DoubleType()),
+])
+
+
+def _pings(spark, rows):
+    return spark.createDataFrame(rows, _PING_SCHEMA)
+
+
+def _edges(spark, lats, lon0=0.0, lon1=1.0):
+    """One horizontal edge per entry of ``lats`` (edge_id = index)."""
+    rows = [(k, 2 * k, 2 * k + 1,
+             geom.wkb_linestring([(lon0, la), (lon1, la)]),
+             {}, "t-edges") for k, la in enumerate(lats)]
+    return spark.createDataFrame(rows, EDGES_SCHEMA)
+
+
+def _rect_zone(spark, zid, x0, y0, x1, y1):
+    return (zid, [0, 1, 2, 3],
+            geom.wkb_polygon([(x0, y0), (x1, y0), (x1, y1),
+                              (x0, y1), (x0, y0)]),
+            {}, "t-zones")
+
+
+# ---------------------------------------------------------------------------
+# map_match
+# ---------------------------------------------------------------------------
+
+def _mm_rows(spark, rows, edges, **kw):
+    out = map_match(_pings(spark, rows), edges, "t-edges", **kw)
+    return {r["event_id"]: r for r in out.collect()}
+
+
+def test_map_match_hysteresis_absorbs_flap(spark):
+    # two parallel edges 200 m apart (0.0018095... deg); pings alternate
+    # slightly nearer one then the other, always within keep_within of
+    # the previous nearest -> matched never flaps off edge 0
+    la0, la1 = 47.0, 47.0 + 200.0 / cells.M_PER_DEG_LAT
+    edges = _edges(spark, [la0, la1])
+    mid = (la0 + la1) / 2
+    eps = 5.0 / cells.M_PER_DEG_LAT  # 5 m
+    rows = [
+        (1, _ts(0), 10, 0.5, la0 + eps),   # nearest 0 (on top of it)
+        (1, _ts(1), 11, 0.5, mid + eps),   # nearest 1 by 5 m, prev=0 at ~105 m
+        (1, _ts(2), 12, 0.5, mid - eps),   # nearest 0 again
+        (1, _ts(3), 13, 0.5, la1),         # ON edge 1; prev nearest=0 at 200 m
+    ]
+    out = _mm_rows(spark, rows, edges, cutoff_m=500.0, keep_within_m=150.0)
+    assert [out[k]["nearest_edge_id"] for k in (10, 11, 12, 13)] == [0, 1, 0, 1]
+    # 11 keeps prev nearest 0 (105 m <= 150); 12's prev nearest is 1
+    # (95 m <= 150) so it keeps 1; 13's prev nearest 0 is 200 m > 150
+    assert [out[k]["matched_edge_id"] for k in (10, 11, 12, 13)] == [0, 0, 1, 1]
+
+
+def test_map_match_no_candidates_and_cross_user(spark):
+    edges = _edges(spark, [47.0])
+    far = 47.0 + 5000.0 / cells.M_PER_DEG_LAT
+    rows = [
+        (1, _ts(0), 1, 0.5, 47.0),
+        (1, _ts(1), 2, 0.5, far),        # no edge within cutoff
+        (1, _ts(2), 3, 0.5, 47.0),       # prev NEAREST is null -> own nearest
+        (2, _ts(0), 4, 0.5, 47.0),       # window is per user
+    ]
+    out = _mm_rows(spark, rows, edges, cutoff_m=1000.0)
+    assert out[2]["nearest_edge_id"] is None
+    assert out[2]["matched_edge_id"] is None
+    assert out[2]["n_cand"] == 0
+    assert out[3]["matched_edge_id"] == 0
+    assert out[4]["matched_edge_id"] == 0
+
+
+def test_map_match_keep_within_must_not_exceed_cutoff(spark):
+    edges = _edges(spark, [47.0])
+    with pytest.raises(ValueError):
+        map_match(_pings(spark, []), edges, "t-edges",
+                  cutoff_m=100.0, keep_within_m=200.0)
+
+
+def test_map_match_distributed_parity(spark, monkeypatch):
+    # forcing the cover cap to 0 rejects the broadcast path; the
+    # distributed candidate join must produce identical output
+    lats = [47.0 + k * 0.002 for k in range(5)]
+    edges = _edges(spark, lats)
+    rows = [(i % 3, _ts(i), i, 0.3 + (i % 7) * 0.05,
+             47.0 + ((i * 37) % 100) / 10_000.0) for i in range(60)]
+    kw = dict(cutoff_m=400.0, keep_within_m=250.0)
+    fast = _mm_rows(spark, rows, edges, **kw)
+    monkeypatch.setattr(J, "BROADCAST_GEOM_MAX_ROWS", 0)
+    slow = _mm_rows(spark, rows, edges, **kw)
+    assert fast.keys() == slow.keys()
+    for k in fast:
+        for c in ("nearest_edge_id", "matched_edge_id", "n_cand"):
+            assert fast[k][c] == slow[k][c], (k, c)
+
+
+# ---------------------------------------------------------------------------
+# trip_geo_stats
+# ---------------------------------------------------------------------------
+
+def test_trip_geo_stats_exact_integer_length(spark):
+    # step length replicated with the exact same float expression; the
+    # session boundary contributes no step
+    rows = [
+        (1, _ts(0), 1, 0.0, 47.0),
+        (1, _ts(1), 2, 0.001, 47.0),      # pure dx
+        (1, _ts(2), 3, 0.001, 47.002),    # pure dy
+        (1, _ts(59, 59), 4, 0.5, 47.5),   # gap > 600 s -> new session
+        (2, _ts(0), 5, 0.0, 0.0),
+    ]
+    out = {(r["user_id"], r["session_seq"]): r
+           for r in trip_geo_stats(_pings(spark, rows), gap_s=600).collect()}
+
+    def step(dlon, dlat):
+        dx, dy = dlon * 111320.0, dlat * 110540.0
+        return math.floor(math.sqrt(dx * dx + dy * dy) * 1000.0)
+
+    s1 = out[(1, 1)]
+    assert s1["n_pings"] == 3 and s1["first_ping"] == 1
+    assert s1["span_us"] == 120_000_000
+    assert s1["len_mm"] == (step(0.001 - 0.0, 0.0)
+                            + step(0.001 - 0.001, 47.002 - 47.0))
+    assert out[(1, 2)]["len_mm"] == 0 and out[(1, 2)]["n_pings"] == 1
+    assert out[(2, 1)]["len_mm"] == 0
+
+
+def test_trip_geo_stats_single_exchange(spark):
+    rows = [(i % 3, _ts(i % 50), i, float(i) / 1000.0, 47.0)
+            for i in range(120)]
+    plan = trip_geo_stats(_pings(spark, rows))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# od_matrix
+# ---------------------------------------------------------------------------
+
+def test_od_matrix_endpoints_and_zone_drop(spark):
+    # city-scale zones (0.05 deg) so the default cell depth covers them
+    zones = spark.createDataFrame(
+        [_rect_zone(spark, 0, 0.0, 0.0, 0.05, 0.05),
+         _rect_zone(spark, 1, 0.1, 0.0, 0.15, 0.05)], ZONES_SCHEMA)
+    rows = [
+        # trip A: zone 0 -> zone 1 (middle ping is noise)
+        (1, _ts(0), 1, 0.025, 0.025),
+        (1, _ts(1), 2, 0.075, 0.025),
+        (1, _ts(2), 3, 0.125, 0.025),
+        # trip B (new session): stays in zone 1
+        (1, _ts(40), 4, 0.105, 0.025), (1, _ts(41), 5, 0.145, 0.025),
+        # trip C: destination outside every zone -> dropped
+        (2, _ts(0), 6, 0.025, 0.025), (2, _ts(1), 7, 0.9, 0.9),
+        # trip D: another 0 -> 1
+        (3, _ts(0), 8, 0.005, 0.005), (3, _ts(1), 9, 0.105, 0.045),
+    ]
+    out = {(r["o_zone"], r["d_zone"]): r["n_trips"]
+           for r in od_matrix(_pings(spark, rows), zones, "t-zones",
+                              gap_s=600).collect()}
+    assert out == {(0, 1): 2, (1, 1): 1}
+
+
+def test_od_matrix_ts_tie_breaks_by_id(spark):
+    # identical timestamps: (ts, event_id) is the total order, so the
+    # smallest id is the origin and the largest the destination
+    zones = spark.createDataFrame(
+        [_rect_zone(spark, 0, 0.0, 0.0, 0.05, 0.05),
+         _rect_zone(spark, 1, 0.1, 0.0, 0.15, 0.05)], ZONES_SCHEMA)
+    rows = [(1, _ts(0), 5, 0.125, 0.025), (1, _ts(0), 3, 0.025, 0.025)]
+    out = od_matrix(_pings(spark, rows), zones, "t-zones").collect()
+    assert [(r["o_zone"], r["d_zone"], r["n_trips"]) for r in out] \
+        == [(0, 1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# coverage_gaps
+# ---------------------------------------------------------------------------
+
+def test_coverage_gaps_anti_join(spark):
+    edges = _edges(spark, [47.0])
+    near = 47.0 + 100.0 / cells.M_PER_DEG_LAT
+    far = 47.0 + 900.0 / cells.M_PER_DEG_LAT
+    off_lon = 47.0  # beside the segment's lon span: nearest point is
+    # the endpoint (1.0, 47.0), ~110 km away -> a gap
+    rows = [(1, _ts(0), 1, 0.5, near), (1, _ts(1), 2, 0.5, far),
+            (1, _ts(2), 3, 2.0, off_lon)]
+    out = coverage_gaps(_pings(spark, rows), edges, "t-edges",
+                        pk="event_id", cutoff_m=300.0)
+    assert sorted(r["event_id"] for r in out.collect()) == [2, 3]
+    # wider cutoff covers the 900 m point too
+    out2 = coverage_gaps(_pings(spark, rows), edges, "t-edges",
+                         pk="event_id", cutoff_m=1000.0)
+    assert sorted(r["event_id"] for r in out2.collect()) == [3]
