@@ -282,6 +282,40 @@ def _q_coverage_gaps(spark: SparkSession, sf: str) -> DataFrame:
                             cutoff_m=300.0).select("event_id", "lon", "lat")
 
 
+def _q_trip_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Trajectory polyline decomposition (operators/trajectory.
+    trip_segments): consecutive same-trip ping pairs as directed
+    segments — the shared primitive under the speed raster and the
+    route burn-in. One key exchange; steps crossing a session gap are
+    dropped (both engines apply the identical lag/session rule)."""
+    return TJ.trip_segments(FX.event_pings(spark, sf))
+
+
+def _q_speed_raster(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean-step-speed raster (operators/trajectory.speed_pixels):
+    each trip step lands floor(step_mm * 1e6 / dt_us) mm/s on its
+    destination ping's zoom-17 lattice pixel (z13 tiles at 16 px);
+    the pixel value n is the pure-integer DIV mean clipped at 255 —
+    every op is exact-int or the proven IEEE step expression, so the
+    full layer sits under the hash oracle."""
+    return TJ.speed_pixels(FX.event_pings(spark, sf), TILE_Z - 2,
+                           RASTER_PX)
+
+
+def _q_route_raster(spark: SparkSession, sf: str) -> DataFrame:
+    """Route-density burn-in (operators/raster.segment_pixels): trip
+    segments DDA-sample the CONTINUOUS pixel lattice (tile formula
+    without the floor, cells.tile_float_expr), pixels dedup per
+    segment, coverage counts render through the real PNG
+    encode->decode (decode_tile_stats) — line rasterization joins
+    points (pixel_counts) and areas (rasterize_zones) under the same
+    decoded-stats oracle."""
+    from tdei_backend_service_spark.operators import raster
+    segs = TJ.trip_segments(FX.event_pings(spark, sf))
+    pix = raster.segment_pixels(segs, TILE_Z - 2, RASTER_PX)
+    return raster.decode_tile_stats(raster.encode_tiles(pix, RASTER_PX))
+
+
 def _q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return TX.with_token_counts(docs).select(
@@ -1422,6 +1456,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trip_stats": _q_trip_stats,
         "od_matrix": _q_od_matrix,
         "coverage_gaps": _q_coverage_gaps,
+        # trajectory x raster: step segments, speed heat-map layer, and
+        # the DDA route burn-in through the real PNG encode/decode
+        "trip_segments": _q_trip_segments,
+        "speed_raster": _q_speed_raster,
+        "route_raster": _q_route_raster,
         "token_count": _q_token_count,
         "text_quality": _q_quality,
         "langid": _q_langid,
@@ -1525,6 +1564,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming front end of the live tile layer
         "streaming_tiles": _q_streaming_tiles,
     }
+
+
+# zoom-17 lattice (z13 tiles at 16 px) used by the trajectory rasters
+_N_SEG = 1 << 17
+
+# shared trajectory-step CTE: the trip_stats lag/session window; a
+# step row exists iff its predecessor ping is in the same session
+_SEGS_SQL = f"""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us,
+             {FX.SQL_LON.format(k="event_id")} AS lon,
+             {FX.SQL_LAT.format(k="event_id")} AS lat
+      FROM events
+      WHERE (event_id * 40503 + 12345) % 5000 <> 0),
+    t AS (
+      SELECT *, LAG(us) OVER w AS prev_us,
+             LAG(lon) OVER w AS lon0,
+             LAG(lat) OVER w AS lat0
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (
+      SELECT *, SUM(CASE WHEN prev_us IS NULL
+                           OR us - prev_us > 21600000000
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM t),
+    seg AS (
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             event_id AS seg_id, lon0, lat0, lon AS lon1, lat AS lat1,
+             CAST(us - prev_us AS BIGINT) AS dt_us
+      FROM s WHERE prev_us IS NOT NULL AND us - prev_us <= 21600000000)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1809,6 +1880,81 @@ def oracle_sql() -> dict[str, str]:
                 WHERE ABS((event_id * 40503 + 12345) % 100000
                           - (5000 + CAST(j.range AS BIGINT) * 10000))
                       <= 2713)
+        """,
+        # shared lag/session rule (same window as trip_stats); a step
+        # exists iff its predecessor is in the same session
+        "trip_segments": _SEGS_SQL + """
+            SELECT * FROM seg
+        """,
+        # destination-pixel speed layer: floor-to-mm, floor-to-mm/s per
+        # step, pure-integer DIV mean per pixel, LEAST-255 clip
+        "speed_raster": _SEGS_SQL + f"""
+            , g AS (
+              SELECT CAST(FLOOR((lon1 + 180.0) / 360.0 * {_N_SEG}) AS BIGINT)
+                       AS gx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat1))
+                         + 1.0 / cos(radians(lat1))) / pi()) / 2.0
+                         * {_N_SEG}) AS BIGINT) AS gy,
+                     CAST(FLOOR(CAST(FLOOR(SQRT(
+                       (lon1 - lon0) * 111320.0 * ((lon1 - lon0) * 111320.0)
+                       + (lat1 - lat0) * 110540.0
+                         * ((lat1 - lat0) * 110540.0)
+                     ) * 1000.0) AS BIGINT) * 1000000.0 / dt_us) AS BIGINT)
+                       AS mmps
+              FROM seg WHERE dt_us > 0),
+            pix AS (
+              SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n_steps,
+                     CAST(SUM(mmps) AS BIGINT) AS sum_mmps
+              FROM g GROUP BY 1, 2)
+            SELECT CAST(13 AS INT) AS z,
+                   CAST(gx // 16 AS INT) AS tile_x,
+                   CAST(gy // 16 AS INT) AS tile_y,
+                   gx, gy,
+                   CAST(gx % 16 AS INT) AS px_x,
+                   CAST(gy % 16 AS INT) AS px_y,
+                   n_steps, sum_mmps,
+                   LEAST(CAST(255 AS BIGINT), sum_mmps // n_steps) AS n
+            FROM pix
+        """,
+        # DDA burn-in: continuous pixel coords, K = ceil(chebyshev
+        # length) lerp steps, floor once per sample, per-segment pixel
+        # dedup, LEAST-255 clip replayed over the decoded PNG stats
+        "route_raster": _SEGS_SQL + f"""
+            , par AS (
+              SELECT seg_id,
+                     (lon0 + 180.0) / 360.0 * {_N_SEG} AS fx0,
+                     (1.0 - ln(tan(radians(lat0))
+                        + 1.0 / cos(radians(lat0))) / pi()) / 2.0
+                        * {_N_SEG} AS fy0,
+                     (lon1 + 180.0) / 360.0 * {_N_SEG} AS fx1,
+                     (1.0 - ln(tan(radians(lat1))
+                        + 1.0 / cos(radians(lat1))) / pi()) / 2.0
+                        * {_N_SEG} AS fy1
+              FROM seg),
+            par2 AS (
+              SELECT *, GREATEST(CAST(1 AS BIGINT),
+                                 CAST(CEIL(GREATEST(ABS(fx1 - fx0),
+                                                    ABS(fy1 - fy0)))
+                                      AS BIGINT)) AS kk
+              FROM par),
+            samp AS (
+              SELECT seg_id,
+                     CAST(FLOOR(fx0 + (fx1 - fx0)
+                       * (CAST(u.k AS DOUBLE) / CAST(kk AS DOUBLE)))
+                       AS BIGINT) AS gx,
+                     CAST(FLOOR(fy0 + (fy1 - fy0)
+                       * (CAST(u.k AS DOUBLE) / CAST(kk AS DOUBLE)))
+                       AS BIGINT) AS gy
+              FROM par2, UNNEST(generate_series(0, kk)) AS u(k)),
+            cov AS (SELECT DISTINCT seg_id, gx, gy FROM samp),
+            pix AS (SELECT gx, gy, COUNT(*) AS n FROM cov GROUP BY 1, 2)
+            SELECT CAST(13 AS INT) AS z,
+                   CAST(gx // 16 AS INT) AS tile_x,
+                   CAST(gy // 16 AS INT) AS tile_y,
+                   CAST(COUNT(*) AS BIGINT) AS nonzero_px,
+                   CAST(SUM(LEAST(n, 255)) AS BIGINT) AS sum_px,
+                   CAST(MAX(LEAST(n, 255)) AS BIGINT) AS max_px
+            FROM pix GROUP BY 1, 2, 3
         """,
         "token_count": r"""
             SELECT doc_id,

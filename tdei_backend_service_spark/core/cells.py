@@ -179,6 +179,26 @@ def encode_expr(lon, lat, depth: int):
     return F.lit(depth << 58).bitwiseOR(code)
 
 
+def tile_float_expr(lon, lat, z: int):
+    """PRE-FLOOR float tile coordinates (fx, fy) at zoom ``z`` — the
+    web-mercator tile formula without the quantizing floor/clamp.
+    Operators that interpolate ALONG the lattice (raster.
+    segment_pixels lerps between segment endpoints in pixel units)
+    need the continuous coordinates so the floor happens once, at the
+    very end of the arithmetic; quantizing the endpoints first would
+    snap the whole segment to its endpoints' pixel centers. Same
+    projection as ``tile_expr`` (never a second one): fx/fy here
+    floored IS tile_expr's (xt, yt) everywhere the clamps don't bind
+    (all fixtures sit mid-latitude / mid-longitude)."""
+    from pyspark.sql import functions as F
+    n = 1 << z
+    la = F.least(F.greatest(lat, F.lit(-85.05112878)), F.lit(85.05112878))
+    fx = (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))
+    fy = ((F.lit(1.0) - F.asinh(F.tan(F.radians(la))) / F.lit(float(np.pi)))
+          / F.lit(2.0) * F.lit(float(n)))
+    return fx, fy
+
+
 def tile_expr(lon, lat, z: int):
     """(tile_x, tile_y, tile_key) Columns at zoom ``z`` (== lonlat_to_tile
     + tile_key). The y formula uses asinh(tan(lat)) like the numpy
@@ -187,10 +207,7 @@ def tile_expr(lon, lat, z: int):
     identical."""
     from pyspark.sql import functions as F
     n = 1 << z
-    la = F.least(F.greatest(lat, F.lit(-85.05112878)), F.lit(85.05112878))
-    fx = (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))
-    fy = ((F.lit(1.0) - F.asinh(F.tan(F.radians(la))) / F.lit(float(np.pi)))
-          / F.lit(2.0) * F.lit(float(n)))
+    fx, fy = tile_float_expr(lon, lat, z)
     xt = F.floor(F.least(F.greatest(fx, F.lit(0.0)), F.lit(float(n) - 0.5)))
     yt = F.floor(F.least(F.greatest(fy, F.lit(0.0)), F.lit(float(n) - 0.5)))
     code = F.shiftleft(_part1by1_expr(yt), 1).bitwiseOR(_part1by1_expr(xt))

@@ -311,6 +311,64 @@ def rasterize_zones(zones: DataFrame, z: int, px: int,
     return _tile_cols(burn, px)
 
 
+def segment_pixels(segs: DataFrame, z: int, px: int, *,
+                   seg_col: str = "seg_id",
+                   lon0_col: str = "lon0", lat0_col: str = "lat0",
+                   lon1_col: str = "lon1", lat1_col: str = "lat1"
+                   ) -> DataFrame:
+    """Burn line segments into the pixel lattice — the LINE side of
+    vector->raster (points: ``pixel_counts``; axis-aligned areas:
+    ``rasterize_zones``). Pixel value n = how many DISTINCT segments
+    touch the pixel, so a route corpus (operators/trajectory.
+    trip_segments) renders as a route-density layer that composes with
+    ``encode_tiles`` / pyramids / ``combine_pixel_counts`` unchanged.
+
+    Rasterization is DDA sampling in CONTINUOUS pixel space: both
+    endpoints project through ``cells.tile_float_expr`` (the tile
+    formula WITHOUT the floor — quantizing endpoints first would snap
+    the segment to pixel centers), the segment lerps over
+    K = max(1, ceil(chebyshev pixel length)) equal steps (step <= 1
+    pixel per axis, so consecutive samples land on the same or an
+    8-adjacent pixel; corner-clipped pixels the ideal supercover
+    includes may be skipped — sampling semantics, documented), and the
+    floor happens ONCE per sample. Every op (lerp, floor, distinct,
+    count) is engine-exact IEEE/integer, so the layer carries a full
+    SQL oracle (generate_series + unnest mirrors F.sequence+explode).
+
+    Scale: pure Catalyst — explode is map-side (work proportional to
+    total burned length, spread over the segment rows' partitions),
+    then a (seg, pixel) distinct and the pixel aggregate, both
+    partially aggregated before their exchange; only narrow int rows
+    shuffle, bounded by total path length in pixels. An ultra-long
+    segment (K ~ 10^6) stays in one input partition — pre-split such
+    segments upstream (trip steps are ping-to-ping, naturally short).
+    """
+    p = _log2_px(px)
+    fx0, fy0 = cells.tile_float_expr(F.col(lon0_col), F.col(lat0_col), z + p)
+    fx1, fy1 = cells.tile_float_expr(F.col(lon1_col), F.col(lat1_col), z + p)
+    b = (segs.select(F.col(seg_col).alias("_sid"),
+                     fx0.alias("_fx0"), fy0.alias("_fy0"),
+                     fx1.alias("_fx1"), fy1.alias("_fy1"))
+         # NB: Spark resolves column names case-insensitively, so the
+         # step counter and step index need distinct spellings
+         .withColumn("_nstep", F.greatest(
+             F.lit(1).cast("long"),
+             F.ceil(F.greatest(F.abs(F.col("_fx1") - F.col("_fx0")),
+                               F.abs(F.col("_fy1") - F.col("_fy0"))))
+             .cast("long")))
+         .withColumn("_i", F.explode(
+             F.sequence(F.lit(0).cast("long"), F.col("_nstep")))))
+    t = F.col("_i").cast("double") / F.col("_nstep").cast("double")
+    gx = F.floor(F.col("_fx0") + (F.col("_fx1") - F.col("_fx0")) * t)
+    gy = F.floor(F.col("_fy0") + (F.col("_fy1") - F.col("_fy0")) * t)
+    cov = (b.select("_sid", gx.cast("long").alias("gx"),
+                    gy.cast("long").alias("gy"))
+           .distinct()
+           .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("n"))
+           .select(F.lit(int(z)).cast("int").alias("z"), "gx", "gy", "n"))
+    return _tile_cols(cov, px)
+
+
 def zonal_stats(pix: DataFrame, zones: DataFrame, px: int,
                 value_col: str = "v") -> DataFrame:
     """Zonal statistics over a pixel-value relation: per-zone pixel

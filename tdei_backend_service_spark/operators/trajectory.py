@@ -52,7 +52,8 @@ from ..core import cells, geom
 from ..core.ingest import cover_geometry
 from .temporal import _us, sessionize
 
-__all__ = ["map_match", "trip_geo_stats", "od_matrix", "coverage_gaps"]
+__all__ = ["map_match", "trip_geo_stats", "od_matrix", "coverage_gaps",
+           "trip_segments", "speed_pixels"]
 
 
 # ---------------------------------------------------------------------------
@@ -286,6 +287,96 @@ def trip_geo_stats(pings: DataFrame, *,
                  F.min(id_col).alias("first_ping"),
                  (F.max(us) - F.min(us)).cast("long").alias("span_us"),
                  F.sum("_step_mm").cast("long").alias("len_mm")))
+
+
+def trip_segments(pings: DataFrame, *,
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id",
+                  lon_col: str = "lon", lat_col: str = "lat",
+                  gap_s: int = 21600) -> DataFrame:
+    """Consecutive same-trip ping pairs as directed segments — the
+    polyline form of a trajectory, ready for raster burn-in
+    (operators/raster.segment_pixels) or any per-step analysis.
+
+    Output: one row per step (key, session_seq, seg_id, lon0, lat0,
+    lon1, lat1, dt_us) where ``seg_id`` is the DESTINATION ping's id
+    (unique across the corpus because ping ids are) and ``dt_us`` the
+    integer step duration. Steps that cross a session gap are dropped
+    — a trip's polyline never spans the gap, matching trip_geo_stats'
+    len_mm accounting (same window, same session rule).
+
+    Plan: the ONE unavoidable exchange on ``key_col`` (any engine must
+    co-locate a trajectory to order it) feeds sessionize, every lag,
+    and the same-session filter; downstream consumers see a plain
+    narrow relation."""
+    s = sessionize(pings, key_col, ts_col, id_col, gap_s)
+    us = _us(pings, ts_col)
+    w = Window.partitionBy(key_col).orderBy(us.asc(), F.col(id_col).asc())
+    same = F.lag(F.col("session_seq")).over(w) == F.col("session_seq")
+    return (s.select(F.col(key_col), F.col("session_seq"),
+                     F.col(id_col).alias("seg_id"),
+                     F.lag(F.col(lon_col)).over(w).alias("lon0"),
+                     F.lag(F.col(lat_col)).over(w).alias("lat0"),
+                     F.col(lon_col).alias("lon1"),
+                     F.col(lat_col).alias("lat1"),
+                     (us - F.lag(us).over(w)).cast("long").alias("dt_us"),
+                     same.alias("_same"))
+            .filter(F.col("_same")).drop("_same"))
+
+
+def speed_pixels(pings: DataFrame, z: int, px: int, *,
+                 speed_div: int = 1, gap_s: int = 21600,
+                 key_col: str = "user_id", ts_col: str = "ts",
+                 id_col: str = "event_id",
+                 lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Mean-step-speed raster: every trip step lands its integer speed
+    (mm/s, the trip_geo_stats planar-mm scale over the exact integer
+    dt_us) on the DESTINATION ping's lattice pixel; the pixel value is
+    the floored mean over steps, scaled by ``speed_div`` and clipped
+    at 255 — a speed heat-map layer that composes with encode_tiles /
+    zonal_stats / combine_pixel_counts exactly like a density layer
+    (it emits the same (z, …, n) relation, n = the pixel VALUE).
+
+    All arithmetic is integer-or-exact-double (each step floors to mm
+    and to mm/s BEFORE aggregation; the mean is pure integer DIV over
+    the summed mm/s), so the layer is independent of partitioning and
+    engine. Zero-length steps keep speed 0; zero-DURATION steps
+    (same-timestamp fixes) are dropped — speed is undefined, and both
+    engines must agree on the drop rather than divide by zero.
+
+    Plan: the trajectory exchange (trip_segments) then ONE pixel
+    aggregate — identical shape to pixel_counts plus the window."""
+    from .raster import _log2_px
+    p = _log2_px(px)
+    speed_div = int(speed_div)
+    if speed_div < 1:
+        raise ValueError("speed_div must be a positive integer")
+    segs = trip_segments(pings, key_col=key_col, ts_col=ts_col,
+                         id_col=id_col, lon_col=lon_col, lat_col=lat_col,
+                         gap_s=gap_s).filter(F.col("dt_us") > 0)
+    dx = (F.col("lon1") - F.col("lon0")) * F.lit(cells.M_PER_DEG_LON_EQ)
+    dy = (F.col("lat1") - F.col("lat0")) * F.lit(cells.M_PER_DEG_LAT)
+    step_mm = F.floor(F.sqrt(dx * dx + dy * dy) * F.lit(1000.0))
+    mmps = F.floor((step_mm * F.lit(1000000.0)) / F.col("dt_us"))
+    gx, gy, _ = cells.tile_expr(F.col("lon1"), F.col("lat1"), z + p)
+    return (segs.select(gx.cast("long").alias("gx"),
+                        gy.cast("long").alias("gy"),
+                        mmps.cast("long").alias("_mmps"))
+            .groupBy("gx", "gy")
+            .agg(F.count(F.lit(1)).alias("n_steps"),
+                 F.sum("_mmps").alias("sum_mmps"))
+            .select(F.lit(int(z)).cast("int").alias("z"),
+                    (F.col("gx") / px).cast("int").alias("tile_x"),
+                    (F.col("gy") / px).cast("int").alias("tile_y"),
+                    "gx", "gy",
+                    (F.col("gx") % px).cast("int").alias("px_x"),
+                    (F.col("gy") % px).cast("int").alias("px_y"),
+                    F.col("n_steps").cast("long").alias("n_steps"),
+                    F.col("sum_mmps").cast("long").alias("sum_mmps"),
+                    F.least(
+                        F.lit(255).cast("long"),
+                        F.expr(f"(sum_mmps DIV n_steps) DIV {speed_div}")
+                        .cast("long")).alias("n")))
 
 
 # ---------------------------------------------------------------------------

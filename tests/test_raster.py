@@ -321,3 +321,93 @@ def test_rasterize_zones_overlap_sums_weights(spark):
     assert got[(11, 20)] == 2 and got[(11, 21)] == 2
     assert got[(10, 20)] == 1 and got[(11, 22)] == 1
     assert sum(got.values()) == 6 + 3
+
+
+# ---------------------------------------------------------------------------
+# segment_pixels (line burn-in)
+# ---------------------------------------------------------------------------
+
+def _ref_segment_cover(fx0, fy0, fx1, fy1):
+    """python replica of the DDA sampling rule."""
+    import math
+    kk = max(1, math.ceil(max(abs(fx1 - fx0), abs(fy1 - fy0))))
+    return {(math.floor(fx0 + (fx1 - fx0) * (k / kk)),
+             math.floor(fy0 + (fy1 - fy0) * (k / kk)))
+            for k in range(kk + 1)}
+
+
+def _fpix(lon, lat, zp):
+    import math
+    n = 1 << zp
+    return ((lon + 180.0) / 360.0 * n,
+            (1.0 - math.asinh(math.tan(math.radians(lat))) / math.pi)
+            / 2.0 * n)
+
+
+def _segs_df(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["seg_id", "lon0", "lat0",
+                                      "lon1", "lat1"])
+    return spark.createDataFrame(pdf)
+
+
+def test_segment_pixels_matches_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        lon0, lon1 = rng.uniform(0.0, 0.05, 2)
+        lat0, lat1 = 47.0 + rng.uniform(0.0, 0.05, 2)
+        rows.append((i, lon0, lat0, lon1, lat1))
+    rows.append((40, 0.01, 47.01, 0.01, 47.01))       # zero length
+    rows.append((41, rows[0][1], rows[0][2], rows[0][3], rows[0][4]))
+    # ^ duplicate geometry under a second id -> pixel n must count 2
+    out = raster.segment_pixels(_segs_df(spark, rows), Z, PX)
+    exp: dict[tuple, int] = {}
+    for sid, lon0, lat0, lon1, lat1 in rows:
+        fx0, fy0 = _fpix(lon0, lat0, ZP)
+        fx1, fy1 = _fpix(lon1, lat1, ZP)
+        for p in _ref_segment_cover(fx0, fy0, fx1, fy1):
+            exp[p] = exp.get(p, 0) + 1
+    got = {(r["gx"], r["gy"]): r["n"] for r in out.collect()}
+    assert got == exp
+    # both endpoint pixels of every segment are always covered
+    for sid, lon0, lat0, lon1, lat1 in rows:
+        fx0, fy0 = _fpix(lon0, lat0, ZP)
+        fx1, fy1 = _fpix(lon1, lat1, ZP)
+        assert (int(np.floor(fx0)), int(np.floor(fy0))) in got
+        assert (int(np.floor(fx1)), int(np.floor(fy1))) in got
+
+
+def test_segment_pixels_cover_is_8_connected(spark):
+    # consecutive DDA samples move <= 1 pixel per axis, so a segment's
+    # cover always contains an 8-connected endpoint-to-endpoint chain
+    # (zoom-17 lattice so the fixture lines span long pixel chains)
+    Z2, ZP2 = 13, 17
+    rows = [(0, 0.0, 47.0, 0.049, 47.001),   # shallow long line
+            (1, 0.001, 47.002, 0.002, 47.049)]  # steep long line
+    for sid, lon0, lat0, lon1, lat1 in rows:
+        fx0, fy0 = _fpix(lon0, lat0, ZP2)
+        fx1, fy1 = _fpix(lon1, lat1, ZP2)
+        import math
+        kk = max(1, math.ceil(max(abs(fx1 - fx0), abs(fy1 - fy0))))
+        pts = [(math.floor(fx0 + (fx1 - fx0) * (k / kk)),
+                math.floor(fy0 + (fy1 - fy0) * (k / kk)))
+               for k in range(kk + 1)]
+        assert kk > 10  # the fixture really exercises long chains
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            assert abs(x1 - x0) <= 1 and abs(y1 - y0) <= 1
+    out = raster.segment_pixels(_segs_df(spark, rows), Z2, PX)
+    exp = set()
+    for sid, lon0, lat0, lon1, lat1 in rows:
+        fx0, fy0 = _fpix(lon0, lat0, ZP2)
+        fx1, fy1 = _fpix(lon1, lat1, ZP2)
+        exp |= _ref_segment_cover(fx0, fy0, fx1, fy1)
+    assert {(r["gx"], r["gy"]) for r in out.collect()} == exp
+
+
+def test_segment_pixels_two_exchanges(spark):
+    rows = [(i, 0.001 * i, 47.0, 0.001 * i + 0.01, 47.01)
+            for i in range(20)]
+    plan = raster.segment_pixels(_segs_df(spark, rows), Z, PX) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # per-segment pixel distinct + the pixel aggregate, nothing more
+    assert plan.count("Exchange hashpartitioning") == 2, plan

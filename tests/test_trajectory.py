@@ -213,3 +213,90 @@ def test_coverage_gaps_anti_join(spark):
     out2 = coverage_gaps(_pings(spark, rows), edges, "t-edges",
                          pk="event_id", cutoff_m=1000.0)
     assert sorted(r["event_id"] for r in out2.collect()) == [3]
+
+
+# ---------------------------------------------------------------------------
+# trip_segments / speed_pixels
+# ---------------------------------------------------------------------------
+
+def test_trip_segments_steps_and_session_gap(spark):
+    from tdei_backend_service_spark.operators.trajectory import trip_segments
+    rows = [
+        (1, _ts(0), 1, 0.0, 47.0),
+        (1, _ts(1), 2, 0.001, 47.0),
+        (1, _ts(2), 3, 0.001, 47.002),
+        (1, _ts(59, 59), 4, 0.5, 47.5),   # gap > 600 s -> no step
+        (2, _ts(0), 5, 0.0, 0.0),         # lone ping -> no step
+    ]
+    segs = {r["seg_id"]: r for r in
+            trip_segments(_pings(spark, rows), gap_s=600).collect()}
+    assert sorted(segs) == [2, 3]
+    s2 = segs[2]
+    assert (s2["lon0"], s2["lat0"], s2["lon1"], s2["lat1"]) \
+        == (0.0, 47.0, 0.001, 47.0)
+    assert s2["dt_us"] == 60_000_000 and s2["session_seq"] == 1
+
+    # step sum reconstructs trip_geo_stats len_mm (same rule, same trip)
+    def step(dlon, dlat):
+        dx, dy = dlon * 111320.0, dlat * 110540.0
+        return math.floor(math.sqrt(dx * dx + dy * dy) * 1000.0)
+
+    stats = {(r["user_id"], r["session_seq"]): r["len_mm"] for r in
+             trip_geo_stats(_pings(spark, rows), gap_s=600).collect()}
+    got = sum(step(r["lon1"] - r["lon0"], r["lat1"] - r["lat0"])
+              for r in segs.values())
+    assert got == stats[(1, 1)]
+
+
+def _ref_pix(lon, lat, zp):
+    n = 1 << zp
+    fx = (lon + 180.0) / 360.0 * n
+    fy = (1.0 - math.asinh(math.tan(math.radians(lat))) / math.pi) / 2.0 * n
+    return math.floor(fx), math.floor(fy)
+
+
+def test_speed_pixels_matches_bruteforce(spark):
+    from tdei_backend_service_spark.operators.trajectory import speed_pixels
+    # pseudo-random walk per user incl. a zero-duration pair (dropped)
+    rows = []
+    eid = 0
+    for u in range(3):
+        for i in range(20):
+            eid += 1
+            lon = ((eid * 2654435761) % 10000) / 1e6
+            lat = 47.0 + ((eid * 40503 + 12345) % 10000) / 1e6
+            sec = i * 60 + (u * 17) % 30
+            if i == 10:
+                sec -= 60  # duplicate timestamp with the previous fix
+            rows.append((u, _ts(sec // 60, sec % 60), eid, lon, lat))
+    zp = 13 + 4
+    # python reference: per-user (ts, id) order, same-session steps
+    exp: dict[tuple, list] = {}
+    by_u: dict[int, list] = {}
+    for u, ts, e, lon, lat in rows:
+        by_u.setdefault(u, []).append((ts, e, lon, lat))
+    for u, fixes in by_u.items():
+        fixes.sort()
+        for (t0, _, lo0, la0), (t1, e1, lo1, la1) in zip(fixes, fixes[1:]):
+            dt = int((t1 - t0).total_seconds() * 1e6)
+            if dt <= 0:
+                continue
+            dx, dy = (lo1 - lo0) * 111320.0, (la1 - la0) * 110540.0
+            mm = math.floor(math.sqrt(dx * dx + dy * dy) * 1000.0)
+            mmps = math.floor(mm * 1e6 / dt)
+            exp.setdefault(_ref_pix(lo1, la1, zp), []).append(mmps)
+    out = speed_pixels(_pings(spark, rows), 13, 16, gap_s=21600,
+                       speed_div=16).collect()
+    assert {(r["gx"], r["gy"]) for r in out} == set(exp)
+    for r in out:
+        v = exp[(r["gx"], r["gy"])]
+        assert r["n_steps"] == len(v) and r["sum_mmps"] == sum(v)
+        assert r["n"] == min(255, (sum(v) // len(v)) // 16)
+        assert (r["tile_x"], r["tile_y"]) == (r["gx"] // 16, r["gy"] // 16)
+        assert (r["px_x"], r["px_y"]) == (r["gx"] % 16, r["gy"] % 16)
+
+
+def test_speed_pixels_rejects_bad_div(spark):
+    from tdei_backend_service_spark.operators.trajectory import speed_pixels
+    with pytest.raises(ValueError, match="speed_div"):
+        speed_pixels(_pings(spark, []), 13, 16, speed_div=0)
