@@ -316,6 +316,27 @@ def _q_route_raster(spark: SparkSession, sf: str) -> DataFrame:
     return raster.decode_tile_stats(raster.encode_tiles(pix, RASTER_PX))
 
 
+def _q_stay_points(spark: SparkSession, sf: str) -> DataFrame:
+    """Dwell detection (operators/trajectory.stay_points): maximal
+    linked-step runs (every step <= 3 km of its predecessor, floored
+    integer millimeters vs an integer threshold) spanning >= 12 h.
+    One window pass — the sessionize cumsum trick applied to space."""
+    return TJ.stay_points(FX.event_pings(spark, sf), radius_m=3000.0,
+                          min_duration_s=43_200)
+
+
+def _q_co_location(spark: SparkSession, sf: str) -> DataFrame:
+    """Space-time encounter join (operators/trajectory.co_location):
+    ping pairs of different users within 3 km AND 30 min, aggregated
+    per user pair. Candidates via the padded 4-corner cell cover x a
+    +-1 time-bucket triple; refine is exact integer |dt| and floored-mm
+    distance, so the engine's banded join and the oracle's lattice
+    bucketing provably produce the same pair set (brute-force-verified
+    at sf0.001/sf0.01)."""
+    return TJ.co_location(FX.event_pings(spark, sf), radius_m=3000.0,
+                          window_s=1800)
+
+
 def _q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return TX.with_token_counts(docs).select(
@@ -1461,6 +1482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trip_segments": _q_trip_segments,
         "speed_raster": _q_speed_raster,
         "route_raster": _q_route_raster,
+        # dwell detection + the space-time encounter self-join
+        "stay_points": _q_stay_points,
+        "co_location": _q_co_location,
         "token_count": _q_token_count,
         "text_quality": _q_quality,
         "langid": _q_langid,
@@ -1955,6 +1979,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(LEAST(n, 255)) AS BIGINT) AS sum_px,
                    CAST(MAX(LEAST(n, 255)) AS BIGINT) AS max_px
             FROM pix GROUP BY 1, 2, 3
+        """,
+        # linked-step dwell: same cumsum-of-breaks window as trip_stats
+        # but keyed on the floored-mm step threshold
+        "stay_points": f"""
+            WITH p AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     {FX.SQL_LON.format(k="event_id")} AS lon,
+                     {FX.SQL_LAT.format(k="event_id")} AS lat
+              FROM events
+              WHERE (event_id * 40503 + 12345) % 5000 <> 0),
+            t AS (
+              SELECT *, LAG(us) OVER w AS prev_us,
+                     LAG(lon) OVER w AS lon0, LAG(lat) OVER w AS lat0
+              FROM p WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY us, event_id)),
+            m AS (
+              SELECT *, SUM(CASE WHEN prev_us IS NULL
+                                   OR CAST(FLOOR(SQRT(
+                                        (lon - lon0) * 111320.0
+                                          * ((lon - lon0) * 111320.0)
+                                        + (lat - lat0) * 110540.0
+                                          * ((lat - lat0) * 110540.0)
+                                      ) * 1000.0) AS BIGINT) > 3000000
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS dwell_seq
+              FROM t)
+            SELECT user_id, CAST(dwell_seq AS BIGINT) AS dwell_seq,
+                   COUNT(*) AS n_pings,
+                   CAST(MIN(us) AS BIGINT) AS start_us,
+                   CAST(MAX(us) AS BIGINT) AS end_us,
+                   CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+                   MIN(event_id) AS anchor_id,
+                   arg_min(lon, event_id) AS lon,
+                   arg_min(lat, event_id) AS lat
+            FROM m GROUP BY 1, 2
+            HAVING MAX(us) - MIN(us) >= 43200000000
+        """,
+        # encounter join: candidates from a 0.03-deg lattice x +-1
+        # buckets (any complete scheme yields the same refined set);
+        # refine = integer |dt| + floored-mm distance
+        "co_location": f"""
+            WITH p AS (
+              SELECT *, CAST(FLOOR(lon / 0.03) AS BIGINT) AS bx,
+                     CAST(FLOOR(lat / 0.03) AS BIGINT) AS by2,
+                     us // 1800000000 AS bt
+              FROM (
+                SELECT event_id, user_id, epoch_us(ts) AS us,
+                       {FX.SQL_LON.format(k="event_id")} AS lon,
+                       {FX.SQL_LAT.format(k="event_id")} AS lat
+                FROM events
+                WHERE (event_id * 40503 + 12345) % 5000 <> 0)),
+            a AS (
+              SELECT p.*, bx + dx.d AS jbx, by2 + dy.d AS jby,
+                     bt + dt.d AS jbt
+              FROM p, UNNEST([-1, 0, 1]) dx(d), UNNEST([-1, 0, 1]) dy(d),
+                   UNNEST([-1, 0, 1]) dt(d)),
+            pr AS (
+              SELECT a.user_id AS user_a, b.user_id AS user_b,
+                     a.us AS usa, b.us AS usb
+              FROM a JOIN p b ON a.jbx = b.bx AND a.jby = b.by2
+                             AND a.jbt = b.bt
+              WHERE a.user_id < b.user_id
+                AND ABS(a.us - b.us) <= 1800000000
+                AND CAST(FLOOR(SQRT(
+                      (b.lon - a.lon) * 111320.0
+                        * ((b.lon - a.lon) * 111320.0)
+                      + (b.lat - a.lat) * 110540.0
+                        * ((b.lat - a.lat) * 110540.0)
+                    ) * 1000.0) AS BIGINT) <= 3000000)
+            SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_encounters,
+                   CAST(MIN(LEAST(usa, usb)) AS BIGINT) AS first_us,
+                   CAST(MAX(GREATEST(usa, usb)) AS BIGINT) AS last_us
+            FROM pr GROUP BY 1, 2
         """,
         "token_count": r"""
             SELECT doc_id,

@@ -53,7 +53,7 @@ from ..core.ingest import cover_geometry
 from .temporal import _us, sessionize
 
 __all__ = ["map_match", "trip_geo_stats", "od_matrix", "coverage_gaps",
-           "trip_segments", "speed_pixels"]
+           "trip_segments", "speed_pixels", "stay_points", "co_location"]
 
 
 # ---------------------------------------------------------------------------
@@ -377,6 +377,143 @@ def speed_pixels(pings: DataFrame, z: int, px: int, *,
                         F.lit(255).cast("long"),
                         F.expr(f"(sum_mmps DIV n_steps) DIV {speed_div}")
                         .cast("long")).alias("n")))
+
+
+def stay_points(pings: DataFrame, *, radius_m: float = 100.0,
+                min_duration_s: int = 300, max_gap_s: int | None = None,
+                key_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id",
+                lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Dwell (stop) detection: maximal runs of consecutive pings where
+    every step stays within ``radius_m`` of its predecessor (and, when
+    ``max_gap_s`` is set, within that time gap), kept when the run
+    spans at least ``min_duration_s`` — where a collector lingered,
+    the stop-extraction pass every trajectory pipeline runs before
+    OD/visit analysis.
+
+    This is the LINKED-STEP dwell rule (each ping near its
+    predecessor), not anchor-radius: a slow drift whose individual
+    steps stay under the radius chains into one dwell. The linked rule
+    is one window pass (cumsum of step-breaks — the sessionize trick
+    applied to space) and therefore exact in any engine; anchor-radius
+    needs a sequential scan. Steps compare in floored integer
+    millimeters against an integer threshold, so both engines agree at
+    every boundary.
+
+    Output per dwell: (key, dwell_seq, n_pings, start_us, end_us,
+    span_us, anchor_id, lon, lat) — anchor is the dwell's smallest
+    ping id (ids are unique, so min is deterministic), coords are that
+    ping's. Plan: ONE key exchange (the trajectory window) + the
+    group-by on the same key (no second exchange needed by semantics;
+    Catalyst reuses the partitioning)."""
+    radius_mm = int(round(float(radius_m) * 1000.0))
+    dur_us = int(min_duration_s) * 1_000_000
+    us = _us(pings, ts_col)
+    w = Window.partitionBy(key_col).orderBy(us.asc(), F.col(id_col).asc())
+    dx = (F.col(lon_col) - F.lag(F.col(lon_col)).over(w)) \
+        * F.lit(cells.M_PER_DEG_LON_EQ)
+    dy = (F.col(lat_col) - F.lag(F.col(lat_col)).over(w)) \
+        * F.lit(cells.M_PER_DEG_LAT)
+    step_mm = F.floor(F.sqrt(dx * dx + dy * dy) * F.lit(1000.0))
+    dt_us = us - F.lag(us).over(w)
+    brk = F.lag(us).over(w).isNull() | (step_mm > F.lit(radius_mm))
+    if max_gap_s is not None:
+        brk = brk | (dt_us > F.lit(int(max_gap_s) * 1_000_000))
+    marked = pings.select(
+        F.col(key_col), F.col(id_col), F.col(lon_col), F.col(lat_col),
+        us.alias("_us"),
+        F.sum(brk.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("dwell_seq"))
+    return (marked.groupBy(key_col, "dwell_seq")
+            .agg(F.count(F.lit(1)).alias("n_pings"),
+                 F.min("_us").cast("long").alias("start_us"),
+                 F.max("_us").cast("long").alias("end_us"),
+                 F.min(F.col(id_col)).alias("anchor_id"),
+                 F.min_by(F.col(lon_col), F.col(id_col)).alias("lon"),
+                 F.min_by(F.col(lat_col), F.col(id_col)).alias("lat"))
+            .withColumn("span_us",
+                        (F.col("end_us") - F.col("start_us")).cast("long"))
+            .filter(F.col("span_us") >= F.lit(dur_us))
+            .withColumn("dwell_seq", F.col("dwell_seq").cast("long")))
+
+
+def co_location(pings: DataFrame, *, radius_m: float = 100.0,
+                window_s: int = 600, key_col: str = "user_id",
+                ts_col: str = "ts", id_col: str = "event_id",
+                lon_col: str = "lon", lat_col: str = "lat",
+                pairs: bool = False) -> DataFrame:
+    """Space-time encounter join: ping pairs from two DIFFERENT keys
+    within ``radius_m`` planar meters AND ``window_s`` seconds of each
+    other — companion detection / contact tracing, the trajectory
+    analogue of O2's spatial join with time added to the key.
+
+    Candidates come from an equi-join on (cell, time-bucket): one side
+    carries its exact cell (union_dataset's padded-cover machinery,
+    operators/union_dataset._cell_cover_udfs — completeness proven
+    there), the other explodes its padded 4-corner cover x the bucket
+    triple {b-1, b, b+1} (bucket width = window, so a qualifying pair
+    can differ by at most one bucket). Exact refine: integer |dt| and
+    the floored-millimeter planar distance against an integer
+    threshold — both engine-exact. Each unordered ping pair survives
+    exactly once (key_a < key_b picks the orientation; cover cells are
+    distinct and the bucket triple is distinct, so the join emits one
+    candidate row per pair per orientation at most).
+
+    ``pairs=True`` returns per-encounter rows (id_a, id_b, dt_us,
+    dist_mm); default aggregates per key pair (n_encounters, first_us,
+    last_us). Scale: one shuffled equi-join on narrow rows + one
+    aggregate; a (cell, bucket) holding k pings of each side emits
+    O(k^2) candidates — inherent to encounter semantics (the OUTPUT is
+    quadratic in co-located density), so pick the radius/window the
+    analysis needs, not larger."""
+    from .union_dataset import _cell_cover_udfs
+    cell_udf, cover_udf = _cell_cover_udfs(float(radius_m))
+    radius_mm = int(round(float(radius_m) * 1000.0))
+    w_us = int(window_s) * 1_000_000
+    us = _us(pings, ts_col)
+    base = (pings.select(F.col(key_col).alias("_k"),
+                         F.col(id_col).alias("_id"),
+                         F.col(lon_col).alias("_lon"),
+                         F.col(lat_col).alias("_lat"),
+                         us.cast("long").alias("_us"))
+            # integer DIV, not float division: a float-rounded bucket at
+            # an exact boundary would break the +-1 bucket completeness
+            .withColumn("_bkt", F.expr(f"_us DIV {w_us}")))
+    a = (base.withColumn("_cells", cover_udf(F.col("_lon"), F.col("_lat")))
+         .withColumn("_jcell", F.explode("_cells")).drop("_cells")
+         .withColumn("_jbkt", F.explode(F.array(
+             F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1)))
+         .select(F.col("_k").alias("_ka"), F.col("_id").alias("_ida"),
+                 F.col("_lon").alias("_lona"), F.col("_lat").alias("_lata"),
+                 F.col("_us").alias("_usa"), "_jcell", "_jbkt"))
+    b = (base.withColumn("_cell", cell_udf(F.col("_lon"), F.col("_lat")))
+         .select(F.col("_k").alias("_kb"), F.col("_id").alias("_idb"),
+                 F.col("_lon").alias("_lonb"), F.col("_lat").alias("_latb"),
+                 F.col("_us").alias("_usb"), "_cell", "_bkt"))
+    dxm = (F.col("_lonb") - F.col("_lona")) * F.lit(cells.M_PER_DEG_LON_EQ)
+    dym = (F.col("_latb") - F.col("_lata")) * F.lit(cells.M_PER_DEG_LAT)
+    dist_mm = F.floor(F.sqrt(dxm * dxm + dym * dym) * F.lit(1000.0))
+    enc = (a.join(b, (F.col("_jcell") == F.col("_cell"))
+                  & (F.col("_jbkt") == F.col("_bkt")))
+           .filter((F.col("_ka") < F.col("_kb"))
+                   & (F.abs(F.col("_usa") - F.col("_usb")) <= F.lit(w_us))
+                   & (dist_mm <= F.lit(radius_mm)))
+           .select(F.col("_ka").alias("user_a"),
+                   F.col("_kb").alias("user_b"),
+                   F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"),
+                   (F.col("_usb") - F.col("_usa")).cast("long")
+                   .alias("dt_us"),
+                   dist_mm.cast("long").alias("dist_mm"),
+                   F.col("_usa"), F.col("_usb")))
+    if pairs:
+        return enc.drop("_usa", "_usb")
+    return (enc.groupBy("user_a", "user_b")
+            .agg(F.count(F.lit(1)).alias("n_encounters"),
+                 F.min(F.least(F.col("_usa"), F.col("_usb")))
+                 .cast("long").alias("first_us"),
+                 F.max(F.greatest(F.col("_usa"), F.col("_usb")))
+                 .cast("long").alias("last_us")))
 
 
 # ---------------------------------------------------------------------------

@@ -300,3 +300,108 @@ def test_speed_pixels_rejects_bad_div(spark):
     from tdei_backend_service_spark.operators.trajectory import speed_pixels
     with pytest.raises(ValueError, match="speed_div"):
         speed_pixels(_pings(spark, []), 13, 16, speed_div=0)
+
+
+# ---------------------------------------------------------------------------
+# stay_points / co_location
+# ---------------------------------------------------------------------------
+
+_M_LAT = 110540.0
+
+
+def _ts_s(sec):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+
+def test_stay_points_linked_runs(spark):
+    from tdei_backend_service_spark.operators.trajectory import stay_points
+    d100 = 100.0 / _M_LAT
+    rows = [
+        (1, _ts_s(0), 1, 0.0, 47.0),
+        (1, _ts_s(3600), 2, 0.0, 47.0 + d100),       # 100 m step
+        (1, _ts_s(7200), 3, 0.0, 47.0 + 2 * d100),   # 100 m step (drift!)
+        (1, _ts_s(7800), 4, 0.05, 47.0),             # ~3.7 km jump -> break
+        (1, _ts_s(8100), 5, 0.05, 47.0 + d100 / 2),  # 5-min run: too short
+    ]
+    out = stay_points(_pings(spark, rows), radius_m=150.0,
+                      min_duration_s=3600).collect()
+    assert len(out) == 1
+    r = out[0]
+    # linked-step rule: total drift 200 m > radius, but every STEP is
+    # 100 m <= 150 m, so the three pings are ONE dwell
+    assert (r["user_id"], r["n_pings"], r["anchor_id"]) == (1, 3, 1)
+    assert r["span_us"] == 7_200_000_000
+    assert (r["lon"], r["lat"]) == (0.0, 47.0)
+    assert r["start_us"] + r["span_us"] == r["end_us"]
+
+
+def test_stay_points_max_gap_breaks(spark):
+    from tdei_backend_service_spark.operators.trajectory import stay_points
+    rows = [(2, _ts_s(0), 6, 0.0, 47.0), (2, _ts_s(3570), 7, 0.0, 47.0)]
+    no_gap = stay_points(_pings(spark, rows), radius_m=150.0,
+                         min_duration_s=1800).collect()
+    assert len(no_gap) == 1 and no_gap[0]["n_pings"] == 2
+    gapped = stay_points(_pings(spark, rows), radius_m=150.0,
+                         min_duration_s=1800, max_gap_s=1800).collect()
+    assert gapped == []  # the 59.5-min silence splits the dwell
+
+
+def test_co_location_semantics(spark):
+    from tdei_backend_service_spark.operators.trajectory import co_location
+    d = lambda m: m / _M_LAT  # meters -> degrees latitude
+    rows = [
+        (1, _ts_s(0), 1, 0.0, 47.0),
+        (2, _ts_s(300), 2, 0.0, 47.0 + d(50)),    # pairs with 1 and 5
+        (2, _ts_s(1200), 3, 0.0, 47.0 + d(50)),   # dt 1200 s > 600 -> no
+        (3, _ts_s(100), 4, 0.0, 47.0 + d(500)),   # 500 m > 100 -> no
+        (1, _ts_s(350), 5, 0.0, 47.0 + d(60)),    # same user as 1: skip 1-5
+        # bucket-straddling pair: buckets 0 and 1, dt 551 s <= 600
+        (5, _ts_s(599), 7, 1.0, 47.0),
+        (6, _ts_s(1150), 8, 1.0, 47.0 + d(10)),
+    ]
+    pings = _pings(spark, rows)
+    got = {(r["id_a"], r["id_b"]) for r in
+           co_location(pings, radius_m=100.0, window_s=600,
+                       pairs=True).collect()}
+    assert got == {(1, 2), (5, 2), (7, 8)}
+    agg = {(r["user_a"], r["user_b"]): r for r in
+           co_location(pings, radius_m=100.0, window_s=600).collect()}
+    assert set(agg) == {(1, 2), (5, 6)}
+    r12 = agg[(1, 2)]
+    base_us = int(_ts_s(0).replace(
+        tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    assert r12["n_encounters"] == 2
+    assert r12["first_us"] == base_us
+    assert r12["last_us"] == base_us + 350_000_000
+
+
+def test_co_location_matches_bruteforce(spark):
+    """Randomized parity with the O(n^2) definition: users' pings pair
+    iff |dt| <= window AND the floored-mm planar distance <= radius —
+    the padded cover x bucket-triple candidates must surface every
+    true pair exactly once."""
+    from tdei_backend_service_spark.operators.trajectory import co_location
+    rng = __import__("numpy").random.default_rng(23)
+    rows = []
+    for i in range(60):
+        user = int(rng.integers(0, 6))
+        x = float(rng.integers(0, 41)) * 0.5   # 0.5 m grid, <= 20 m
+        y = float(rng.integers(0, 41)) * 0.5
+        sec = int(rng.integers(0, 2401))
+        rows.append((user, _ts_s(sec), i + 1,
+                     x / cells.M_PER_DEG_LON_EQ, 47.0 + y / _M_LAT))
+    got = {(r["id_a"], r["id_b"]) for r in
+           co_location(_pings(spark, rows), radius_m=5.0, window_s=600,
+                       pairs=True).collect()}
+    want = set()
+    for ua, ta, ia, loa, laa in rows:
+        for ub, tb, ib, lob, lab in rows:
+            if not ua < ub:
+                continue
+            if abs((ta - tb).total_seconds()) > 600:
+                continue
+            dx = (lob - loa) * cells.M_PER_DEG_LON_EQ
+            dy = (lab - laa) * _M_LAT
+            if math.floor(math.sqrt(dx * dx + dy * dy) * 1000.0) <= 5000:
+                want.add((ia, ib))
+    assert got == want and len(want) > 0
