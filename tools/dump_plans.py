@@ -189,6 +189,32 @@ COMMENTARY = {
                        "windowed partial agg -> StateStoreRestore/Save -> "
                        "final agg — append-mode emission when the "
                        "watermark seals a window.",
+    "map_match": "One key exchange feeds the trajectory window; the "
+                 "candidate stage is the broadcast cover-index MapInPandas "
+                 "probe (no shuffle for the edge side); the hysteresis "
+                 "rule is a lag over the raw nearest edge — no sequential "
+                 "scan, no second exchange.",
+    "trip_segments": "THE one unavoidable trajectory exchange (co-locate "
+                     "a user's pings to order them); lags + session "
+                     "cumsum + same-session filter all ride that window; "
+                     "downstream sees a narrow projected relation.",
+    "speed_raster": "trip_segments' window exchange then ONE pixel "
+                    "hash-aggregate (partial before the exchange); the "
+                    "mm/floor/DIV arithmetic is whole-stage codegen.",
+    "route_raster": "DDA burn-in: explode(sequence) is map-side over the "
+                    "segment rows, then the (seg, pixel) distinct and the "
+                    "pixel aggregate — two narrow-int exchanges — then "
+                    "per-tile applyInPandas encode and the decode-stats "
+                    "MapInPandas (bytes created after the shuffle).",
+    "stay_points": "Same single key exchange as trip_stats: the "
+                   "linked-step break rule is a cumsum window; the dwell "
+                   "aggregate groups on the SAME key so Catalyst reuses "
+                   "the partitioning (no second exchange).",
+    "co_location": "Self encounter join: cover/cell Arrow UDFs evaluated "
+                   "once each (asNondeterministic pins them), equi-join "
+                   "on (cell, bucket) — broadcast at sf0.01, shuffle at "
+                   "scale — with the integer |dt| + floored-mm refine "
+                   "inside the join; one aggregate exchange after.",
 }
 
 
