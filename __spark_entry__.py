@@ -337,6 +337,27 @@ def _q_co_location(spark: SparkSession, sf: str) -> DataFrame:
                           window_s=1800)
 
 
+def _q_edge_usage(spark: SparkSession, sf: str) -> DataFrame:
+    """Road-segment usage rollup (operators/trajectory.edge_usage):
+    map-match with the full hysteresis rule, then per-edge ping count /
+    DISTINCT collector count / first-last observation epoch — the
+    aggregate a transportation agency serves from matched
+    trajectories. Oracle composes the map_match lattice closed form
+    with a plain GROUP BY."""
+    return TJ.edge_usage(FX.event_pings(spark, sf), FX.grid_edges(spark),
+                         "tpch-edges", cutoff_m=2500.0,
+                         keep_within_m=1500.0)
+
+
+def _q_co_travelers(spark: SparkSession, sf: str) -> DataFrame:
+    """Cell-visit-set similarity (operators/trajectory.co_travelers):
+    pairs sharing >= 5 distinct zoom-17 tiles with integer-permille
+    Jaccard — pure set counts + one integer DIV, fully oracled. The
+    tile coords materialize in the distinct projection so the
+    self-join key is a plain attribute, never the asinh expression."""
+    return TJ.co_travelers(FX.event_pings(spark, sf), 17, min_common=5)
+
+
 def _q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return TX.with_token_counts(docs).select(
@@ -1485,6 +1506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dwell detection + the space-time encounter self-join
         "stay_points": _q_stay_points,
         "co_location": _q_co_location,
+        # per-edge usage rollup + cell-visit-set similarity
+        "edge_usage": _q_edge_usage,
+        "co_travelers": _q_co_travelers,
         "token_count": _q_token_count,
         "text_quality": _q_quality,
         "langid": _q_langid,
@@ -1979,6 +2003,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(LEAST(n, 255)) AS BIGINT) AS sum_px,
                    CAST(MAX(LEAST(n, 255)) AS BIGINT) AS max_px
             FROM pix GROUP BY 1, 2, 3
+        """,
+        # the map_match lattice closed form + a per-edge GROUP BY
+        # (every fixture ping has candidates: max lattice distance to an
+        # edge is 5000 units < the 22616-unit cutoff, so no-candidate
+        # drop semantics never diverge between the engines here)
+        "edge_usage": """
+            WITH p AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     (event_id * 40503 + 12345) % 100000 AS v
+              FROM events
+              WHERE (event_id * 40503 + 12345) % 5000 <> 0),
+            c AS (
+              SELECT p.*, j.k, ABS(p.v - (5000 + j.k * 10000)) AS du
+              FROM p, (SELECT CAST(range AS BIGINT) AS k FROM range(10)) j
+              WHERE ABS(p.v - (5000 + j.k * 10000)) <= 22616),
+            n AS (
+              SELECT event_id, user_id, us, v,
+                     arg_min(k, du) AS nearest_edge_id
+              FROM c GROUP BY 1, 2, 3, 4),
+            f AS (
+              SELECT *, LAG(nearest_edge_id) OVER (
+                  PARTITION BY user_id ORDER BY us, event_id) AS prev_e
+              FROM n),
+            mm AS (
+              SELECT user_id, us,
+                     CASE WHEN prev_e IS NOT NULL
+                           AND ABS(v - (5000 + prev_e * 10000)) <= 13569
+                          THEN prev_e ELSE nearest_edge_id END AS edge_id
+              FROM f)
+            SELECT edge_id, CAST(COUNT(*) AS BIGINT) AS n_pings,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(MIN(us) AS BIGINT) AS first_us,
+                   CAST(MAX(us) AS BIGINT) AS last_us
+            FROM mm GROUP BY 1
+        """,
+        # distinct (user, zoom-17 tile) visits -> cell self-join ->
+        # integer set counts + one integer DIV
+        "co_travelers": f"""
+            WITH p AS (
+              SELECT user_id,
+                     {FX.SQL_LON.format(k="event_id")} AS lon,
+                     {FX.SQL_LAT.format(k="event_id")} AS lat
+              FROM events
+              WHERE (event_id * 40503 + 12345) % 5000 <> 0),
+            v AS (
+              SELECT DISTINCT user_id,
+                     CAST(FLOOR((lon + 180.0) / 360.0 * {1 << 17})
+                       AS BIGINT) AS gx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat))
+                         + 1.0 / cos(radians(lat))) / pi()) / 2.0
+                         * {1 << 17}) AS BIGINT) AS gy
+              FROM p),
+            cnt AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nc
+                    FROM v GROUP BY 1),
+            inter AS (
+              SELECT a.user_id AS user_a, b.user_id AS user_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_common
+              FROM v a JOIN v b ON a.gx = b.gx AND a.gy = b.gy
+                               AND a.user_id < b.user_id
+              GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+            SELECT user_a, user_b, n_common, ca.nc AS n_a, cb.nc AS n_b,
+                   (n_common * 1000) // (ca.nc + cb.nc - n_common)
+                     AS jaccard_pm
+            FROM inter
+            JOIN cnt ca ON ca.user_id = user_a
+            JOIN cnt cb ON cb.user_id = user_b
         """,
         # linked-step dwell: same cumsum-of-breaks window as trip_stats
         # but keyed on the floored-mm step threshold

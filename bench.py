@@ -92,7 +92,7 @@ def main() -> None:
         # (speed heat-map layer, DDA route burn-in through PNG codec)
         "map_match", "trip_stats", "od_matrix", "coverage_gaps",
         "trip_segments", "speed_raster", "route_raster",
-        "stay_points", "co_location",
+        "stay_points", "co_location", "edge_usage", "co_travelers",
     ]
 
     # input size for throughput: rows entering the spatial suite

@@ -53,7 +53,8 @@ from ..core.ingest import cover_geometry
 from .temporal import _us, sessionize
 
 __all__ = ["map_match", "trip_geo_stats", "od_matrix", "coverage_gaps",
-           "trip_segments", "speed_pixels", "stay_points", "co_location"]
+           "trip_segments", "speed_pixels", "stay_points", "co_location",
+           "edge_usage", "co_travelers"]
 
 
 # ---------------------------------------------------------------------------
@@ -377,6 +378,91 @@ def speed_pixels(pings: DataFrame, z: int, px: int, *,
                         F.lit(255).cast("long"),
                         F.expr(f"(sum_mmps DIV n_steps) DIV {speed_div}")
                         .cast("long")).alias("n")))
+
+
+def edge_usage(pings: DataFrame, edges_df: DataFrame,
+               edge_dataset_id: str | None = None, *,
+               key_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id",
+               lon_col: str = "lon", lat_col: str = "lat",
+               cutoff_m: float = 600.0,
+               keep_within_m: float | None = None) -> DataFrame:
+    """Road-segment usage statistics: map-match every ping (the full
+    hysteresis rule), then roll up per matched edge — ping count,
+    DISTINCT collector count, and the first/last observation epoch.
+    The aggregate view a transportation agency actually serves from
+    matched trajectories (which sidewalks/streets are covered, by how
+    many collectors, how recently) — the trajectory analogue of the
+    reference's per-edge spatial-join aggregates (O2).
+
+    Unmatched pings (no edge within ``cutoff_m``) drop — they are
+    coverage_gaps' output, not usage. Plan: map_match's single window
+    exchange + ONE per-edge hash aggregate (countDistinct expands to
+    the exact two-phase distinct; edge cardinality is small, so the
+    exchange is narrow)."""
+    mm = map_match(pings, edges_df, edge_dataset_id, key_col=key_col,
+                   ts_col=ts_col, id_col=id_col, lon_col=lon_col,
+                   lat_col=lat_col, cutoff_m=cutoff_m,
+                   keep_within_m=keep_within_m)
+    us = _us(mm, ts_col)
+    return (mm.filter(F.col("matched_edge_id").isNotNull())
+            .groupBy(F.col("matched_edge_id").alias("edge_id"))
+            .agg(F.count(F.lit(1)).alias("n_pings"),
+                 F.countDistinct(F.col(key_col)).alias("n_users"),
+                 F.min(us).cast("long").alias("first_us"),
+                 F.max(us).cast("long").alias("last_us")))
+
+
+def co_travelers(pings: DataFrame, z: int, *, min_common: int = 2,
+                 key_col: str = "user_id",
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 max_users_per_cell: int | None = None) -> DataFrame:
+    """Trajectory similarity as cell-visit-set overlap: for every pair
+    of keys sharing at least ``min_common`` distinct zoom-``z`` tiles,
+    the intersection size, both set sizes, and the integer-permille
+    Jaccard floor(1000 * |A n B| / |A u B|) — companion mining over
+    WHERE users go (set semantics; when matters, use co_location).
+
+    All arithmetic is integer (set counts + one integer DIV), so the
+    operator carries a full oracle. The tile coords materialize in the
+    distinct projection, so the self-join key is a plain attribute —
+    never the asinh tile expression (inferred join filters would
+    re-inline it; see cells._part1by1_expr).
+
+    Scale: distinct (key, cell) visits -> self equi-join on the cell ->
+    per-pair count. A cell visited by k keys emits k^2/2 pair rows —
+    inherent to set-overlap semantics; ``max_users_per_cell`` (optional)
+    drops cells hotter than the cap BEFORE pairing, trading exactness
+    on mega-hub cells (a cell every collector visits identifies no one
+    — the IDF intuition) for a hard per-cell bound. The contract query
+    runs uncapped."""
+    gx, gy, _ = cells.tile_expr(F.col(lon_col), F.col(lat_col), z)
+    visits = (pings.select(F.col(key_col).alias("_k"),
+                           gx.cast("long").alias("_gx"),
+                           gy.cast("long").alias("_gy"))
+              .distinct())
+    if max_users_per_cell is not None:
+        ok = (visits.groupBy("_gx", "_gy")
+              .agg(F.count(F.lit(1)).alias("_nu"))
+              .filter(F.col("_nu") <= int(max_users_per_cell))
+              .select("_gx", "_gy"))
+        visits = visits.join(ok, ["_gx", "_gy"], "left_semi")
+    counts = visits.groupBy("_k").agg(F.count(F.lit(1)).alias("_nc"))
+    a = visits.select(F.col("_k").alias("user_a"), "_gx", "_gy")
+    b = visits.select(F.col("_k").alias("user_b"), "_gx", "_gy")
+    inter = (a.join(b, ["_gx", "_gy"])
+             .filter(F.col("user_a") < F.col("user_b"))
+             .groupBy("user_a", "user_b")
+             .agg(F.count(F.lit(1)).alias("n_common"))
+             .filter(F.col("n_common") >= int(min_common)))
+    return (inter
+            .join(counts.select(F.col("_k").alias("user_a"),
+                                F.col("_nc").alias("n_a")), "user_a")
+            .join(counts.select(F.col("_k").alias("user_b"),
+                                F.col("_nc").alias("n_b")), "user_b")
+            .select("user_a", "user_b", "n_common", "n_a", "n_b",
+                    F.expr("(n_common * 1000) DIV (n_a + n_b - n_common)")
+                    .cast("long").alias("jaccard_pm")))
 
 
 def stay_points(pings: DataFrame, *, radius_m: float = 100.0,

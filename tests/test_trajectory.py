@@ -405,3 +405,71 @@ def test_co_location_matches_bruteforce(spark):
             if math.floor(math.sqrt(dx * dx + dy * dy) * 1000.0) <= 5000:
                 want.add((ia, ib))
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# edge_usage / co_travelers
+# ---------------------------------------------------------------------------
+
+def test_edge_usage_rollup(spark):
+    from tdei_backend_service_spark.operators.trajectory import edge_usage
+    edges = _edges(spark, [47.0, 47.01])  # two horizontal edges ~1.1km apart
+    near0 = 47.0 + 20.0 / _M_LAT
+    near1 = 47.01 + 20.0 / _M_LAT
+    rows = [
+        (1, _ts_s(0), 1, 0.5, near0),
+        (1, _ts_s(60), 2, 0.5, near0),
+        (2, _ts_s(120), 3, 0.5, near0),
+        (2, _ts_s(180), 4, 0.5, near1),
+        (3, _ts_s(240), 5, 0.5, 47.5),   # no edge within cutoff -> drops
+    ]
+    out = {r["edge_id"]: r for r in
+           edge_usage(_pings(spark, rows), edges, "t-edges",
+                      cutoff_m=300.0, keep_within_m=100.0).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_pings"] == 3 and out[0]["n_users"] == 2
+    assert out[0]["last_us"] - out[0]["first_us"] == 120_000_000
+    assert out[1]["n_pings"] == 1 and out[1]["n_users"] == 1
+
+
+def test_co_travelers_jaccard(spark):
+    from tdei_backend_service_spark.operators.trajectory import co_travelers
+    # zoom-17 tile width ~0.00275 deg; place pings at tile centers
+    n = 1 << 17
+    cell_lon = lambda i: (i + 0.5) * 360.0 / n - 180.0 + 122.0  # distinct tiles
+    rows, eid = [], 0
+    # user 1 visits cells 0..3; user 2 visits 2..5 (common {2,3});
+    # user 3 visits cell 2 only (below min_common)
+    for u, cs in ((1, range(0, 4)), (2, range(2, 6)), (3, [2])):
+        for c in cs:
+            eid += 1
+            rows.append((u, _ts_s(eid), eid, cell_lon(c), 47.0))
+            # duplicate ping in the same cell: distinct-set semantics
+            eid += 1
+            rows.append((u, _ts_s(eid), eid, cell_lon(c), 47.0))
+    out = co_travelers(_pings(spark, rows), 17, min_common=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["user_a"], r["user_b"]) == (1, 2)
+    assert (r["n_common"], r["n_a"], r["n_b"]) == (2, 4, 4)
+    assert r["jaccard_pm"] == 2000 // 6  # floor(1000*2/6) = 333
+
+
+def test_co_travelers_cell_cap_drops_hub(spark):
+    from tdei_backend_service_spark.operators.trajectory import co_travelers
+    n = 1 << 17
+    cell_lon = lambda i: (i + 0.5) * 360.0 / n - 180.0 + 122.0
+    rows, eid = [], 0
+    # cells 0 and 1 shared by users 1,2 only; hub cell 9 visited by all
+    for u in (1, 2, 3, 4):
+        for c in ([0, 1, 9] if u in (1, 2) else [9]):
+            eid += 1
+            rows.append((u, _ts_s(eid), eid, cell_lon(c), 47.0))
+    uncapped = {(r["user_a"], r["user_b"]): r["n_common"] for r in
+                co_travelers(_pings(spark, rows), 17,
+                             min_common=1).collect()}
+    assert uncapped[(1, 2)] == 3 and len(uncapped) == 6  # all pairs via hub
+    capped = {(r["user_a"], r["user_b"]): r["n_common"] for r in
+              co_travelers(_pings(spark, rows), 17, min_common=1,
+                           max_users_per_cell=2).collect()}
+    assert capped == {(1, 2): 2}  # hub cell dropped BEFORE pairing
