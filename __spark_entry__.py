@@ -358,6 +358,36 @@ def _q_co_travelers(spark: SparkSession, sf: str) -> DataFrame:
     return TJ.co_travelers(FX.event_pings(spark, sf), 17, min_common=5)
 
 
+def _q_zone_visits(spark: SparkSession, sf: str) -> DataFrame:
+    """Geofence visit episodes (operators/trajectory.zone_visits): per
+    (user, quad zone) the maximal in-zone runs separated by <= 6 h —
+    enter/exit epoch, ping count, span. Membership runs the REAL
+    polygon PIP join; the oracle replays it as integer arithmetic on
+    the key hash (half-lattice zone boundaries, od_matrix's closed
+    form) plus the same gap-cumsum window in microseconds."""
+    pings = FX.event_pings(spark, sf)
+    zones = FX.quad_zones(spark, side=4, dataset_id="tpch-z")
+    return TJ.zone_visits(pings, zones, "tpch-z", max_gap_s=21600)
+
+
+def _q_brightness_raster(spark: SparkSession, sf: str) -> DataFrame:
+    """Visual raster layer (operators/geo_visual.brightness_pixels +
+    raster.encode_tiles): geotagged planted blobs decode ONCE to
+    (location, pixel sum, pixel count), aggregate into the z11/16px
+    lattice as integer mean brightness, render as PNG tiles, and the
+    returned stats are recomputed FROM THE DECODED TILE PIXELS — the
+    A+B render path (image decode -> raster encode -> decode) under
+    one hash-exact oracle: per-key sums are integer polynomials in
+    popcount(V) (augment_meta's closed form) and the lattice is the
+    verified z15 grid."""
+    from tdei_backend_service_spark.operators import raster
+    from tdei_backend_service_spark.operators.geo_visual import \
+        brightness_raster
+    imgs = FX.part_images_spread(spark, sf)
+    return raster.decode_tile_stats(
+        brightness_raster(imgs, TILE_Z - 4, RASTER_PX))
+
+
 def _q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return TX.with_token_counts(docs).select(
@@ -1509,6 +1539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-edge usage rollup + cell-visit-set similarity
         "edge_usage": _q_edge_usage,
         "co_travelers": _q_co_travelers,
+        "zone_visits": _q_zone_visits,
+        "brightness_raster": _q_brightness_raster,
         "token_count": _q_token_count,
         "text_quality": _q_quality,
         "langid": _q_langid,
@@ -2070,6 +2102,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.user_id = user_a
             JOIN cnt cb ON cb.user_id = user_b
         """,
+        # geofence episodes: od_matrix's closed-form zone on the key
+        # hash + the gap-cumsum window per (user, zone), all in integer
+        # microseconds
+        "zone_visits": """
+            WITH p AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     ((event_id * 40503 + 12345) % 100000) // 25000 * 4
+                     + ((event_id * 2654435761) % 100000) // 25000
+                       AS zone_id
+              FROM events
+              WHERE (event_id * 40503 + 12345) % 5000 <> 0),
+            s AS (
+              SELECT *, SUM(CASE WHEN prev_us IS NULL
+                                   OR us - prev_us > 21600000000
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id, zone_id
+                              ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS visit_seq
+              FROM (SELECT *, LAG(us) OVER (PARTITION BY user_id, zone_id
+                        ORDER BY us, event_id) AS prev_us FROM p))
+            SELECT user_id, CAST(zone_id AS BIGINT) AS zone_id,
+                   CAST(visit_seq AS BIGINT) AS visit_seq,
+                   CAST(COUNT(*) AS BIGINT) AS n_pings,
+                   CAST(MIN(us) AS BIGINT) AS enter_us,
+                   CAST(MAX(us) AS BIGINT) AS exit_us,
+                   CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us
+            FROM s GROUP BY 1, 2, 3
+        """,
         # linked-step dwell: same cumsum-of-breaks window as trip_stats
         # but keyed on the floored-mm step threshold
         "stay_points": f"""
@@ -2441,6 +2501,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS nonzero_px,
                    CAST(SUM(LEAST(n, 255)) AS BIGINT) AS sum_px,
                    CAST(MAX(LEAST(n, 255)) AS BIGINT) AS max_px
+            FROM pix GROUP BY 1, 2, 3
+        """,
+        # visual layer: per-key decoded pixel sums are polynomials in
+        # popcount(V) (augment_meta's closed form), the lattice is the
+        # verified z15 grid, pixel value = integer mean, then the
+        # decoded-tile stats replay as floor arithmetic
+        "brightness_raster": f"""
+            WITH v AS (
+              SELECT p_partkey,
+                     CAST((CAST(p_partkey % 127 + 1 AS HUGEINT)
+                           * 11400714819323198485)
+                          % 2305843009213693952 AS BIGINT) AS V,
+                     1 + p_partkey % 3 AS s,
+                     CASE WHEN p_partkey % 2 = 0 THEN 200 ELSE 202 END AS hi,
+                     CASE WHEN p_partkey % 2 = 0 THEN 40 ELSE 42 END AS lo,
+                     {FX.SQL_LON.format(k="p_partkey")} AS lon,
+                     {FX.SQL_LAT.format(k="p_partkey")} AS lat
+              FROM part),
+            q AS (
+              SELECT *,
+                     ({" + ".join(f"((V // {1 << i}) % 2)" for i in range(61))}) AS pop
+              FROM v),
+            e AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS gx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS gy,
+                     CAST(3 * s * s AS BIGINT)
+                       * (hi * pop + lo * (64 - pop)) AS ps,
+                     CAST(192 AS BIGINT) * s * s AS np
+              FROM q),
+            pix AS (SELECT gx, gy,
+                           LEAST(SUM(ps) // SUM(np), 255) AS vv
+                    FROM e GROUP BY 1, 2)
+            SELECT CAST(11 AS INT) AS z,
+                   CAST(gx // 16 AS INT) AS tile_x,
+                   CAST(gy // 16 AS INT) AS tile_y,
+                   CAST(COUNT(*) AS BIGINT) AS nonzero_px,
+                   CAST(SUM(vv) AS BIGINT) AS sum_px,
+                   CAST(MAX(vv) AS BIGINT) AS max_px
             FROM pix GROUP BY 1, 2, 3
         """,
         # count-space pyramid: z10 halves raw counts BEFORE the clip

@@ -93,6 +93,8 @@ def main() -> None:
         "map_match", "trip_stats", "od_matrix", "coverage_gaps",
         "trip_segments", "speed_raster", "route_raster",
         "stay_points", "co_location", "edge_usage", "co_travelers",
+        # r5 eighth session: geofence episodes + the visual raster layer
+        "zone_visits", "brightness_raster",
     ]
 
     # input size for throughput: rows entering the spatial suite

@@ -668,6 +668,16 @@ def part_images_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("lat", F.lit(47.0) + site / F.lit(1000.0)))
 
 
+def part_images_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part_images geotagged with the standard derived-point scramble
+    (derive_lonlat on image_id) — unlike part_images_geo's 10-site
+    lattice, every image gets its own lattice point over the full
+    0.1-degree box, so raster layers built from the blobs occupy
+    hundreds of tiles. Location derivation is a column expression over
+    the cached blob table."""
+    return derive_lonlat(part_images(spark, sf_dir), "image_id")
+
+
 def customer_images(spark: SparkSession, sf_dir: str, side: str,
                     n_dups: int = 300) -> DataFrame:
     """customer -> image-like point records for the union fixture.

@@ -70,6 +70,78 @@ def decode_phash_points(df: DataFrame, pk: str = "image_id") -> DataFrame:
                 pk=pk, pk_type=pk_type)))
 
 
+def brightness_pixels(images: DataFrame, z: int, px: int, *,
+                      lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Mean decoded brightness per map pixel: every geotagged blob is
+    decoded ONCE (map-only — bytes never shuffle) and reduced to
+    (lon, lat, pixel-value sum, pixel count); the corpus then
+    aggregates into the zoom-``z``/``px`` raster lattice where each
+    occupied pixel's value is the integer mean
+    ``least(255, sum(px_sum) DIV sum(n_px))`` over every image whose
+    location falls in that pixel — the visual analogue of the density
+    layer (raster.pixel_counts): WHERE images are bright/dark rather
+    than how many there are (exposure/lighting QA over a collected
+    corpus). Integer DIV keeps the layer under the hash-exact oracle.
+
+    Output is pixel_counts-shaped (z, tile_x, tile_y, gx, gy, px_x,
+    px_y, n), so it composes with encode_tiles / zonal_stats /
+    hotspots / focal_sum like any other layer. Plan: one MapInPandas
+    decode pass + ONE partial-aggregated exchange on the pixel key."""
+    from .raster import _log2_px
+    p = _log2_px(px)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lons, lats, sums, ns = [], [], [], []
+            for i in range(len(pdf)):
+                try:
+                    img = decode_image(pdf["bytes"].iloc[i],
+                                       pdf["fmt"].iloc[i])
+                except (NotImplementedError, ValueError):
+                    continue
+                lons.append(float(pdf[lon_col].iloc[i]))
+                lats.append(float(pdf[lat_col].iloc[i]))
+                sums.append(int(img.astype(np.int64).sum()))
+                ns.append(int(img.size))
+            yield pd.DataFrame({
+                "lon": pd.array(lons, dtype="float64"),
+                "lat": pd.array(lats, dtype="float64"),
+                "px_sum": pd.array(sums, dtype="int64"),
+                "n_px": pd.array(ns, dtype="int64"),
+            })
+
+    decoded = (images.select(F.col(lon_col).alias("lon"),
+                             F.col(lat_col).alias("lat"), "bytes", "fmt")
+               .mapInPandas(
+                   gen, schema="lon double, lat double, "
+                               "px_sum long, n_px long"))
+    gx, gy, _ = cells.tile_expr(F.col("lon"), F.col("lat"), z + p)
+    return (decoded
+            .select(gx.cast("long").alias("gx"),
+                    gy.cast("long").alias("gy"), "px_sum", "n_px")
+            .groupBy("gx", "gy")
+            .agg(F.sum("px_sum").alias("_s"), F.sum("n_px").alias("_n"))
+            .select(F.lit(z).cast("int").alias("z"),
+                    (F.col("gx") / px).cast("int").alias("tile_x"),
+                    (F.col("gy") / px).cast("int").alias("tile_y"),
+                    "gx", "gy",
+                    (F.col("gx") % px).cast("int").alias("px_x"),
+                    (F.col("gy") % px).cast("int").alias("px_y"),
+                    F.least(F.expr("_s DIV _n"), F.lit(255))
+                    .cast("long").alias("n")))
+
+
+def brightness_raster(images: DataFrame, z: int, px: int, *,
+                      lon_col: str = "lon", lat_col: str = "lat",
+                      fmt: str = "png") -> DataFrame:
+    """Geotagged blobs -> rendered mean-brightness PNG tiles at zoom
+    ``z`` (brightness_pixels + raster.encode_tiles)."""
+    from .raster import encode_tiles
+    return encode_tiles(
+        brightness_pixels(images, z, px, lon_col=lon_col,
+                          lat_col=lat_col), px, fmt)
+
+
 def viewport_similar(images: DataFrame, query_hash: int,
                      bbox: tuple[float, float, float, float], k: int,
                      pk: str = "image_id") -> DataFrame:

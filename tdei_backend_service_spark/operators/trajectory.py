@@ -54,7 +54,7 @@ from .temporal import _us, sessionize
 
 __all__ = ["map_match", "trip_geo_stats", "od_matrix", "coverage_gaps",
            "trip_segments", "speed_pixels", "stay_points", "co_location",
-           "edge_usage", "co_travelers"]
+           "edge_usage", "co_travelers", "zone_visits"]
 
 
 # ---------------------------------------------------------------------------
@@ -600,6 +600,75 @@ def co_location(pings: DataFrame, *, radius_m: float = 100.0,
                  .cast("long").alias("first_us"),
                  F.max(F.greatest(F.col("_usa"), F.col("_usb")))
                  .cast("long").alias("last_us")))
+
+
+# ---------------------------------------------------------------------------
+# geofence visit episodes
+# ---------------------------------------------------------------------------
+
+def zone_visits(pings: DataFrame, zones_df: DataFrame,
+                zone_dataset_id: str | None = None, *,
+                max_gap_s: int = 21600,
+                key_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id",
+                lon_col: str = "lon", lat_col: str = "lat",
+                depth: int | None = None) -> DataFrame:
+    """Geofence visit episodes: per (key, zone) the maximal runs of
+    in-zone pings separated by at most ``max_gap_s`` — enter/exit
+    timestamps, ping count, and span per visit. The enter/exit event
+    log a curb-management or zone-analytics consumer derives from the
+    reference's zone tables (the episode view over od_matrix's same
+    PIP machinery: od_matrix keeps trip ENDPOINTS, zone_visits keeps
+    the full membership timeline).
+
+    Zone membership comes from the real polygon PIP join
+    (core/join.two_phase_join — broadcast for any realistic zone
+    table); episodes are the sessionize cumsum applied per (key,
+    zone), so a ping visiting overlapping zones contributes one
+    episode stream per zone independently. All thresholds compare in
+    integer microseconds — full SQL oracle.
+
+    Plan: the PIP join's one exchange on the point side, then ONE
+    window + same-key aggregate exchange on (key, zone_id)."""
+    from ..core.compiler import compile_join_condition
+    from ..core.join import GeomSide, two_phase_join
+    zones = zones_df
+    if zone_dataset_id is not None:
+        zones = zones.filter(F.col("dataset_id") == zone_dataset_id)
+    us = _us(pings, ts_col)
+    pts = pings.select(F.col(key_col), F.col(id_col),
+                       us.cast("long").alias("_us"),
+                       F.col(lon_col).alias("lon"),
+                       F.col(lat_col).alias("lat"))
+    pred = compile_join_condition(
+        "ST_Intersects(geometry_target, geometry_source)")
+    pairs = two_phase_join(
+        GeomSide(df=zones, pk="zone_id", kind="polygon",
+                 geom_col="geometry"),
+        GeomSide(df=pts, pk=id_col, kind="point",
+                 carry=[key_col, "_us"]),
+        pred, depth=depth)
+    inz = pairs.select(F.col(f"s_{key_col}").alias(key_col),
+                       F.col("t_zone_id").alias("zone_id"),
+                       F.col(f"s_{id_col}").alias(id_col),
+                       F.col("s__us").alias("_us"))
+    gap_us = int(max_gap_s) * 1_000_000
+    w = Window.partitionBy(key_col, "zone_id") \
+        .orderBy(F.col("_us").asc(), F.col(id_col).asc())
+    brk = (F.lag("_us").over(w).isNull()
+           | ((F.col("_us") - F.lag("_us").over(w)) > F.lit(gap_us)))
+    marked = inz.withColumn(
+        "visit_seq",
+        F.sum(brk.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (marked.groupBy(key_col, "zone_id", "visit_seq")
+            .agg(F.count(F.lit(1)).alias("n_pings"),
+                 F.min("_us").cast("long").alias("enter_us"),
+                 F.max("_us").cast("long").alias("exit_us"))
+            .withColumn("visit_seq", F.col("visit_seq").cast("long"))
+            .withColumn("span_us",
+                        (F.col("exit_us") - F.col("enter_us"))
+                        .cast("long")))
 
 
 # ---------------------------------------------------------------------------

@@ -210,3 +210,51 @@ def test_viewport_similar_tie_breaks_on_id(spark):
     got = [r["image_id"]
            for r in viewport_similar(df, BASE, bbox, k=2).collect()]
     assert got == [3, 5]
+
+
+def test_brightness_pixels_integer_mean(spark):
+    from tdei_backend_service_spark.operators.geo_visual import (
+        brightness_pixels, brightness_raster)
+    from tdei_backend_service_spark.operators.raster import decode_tile_stats
+    z, px = 11, 16
+    nt = 1 << (z + 4)
+
+    def grid(lon, lat):
+        import math
+        gx = math.floor((lon + 180.0) / 360.0 * nt)
+        gy = math.floor((1.0 - math.log(math.tan(math.radians(lat))
+                         + 1.0 / math.cos(math.radians(lat)))
+                         / math.pi) / 2.0 * nt)
+        return gx, gy
+
+    flat = lambda v, s=8: encode_image(
+        np.full((s, s), v, dtype=np.uint8), "png")
+    lon0, lat0 = -122.30, 47.61
+    rows = [
+        # two images share one pixel: mean = (64*200+64*40)//128 = 120
+        {"image_id": 0, "bytes": flat(200), "fmt": "png",
+         "lon": lon0, "lat": lat0},
+        {"image_id": 1, "bytes": flat(40), "fmt": "png",
+         "lon": lon0, "lat": lat0},
+        # lone image in a far pixel, different dims: mean 7
+        {"image_id": 2, "bytes": flat(7, 16), "fmt": "png",
+         "lon": lon0 + 1.0, "lat": lat0},
+        # undecodable blob: dropped, not zero-filled
+        {"image_id": 3, "bytes": b"junk", "fmt": "png",
+         "lon": lon0 + 2.0, "lat": lat0},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    pix = {(r["gx"], r["gy"]): r for r in
+           brightness_pixels(df, z, px).collect()}
+    assert len(pix) == 2
+    a = pix[grid(lon0, lat0)]
+    assert a["n"] == 120
+    assert (a["tile_x"], a["tile_y"]) == (a["gx"] // px, a["gy"] // px)
+    assert (a["px_x"], a["px_y"]) == (a["gx"] % px, a["gy"] % px)
+    assert pix[grid(lon0 + 1.0, lat0)]["n"] == 7
+    # the full render path agrees with the pixel relation
+    stats = {(r["tile_x"], r["tile_y"]): r for r in
+             decode_tile_stats(brightness_raster(df, z, px)).collect()}
+    gxa, gya = grid(lon0, lat0)
+    st = stats[(gxa // px, gya // px)]
+    assert (st["nonzero_px"], st["max_px"]) == (1, 120)

@@ -473,3 +473,34 @@ def test_co_travelers_cell_cap_drops_hub(spark):
               co_travelers(_pings(spark, rows), 17, min_common=1,
                            max_users_per_cell=2).collect()}
     assert capped == {(1, 2): 2}  # hub cell dropped BEFORE pairing
+
+
+def test_zone_visits_episodes(spark):
+    from tdei_backend_service_spark.operators.trajectory import zone_visits
+    zones = spark.createDataFrame(
+        [_rect_zone(spark, 0, 0.0, 0.0, 0.01, 0.01),
+         _rect_zone(spark, 1, 0.005, 0.005, 0.015, 0.015)], ZONES_SCHEMA)
+    rows = [
+        (1, _ts_s(0), 1, 0.002, 0.002),        # zone 0
+        (1, _ts_s(600), 2, 0.0075, 0.0075),    # overlap: zones 0 AND 1
+        (1, _ts_s(1200), 3, 0.002, 0.003),     # zone 0
+        (1, _ts_s(4800), 4, 0.002, 0.002),     # zone 0, 60-min gap
+        (1, _ts_s(5100), 5, 0.012, 0.012),     # zone 1 only
+        (2, _ts_s(0), 6, 0.002, 0.002),        # zone 0, other user
+        (2, _ts_s(300), 7, 0.03, 0.03),        # outside every zone
+    ]
+    out = zone_visits(_pings(spark, rows), zones, "t-zones",
+                      max_gap_s=1800)
+    eps = {(r["user_id"], r["zone_id"], r["visit_seq"]): r
+           for r in out.collect()}
+    assert len(eps) == 5
+    v = eps[(1, 0, 1)]  # first zone-0 visit: pings 1..3
+    assert v["n_pings"] == 3
+    assert v["span_us"] == 1_200_000_000
+    assert v["exit_us"] - v["enter_us"] == v["span_us"]
+    assert eps[(1, 0, 2)]["n_pings"] == 1  # after the 60-min gap
+    # the overlap ping opens an independent zone-1 episode stream
+    assert eps[(1, 1, 1)]["n_pings"] == 1
+    assert eps[(1, 1, 1)]["enter_us"] - v["enter_us"] == 600_000_000
+    assert eps[(1, 1, 2)]["n_pings"] == 1  # 75-min silence splits zone 1
+    assert eps[(2, 0, 1)]["n_pings"] == 1

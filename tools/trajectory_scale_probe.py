@@ -238,6 +238,54 @@ def main() -> int:
         assert int(fp[k]) == int(dfp[k]), (k, fp[k], dfp[k])
     print("  co_location fingerprint EXACT")
 
+    # --- 4. co-traveler similarity (fingerprint compare) ---
+    t0 = time.time()
+    from tdei_backend_service_spark.operators.trajectory import co_travelers
+    ct = co_travelers(pings, 17, min_common=2)
+    fp = ct.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(F.sum("n_common"), z).alias("nc"),
+        F.coalesce(F.sum(F.col("user_a") * F.lit(1_000_003)
+                         + F.col("user_b")), z).alias("key_sum"),
+        F.coalesce(F.sum("jaccard_pm"), z).alias("jp"),
+    ).collect()[0].asDict()
+    wall = time.time() - t0
+    report["co_travelers"] = {"pairs": fp["rows"],
+                              "wall_s": round(wall, 1),
+                              "pings_per_s": round(n / wall)}
+    print(f"co_travelers: {fp['rows']} pairs in "
+          f"{report['co_travelers']['wall_s']}s")
+    NT = 1 << 17
+    dfp = con.execute(f"""
+        WITH p AS ({P}),
+        v AS (SELECT DISTINCT user_id,
+                CAST(FLOOR((lon + 180.0) / 360.0 * {NT}) AS BIGINT) AS gx,
+                CAST(FLOOR((1.0 - ln(tan(radians(lat))
+                    + 1.0 / cos(radians(lat))) / pi()) / 2.0 * {NT})
+                  AS BIGINT) AS gy
+              FROM p),
+        cnt AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nc
+                FROM v GROUP BY 1),
+        inter AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+                         CAST(COUNT(*) AS BIGINT) AS n_common
+                  FROM v a JOIN v b ON a.gx = b.gx AND a.gy = b.gy
+                                   AND a.user_id < b.user_id
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        g AS (SELECT user_a, user_b, n_common,
+                     (n_common * 1000) // (ca.nc + cb.nc - n_common)
+                       AS jaccard_pm
+              FROM inter JOIN cnt ca ON ca.user_id = user_a
+                         JOIN cnt cb ON cb.user_id = user_b)
+        SELECT CAST(COUNT(*) AS BIGINT) AS rows,
+               COALESCE(CAST(SUM(n_common) AS BIGINT), 0) AS nc,
+               COALESCE(CAST(SUM(user_a * 1000003 + user_b) AS BIGINT), 0)
+                 AS key_sum,
+               COALESCE(CAST(SUM(jaccard_pm) AS BIGINT), 0) AS jp
+        FROM g""").df().iloc[0].to_dict()
+    for k in ("rows", "nc", "key_sum", "jp"):
+        assert int(fp[k]) == int(dfp[k]), (k, fp[k], dfp[k])
+    print("  co_travelers fingerprint EXACT")
+
     print(json.dumps(report))
     spark.stop()
     return 0
