@@ -388,6 +388,22 @@ def _q_brightness_raster(spark: SparkSession, sf: str) -> DataFrame:
         brightness_raster(imgs, TILE_Z - 4, RASTER_PX))
 
 
+def _q_tile_gallery(spark: SparkSession, sf: str) -> DataFrame:
+    """Visual browse layer (operators/geo_visual.tile_gallery): the
+    min-id image per occupied z15 tile, decoded and nearest-neighbor
+    thumbnailed to 16x16 — stats AND the chosen id recomputed from the
+    decoded tile bytes (decode_tile_stats carry). Oracle: winner = MIN
+    key per tile; each logical 8x8 block of the planted pattern lands
+    exactly 4 thumbnail samples regardless of source scale s (16 = 2*8
+    and block edges divide evenly), so sum_px = 4*(hi*pop+lo*(64-pop))
+    and max = hi — pure popcount(V) arithmetic."""
+    from tdei_backend_service_spark.operators import raster
+    from tdei_backend_service_spark.operators.geo_visual import tile_gallery
+    imgs = FX.part_images_spread(spark, sf)
+    g = tile_gallery(imgs, TILE_Z, RASTER_PX)
+    return raster.decode_tile_stats(g, carry=("image_id",))
+
+
 def _q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return TX.with_token_counts(docs).select(
@@ -1541,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_travelers": _q_co_travelers,
         "zone_visits": _q_zone_visits,
         "brightness_raster": _q_brightness_raster,
+        "tile_gallery": _q_tile_gallery,
         "token_count": _q_token_count,
         "text_quality": _q_quality,
         "langid": _q_langid,
@@ -2540,6 +2557,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(vv) AS BIGINT) AS sum_px,
                    CAST(MAX(vv) AS BIGINT) AS max_px
             FROM pix GROUP BY 1, 2, 3
+        """,
+        # gallery: winner = MIN key per z15 tile; nearest-neighbor
+        # 16x16 thumbnails sample each logical 8x8 block exactly 4x
+        # (16 = 2*8, block edges divide evenly for every s = 1+k%3),
+        # so the decoded sums are again popcount(V) polynomials
+        "tile_gallery": f"""
+            WITH v AS (
+              SELECT p_partkey,
+                     CAST((CAST(p_partkey % 127 + 1 AS HUGEINT)
+                           * 11400714819323198485)
+                          % 2305843009213693952 AS BIGINT) AS V,
+                     CASE WHEN p_partkey % 2 = 0 THEN 200 ELSE 202 END AS hi,
+                     CASE WHEN p_partkey % 2 = 0 THEN 40 ELSE 42 END AS lo,
+                     {FX.SQL_LON.format(k="p_partkey")} AS lon,
+                     {FX.SQL_LAT.format(k="p_partkey")} AS lat
+              FROM part),
+            t AS (
+              SELECT *,
+                     CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS tx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS ty
+              FROM v),
+            r AS (SELECT tx, ty, MIN(p_partkey) AS k
+                  FROM t GROUP BY 1, 2),
+            q AS (
+              SELECT r.tx, r.ty, t.p_partkey, t.hi, t.lo,
+                     ({" + ".join(f"((V // {1 << i}) % 2)" for i in range(61))}) AS pop
+              FROM r JOIN t ON t.p_partkey = r.k)
+            SELECT CAST(15 AS INT) AS z,
+                   CAST(tx AS INT) AS tile_x,
+                   CAST(ty AS INT) AS tile_y,
+                   CAST(256 AS BIGINT) AS nonzero_px,
+                   CAST(4 * (hi * pop + lo * (64 - pop)) AS BIGINT) AS sum_px,
+                   CAST(hi AS BIGINT) AS max_px,
+                   CAST(p_partkey AS BIGINT) AS image_id
+            FROM q
         """,
         # count-space pyramid: z10 halves raw counts BEFORE the clip
         "raster_pyramid": f"""

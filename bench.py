@@ -93,8 +93,9 @@ def main() -> None:
         "map_match", "trip_stats", "od_matrix", "coverage_gaps",
         "trip_segments", "speed_raster", "route_raster",
         "stay_points", "co_location", "edge_usage", "co_travelers",
-        # r5 eighth session: geofence episodes + the visual raster layer
-        "zone_visits", "brightness_raster",
+        # r5 eighth session: geofence episodes + the visual raster
+        # layer + per-tile representative thumbnails
+        "zone_visits", "brightness_raster", "tile_gallery",
     ]
 
     # input size for throughput: rows entering the spatial suite

@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..codecs.image import ahash64, decode_image
+from ..codecs.image import ahash64, decode_image, encode_image
 from ..core import cells
 from .union_dataset import _cell_cover_udfs
 
@@ -140,6 +140,76 @@ def brightness_raster(images: DataFrame, z: int, px: int, *,
     return encode_tiles(
         brightness_pixels(images, z, px, lon_col=lon_col,
                           lat_col=lat_col), px, fmt)
+
+
+def tile_gallery(images: DataFrame, z: int, px: int, *,
+                 id_col: str = "image_id",
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 fmt: str = "png") -> DataFrame:
+    """Visual browse layer: ONE representative image per occupied
+    zoom-``z`` tile — the deterministic min-``id_col`` record — decoded
+    and nearest-neighbor-resampled to a ``px x px`` grayscale thumbnail
+    tile (the map-preview / gallery layer a 10^12-image atlas serves
+    next to its density layers).
+
+    Plan (blobs NEVER shuffle): pass 1 aggregates the narrow
+    (tile, id) projection to one winner id per tile; pass 2 joins the
+    winner relation BACK against the corpus broadcast-side (an
+    explicit broadcast — a shuffle hash join would move the blobs), so
+    only the ~one-row-per-tile survivors are ever decoded. Resampling
+    is index arithmetic (``src = floor(dst * src_dim / px)``), exact in
+    integer SQL for closed-form fixtures.
+
+    Scale bound: the broadcast is one narrow row (two longs + the id)
+    per OCCUPIED tile — fine through ~10^7 tiles (hundreds of MB). A
+    planetary z15 gallery (~10^8+ occupied tiles) should instead read
+    the corpus from the tile-partitioned store (io/tile_store layout),
+    where the winner resolves map-side within each tile partition and
+    no join exists at all.
+
+    Output: (z, tile_x, tile_y, w, h, fmt, bytes, image_id)."""
+    tx, ty, _ = cells.tile_expr(F.col(lon_col), F.col(lat_col), z)
+    reps = (images
+            .select(tx.cast("long").alias("_tx"), ty.cast("long").alias("_ty"),
+                    F.col(id_col))
+            .groupBy("_tx", "_ty")
+            .agg(F.min(id_col).alias(id_col)))
+    picked = images.select(id_col, "bytes", "fmt").join(
+        F.broadcast(reps), id_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            txs, tys, ids, blobs = [], [], [], []
+            for i in range(len(pdf)):
+                try:
+                    img = decode_image(pdf["bytes"].iloc[i],
+                                       pdf["fmt"].iloc[i])
+                except (NotImplementedError, ValueError):
+                    continue
+                if img.ndim == 3:
+                    img = img[:, :, 0]
+                h, w = img.shape
+                ri = (np.arange(px) * h) // px
+                ci = (np.arange(px) * w) // px
+                thumb = np.ascontiguousarray(img[np.ix_(ri, ci)])
+                txs.append(int(pdf["_tx"].iloc[i]))
+                tys.append(int(pdf["_ty"].iloc[i]))
+                ids.append(int(pdf[id_col].iloc[i]))
+                blobs.append(encode_image(thumb, fmt))
+            yield pd.DataFrame({
+                "z": pd.array([z] * len(txs), dtype="int32"),
+                "tile_x": pd.array(txs, dtype="int32"),
+                "tile_y": pd.array(tys, dtype="int32"),
+                "w": pd.array([px] * len(txs), dtype="int32"),
+                "h": pd.array([px] * len(txs), dtype="int32"),
+                "fmt": [fmt] * len(txs),
+                "bytes": blobs,
+                id_col: pd.array(ids, dtype="int64"),
+            })
+
+    return picked.mapInPandas(
+        gen, schema=f"z int, tile_x int, tile_y int, w int, h int, "
+                    f"fmt string, bytes binary, {id_col} long")
 
 
 def viewport_similar(images: DataFrame, query_hash: int,

@@ -482,15 +482,21 @@ def raster_to_points(tiles: DataFrame, min_value: int = 1) -> DataFrame:
             .mapInPandas(gen, schema="z int, gx long, gy long, v long"))
 
 
-def decode_tile_stats(tiles: DataFrame) -> DataFrame:
+def decode_tile_stats(tiles: DataFrame,
+                      carry: tuple = ()) -> DataFrame:
     """Per-tile stats recomputed FROM THE DECODED PIXELS — nothing read
     from stored metadata, so closed-form fixtures put the full
     render -> encode -> decode path under the hash-exact SQL oracle
-    (the decode_meta pattern, multimodal.py:51). Map-only."""
+    (the decode_meta pattern, multimodal.py:51). Map-only. ``carry``
+    columns ride through unchanged (e.g. tile_gallery's chosen
+    ``image_id``, so the selection rule sits under the oracle too)."""
+    carry = tuple(carry)
+    carry_types = dict(tiles.dtypes)
 
     def gen(batches):
         for pdf in batches:
             zs, xs, ys, nz, sm, mx = [], [], [], [], [], []
+            cv: dict = {c: [] for c in carry}
             for i in range(len(pdf)):
                 img = decode_image(bytes(pdf["bytes"].iloc[i]),
                                    pdf["fmt"].iloc[i])
@@ -503,7 +509,9 @@ def decode_tile_stats(tiles: DataFrame) -> DataFrame:
                 nz.append(int((v > 0).sum()))
                 sm.append(int(v.sum()))
                 mx.append(int(v.max()))
-            yield pd.DataFrame({
+                for c in carry:
+                    cv[c].append(pdf[c].iloc[i])
+            out = pd.DataFrame({
                 "z": pd.array(zs, dtype="int32"),
                 "tile_x": pd.array(xs, dtype="int32"),
                 "tile_y": pd.array(ys, dtype="int32"),
@@ -511,6 +519,15 @@ def decode_tile_stats(tiles: DataFrame) -> DataFrame:
                 "sum_px": pd.array(sm, dtype="int64"),
                 "max_px": pd.array(mx, dtype="int64"),
             })
+            for c in carry:
+                out[c] = cv[c]
+            yield out
 
-    return (tiles.select("z", "tile_x", "tile_y", "fmt", "bytes")
-            .mapInPandas(gen, schema=TILE_STATS_SCHEMA))
+    schema = TILE_STATS_SCHEMA
+    if carry:
+        base = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                         for f in TILE_STATS_SCHEMA.fields)
+        schema = (base + ", "
+                  + ", ".join(f"{c} {carry_types[c]}" for c in carry))
+    return (tiles.select("z", "tile_x", "tile_y", "fmt", "bytes", *carry)
+            .mapInPandas(gen, schema=schema))

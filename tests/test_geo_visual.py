@@ -258,3 +258,39 @@ def test_brightness_pixels_integer_mean(spark):
     gxa, gya = grid(lon0, lat0)
     st = stats[(gxa // px, gya // px)]
     assert (st["nonzero_px"], st["max_px"]) == (1, 120)
+
+
+def test_tile_gallery_min_id_thumbnail(spark):
+    from tdei_backend_service_spark.operators.geo_visual import tile_gallery
+    from tdei_backend_service_spark.codecs.image import decode_image
+    z = 15
+    n = 1 << z
+    tile_lon = lambda i: (i + 0.5) * 360.0 / n - 180.0
+    rows = [
+        # tile A: ids 7 and 3 -> 3 wins (min id), 16x16 source of 9s
+        {"image_id": 7, "bytes": encode_image(
+            np.full((8, 8), 5, dtype=np.uint8), "png"), "fmt": "png",
+         "lon": tile_lon(1000), "lat": 47.0},
+        {"image_id": 3, "bytes": encode_image(
+            np.full((16, 16), 9, dtype=np.uint8), "png"), "fmt": "png",
+         "lon": tile_lon(1000), "lat": 47.0},
+        # tile B: lone non-square image; nearest-neighbor must handle
+        # w != h (24 x 8 source of 11s)
+        {"image_id": 12, "bytes": encode_image(
+            np.full((24, 8), 11, dtype=np.uint8), "png"), "fmt": "png",
+         "lon": tile_lon(2000), "lat": 47.0},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    g = tile_gallery(df, z, 16)
+    # blobs must reach the winner join without shuffling: the tiny rep
+    # relation is broadcast
+    assert "BroadcastHashJoin" in \
+        g._jdf.queryExecution().executedPlan().toString()
+    out = {r["image_id"]: r for r in g.collect()}
+    assert set(out) == {3, 12}
+    a = out[3]
+    assert (a["w"], a["h"]) == (16, 16)
+    img = decode_image(bytes(a["bytes"]), a["fmt"])
+    assert img.shape[:2] == (16, 16) and int(img.max()) == 9
+    b = decode_image(bytes(out[12]["bytes"]), out[12]["fmt"])
+    assert b.shape[:2] == (16, 16) and int(b.min()) == 11
