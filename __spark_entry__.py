@@ -404,6 +404,21 @@ def _q_tile_gallery(spark: SparkSession, sf: str) -> DataFrame:
     return raster.decode_tile_stats(g, carry=("image_id",))
 
 
+def _q_gallery_pyramid(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-zoom browse layer (operators/geo_visual.gallery_pyramid):
+    z15/z14/z13 representative thumbnails from ONE corpus pass — the
+    min-id winner nests under integer tile halving, so coarse levels
+    roll up the narrow winner relation and each DISTINCT winner
+    decodes once. Oracle: per level winner = MIN key per halved tile,
+    decoded sums = the tile_gallery popcount(V) polynomial."""
+    from tdei_backend_service_spark.operators import raster
+    from tdei_backend_service_spark.operators.geo_visual import \
+        gallery_pyramid
+    imgs = FX.part_images_spread(spark, sf)
+    g = gallery_pyramid(imgs, TILE_Z, TILE_Z - 2, RASTER_PX)
+    return raster.decode_tile_stats(g, carry=("image_id",))
+
+
 def _q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return TX.with_token_counts(docs).select(
@@ -1558,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_visits": _q_zone_visits,
         "brightness_raster": _q_brightness_raster,
         "tile_gallery": _q_tile_gallery,
+        "gallery_pyramid": _q_gallery_pyramid,
         "token_count": _q_token_count,
         "text_quality": _q_quality,
         "langid": _q_langid,
@@ -2585,6 +2601,46 @@ def oracle_sql() -> dict[str, str]:
                      ({" + ".join(f"((V // {1 << i}) % 2)" for i in range(61))}) AS pop
               FROM r JOIN t ON t.p_partkey = r.k)
             SELECT CAST(15 AS INT) AS z,
+                   CAST(tx AS INT) AS tile_x,
+                   CAST(ty AS INT) AS tile_y,
+                   CAST(256 AS BIGINT) AS nonzero_px,
+                   CAST(4 * (hi * pop + lo * (64 - pop)) AS BIGINT) AS sum_px,
+                   CAST(hi AS BIGINT) AS max_px,
+                   CAST(p_partkey AS BIGINT) AS image_id
+            FROM q
+        """,
+        # winner nesting under halving: parent winner = min of child
+        # winners = min key per halved tile; same thumbnail polynomial
+        "gallery_pyramid": f"""
+            WITH v AS (
+              SELECT p_partkey,
+                     CAST((CAST(p_partkey % 127 + 1 AS HUGEINT)
+                           * 11400714819323198485)
+                          % 2305843009213693952 AS BIGINT) AS V,
+                     CASE WHEN p_partkey % 2 = 0 THEN 200 ELSE 202 END AS hi,
+                     CASE WHEN p_partkey % 2 = 0 THEN 40 ELSE 42 END AS lo,
+                     {FX.SQL_LON.format(k="p_partkey")} AS lon,
+                     {FX.SQL_LAT.format(k="p_partkey")} AS lat
+              FROM part),
+            t AS (
+              SELECT *,
+                     CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS tx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS ty
+              FROM v),
+            w AS (
+              SELECT 15 AS z, tx, ty, MIN(p_partkey) AS k
+              FROM t GROUP BY 2, 3
+              UNION ALL
+              SELECT 14, tx // 2, ty // 2, MIN(p_partkey)
+              FROM t GROUP BY 2, 3
+              UNION ALL
+              SELECT 13, tx // 4, ty // 4, MIN(p_partkey)
+              FROM t GROUP BY 2, 3),
+            q AS (
+              SELECT w.z, w.tx, w.ty, t.p_partkey, t.hi, t.lo,
+                     ({" + ".join(f"((V // {1 << i}) % 2)" for i in range(61))}) AS pop
+              FROM w JOIN t ON t.p_partkey = w.k)
+            SELECT CAST(z AS INT) AS z,
                    CAST(tx AS INT) AS tile_x,
                    CAST(ty AS INT) AS tile_y,
                    CAST(256 AS BIGINT) AS nonzero_px,

@@ -212,6 +212,81 @@ def tile_gallery(images: DataFrame, z: int, px: int, *,
                     f"fmt string, bytes binary, {id_col} long")
 
 
+def gallery_pyramid(images: DataFrame, z_base: int, z_min: int, px: int, *,
+                    id_col: str = "image_id",
+                    lon_col: str = "lon", lat_col: str = "lat",
+                    fmt: str = "png") -> DataFrame:
+    """Multi-zoom browse layer: ``tile_gallery`` at every zoom in
+    ``[z_min, z_base]`` from ONE corpus pass — the overview build for
+    representative thumbnails (mosaic_tiles/pyramid_pixel_counts play
+    this role for density layers).
+
+    The min-id winner nests under integer halving: the winner of a
+    parent tile IS the min of its children's winners (every image in
+    the parent sits in some child), so coarser levels roll up the
+    NARROW (tile, id) relation — the corpus is scanned once and blobs
+    never shuffle. A winner that holds several zooms (common: coarse
+    levels reuse deep winners) is decoded and thumbnailed ONCE — the
+    distinct-winner relation drives the decode, and the per-id thumb
+    joins back to every (zoom, tile) row broadcast-side.
+
+    Output: (z, tile_x, tile_y, w, h, fmt, bytes, image_id)."""
+    if z_min > z_base:
+        raise ValueError("z_min must be <= z_base")
+    tx, ty, _ = cells.tile_expr(F.col(lon_col), F.col(lat_col), z_base)
+    base = (images
+            .select(tx.cast("long").alias("_tx"),
+                    ty.cast("long").alias("_ty"), F.col(id_col))
+            .groupBy("_tx", "_ty").agg(F.min(id_col).alias(id_col)))
+    levels = [base.select(F.lit(z_base).cast("int").alias("z"),
+                          "_tx", "_ty", id_col)]
+    cur = base
+    for z in range(z_base - 1, z_min - 1, -1):
+        cur = (cur.groupBy((F.col("_tx") / 2).cast("long").alias("_tx"),
+                           (F.col("_ty") / 2).cast("long").alias("_ty"))
+               .agg(F.min(id_col).alias(id_col)))
+        levels.append(cur.select(F.lit(z).cast("int").alias("z"),
+                                 "_tx", "_ty", id_col))
+    winners = levels[0]
+    for lv in levels[1:]:
+        winners = winners.unionByName(lv)
+    distinct_ids = winners.select(id_col).distinct()
+    picked = images.select(id_col, "bytes", "fmt").join(
+        F.broadcast(distinct_ids), id_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in range(len(pdf)):
+                try:
+                    img = decode_image(pdf["bytes"].iloc[i],
+                                       pdf["fmt"].iloc[i])
+                except (NotImplementedError, ValueError):
+                    continue
+                if img.ndim == 3:
+                    img = img[:, :, 0]
+                h, w = img.shape
+                ri = (np.arange(px) * h) // px
+                ci = (np.arange(px) * w) // px
+                ids.append(int(pdf[id_col].iloc[i]))
+                blobs.append(encode_image(
+                    np.ascontiguousarray(img[np.ix_(ri, ci)]), fmt))
+            yield pd.DataFrame({id_col: pd.array(ids, dtype="int64"),
+                                "_thumb": blobs})
+
+    thumbs = picked.mapInPandas(
+        gen, schema=f"{id_col} long, _thumb binary")
+    return (winners.join(F.broadcast(thumbs), id_col)
+            .select("z",
+                    F.col("_tx").cast("int").alias("tile_x"),
+                    F.col("_ty").cast("int").alias("tile_y"),
+                    F.lit(px).cast("int").alias("w"),
+                    F.lit(px).cast("int").alias("h"),
+                    F.lit(fmt).alias("fmt"),
+                    F.col("_thumb").alias("bytes"),
+                    F.col(id_col).cast("long").alias(id_col)))
+
+
 def viewport_similar(images: DataFrame, query_hash: int,
                      bbox: tuple[float, float, float, float], k: int,
                      pk: str = "image_id") -> DataFrame:

@@ -294,3 +294,45 @@ def test_tile_gallery_min_id_thumbnail(spark):
     assert img.shape[:2] == (16, 16) and int(img.max()) == 9
     b = decode_image(bytes(out[12]["bytes"]), out[12]["fmt"])
     assert b.shape[:2] == (16, 16) and int(b.min()) == 11
+
+
+def test_gallery_pyramid_winner_nesting(spark):
+    from tdei_backend_service_spark.operators.geo_visual import (
+        gallery_pyramid)
+    from tdei_backend_service_spark.codecs.image import decode_image
+    z = 15
+    n = 1 << z
+    # four points in the four z15 children of one z14 tile
+    tl = lambda i: (i + 0.5) * 360.0 / n - 180.0
+    # latitudes of two vertically adjacent z15 rows near 47N
+    import math
+    def lat_of_row(gy):
+        yy = math.pi * (1.0 - 2.0 * (gy + 0.5) / n)
+        return math.degrees(math.atan(math.sinh(yy)))
+    gy0 = 11000  # even -> rows 11000/11001 share the z14 parent
+    gx0 = 2000   # even -> cols 2000/2001 share the z14 parent
+    rows = []
+    for k, (dx, dy) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+        rows.append({"image_id": 5 + k,
+                     "bytes": encode_image(np.full((8, 8), 50 + k,
+                                           dtype=np.uint8), "png"),
+                     "fmt": "png",
+                     "lon": tl(gx0 + dx), "lat": lat_of_row(gy0 + dy)})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = gallery_pyramid(df, z, z - 2, 16).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r["z"], []).append(r)
+    assert sorted(len(v) for v in by_level.values()) == [1, 1, 4]
+    # parent winner = min of child winners, at both coarse levels
+    assert by_level[14][0]["image_id"] == 5
+    assert by_level[13][0]["image_id"] == 5
+    assert (by_level[14][0]["tile_x"], by_level[14][0]["tile_y"]) \
+        == (gx0 // 2, gy0 // 2)
+    # the shared winner's thumbnail bytes are identical at every zoom
+    # (one decode fans out) and decode to image 5's constant value
+    b14, b13 = bytes(by_level[14][0]["bytes"]), bytes(by_level[13][0]["bytes"])
+    b15 = bytes(next(r for r in by_level[15]
+                     if r["image_id"] == 5)["bytes"])
+    assert b14 == b13 == b15
+    assert int(decode_image(b14, "png").max()) == 50
