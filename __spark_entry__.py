@@ -419,6 +419,22 @@ def _q_gallery_pyramid(spark: SparkSession, sf: str) -> DataFrame:
     return raster.decode_tile_stats(g, carry=("image_id",))
 
 
+def _q_tile_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Caption-side map labeling (operators/tiling.tile_top_terms):
+    dominant lowercased-alnum caption term per z15 tile, ties to the
+    smallest term — split/explode map-side, one (tile, term) exchange,
+    top-1 window on the bounded term relation. Oracle replays the
+    identical split law and tie order in SQL."""
+    from tdei_backend_service_spark.operators.tiling import tile_top_terms
+    parts = spark.read.parquet(f"{sf}/part.parquet")
+    df = FX.derive_lonlat(parts, "p_partkey").select(
+        "lon", "lat",
+        F.concat(F.lit("scene"), (F.col("p_partkey") % 5).cast("string"),
+                 F.lit(" tag"), (F.col("p_partkey") % 11).cast("string"))
+        .alias("caption"))
+    return tile_top_terms(df, TILE_Z)
+
+
 def _q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return TX.with_token_counts(docs).select(
@@ -1574,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brightness_raster": _q_brightness_raster,
         "tile_gallery": _q_tile_gallery,
         "gallery_pyramid": _q_gallery_pyramid,
+        "tile_terms": _q_tile_terms,
         "token_count": _q_token_count,
         "text_quality": _q_quality,
         "langid": _q_langid,
@@ -2608,6 +2625,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(hi AS BIGINT) AS max_px,
                    CAST(p_partkey AS BIGINT) AS image_id
             FROM q
+        """,
+        # dominant caption term per tile: identical split law (split on
+        # non-alnum after lower, drop empties), ties to smallest term
+        "tile_terms": f"""
+            WITH p AS (
+              SELECT {FX.SQL_LON.format(k="p_partkey")} AS lon,
+                     {FX.SQL_LAT.format(k="p_partkey")} AS lat,
+                     'scene' || CAST(p_partkey % 5 AS VARCHAR)
+                       || ' tag' || CAST(p_partkey % 11 AS VARCHAR)
+                       AS caption
+              FROM part),
+            t AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS tx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS ty,
+                     unnest(list_filter(regexp_split_to_array(
+                         lower(caption), '[^a-z0-9]+'),
+                         x -> x <> '')) AS term
+              FROM p),
+            c AS (SELECT tx, ty, term, COUNT(*) AS n
+                  FROM t GROUP BY 1, 2, 3),
+            r AS (SELECT *,
+                         ROW_NUMBER() OVER (PARTITION BY tx, ty
+                                            ORDER BY n DESC, term) AS rk,
+                         SUM(n) OVER (PARTITION BY tx, ty) AS tot
+                  FROM c)
+            SELECT CAST(15 AS INT) AS z,
+                   tx AS tile_x, ty AS tile_y, term,
+                   CAST(n AS BIGINT) AS n_term,
+                   CAST(tot AS BIGINT) AS n_total_terms
+            FROM r WHERE rk = 1
         """,
         # winner nesting under halving: parent winner = min of child
         # winners = min key per halved tile; same thumbnail polynomial

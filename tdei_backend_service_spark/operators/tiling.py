@@ -102,3 +102,45 @@ def incremental_tile_counts(committed: DataFrame, drop: DataFrame,
     return (committed.select("tile_x", "tile_y", "n").unionByName(d)
             .groupBy("tile_x", "tile_y")
             .agg(F.sum("n").cast("long").alias("n")))
+
+
+def tile_top_terms(df: DataFrame, z: int, *, caption_col: str = "caption",
+                   lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Label the map: per zoom-``z`` tile the dominant caption term —
+    lowercased alnum tokens, count per (tile, term), most frequent wins,
+    ties to the lexicographically smallest term (a deterministic total
+    order, so the layer carries a full oracle). The caption-side
+    summarization a browse map serves next to tile_gallery's thumbnails
+    (the north-rule input is image + caption pairs; this is the
+    caption analogue of the density/brightness layers).
+
+    Plan, all JVM: split/filter/explode map-side, ONE partial-combined
+    exchange on (tile, term), then the top-1 window on the tile key —
+    the (tile, term) relation entering the window is already bounded by
+    the vocabulary x occupied tiles, never the corpus. Output:
+    (z, tile_x, tile_y, term, n_term, n_total_terms)."""
+    from pyspark.sql.window import Window
+    tx, ty, _ = cells.tile_expr(F.col(lon_col), F.col(lat_col), z)
+    toks = (df.select(tx.cast("long").alias("tile_x"),
+                      ty.cast("long").alias("tile_y"),
+                      F.explode(F.filter(
+                          F.split(F.lower(F.col(caption_col)),
+                                  "[^a-z0-9]+"),
+                          lambda t: t != "")).alias("term")))
+    counts = (toks.groupBy("tile_x", "tile_y", "term")
+              .agg(F.count(F.lit(1)).alias("n_term")))
+    w = Window.partitionBy("tile_x", "tile_y") \
+        .orderBy(F.desc("n_term"), F.asc("term"))
+    return (counts
+            .withColumn("_rk", F.row_number().over(w))
+            .withColumn("n_total_terms",
+                        F.sum("n_term").over(
+                            Window.partitionBy("tile_x", "tile_y")))
+            .filter(F.col("_rk") == 1)
+            .select(F.lit(z).cast("int").alias("z"),
+                    F.col("tile_x").cast("long").alias("tile_x"),
+                    F.col("tile_y").cast("long").alias("tile_y"),
+                    "term",
+                    F.col("n_term").cast("long").alias("n_term"),
+                    F.col("n_total_terms").cast("long")
+                    .alias("n_total_terms")))

@@ -552,3 +552,26 @@ def test_incremental_tile_counts_merge_equals_recompute(spark):
     for r in merged.collect():
         up[(r["tile_x"] // 2, r["tile_y"] // 2)] += r["n"]
     assert up == pyr
+
+
+def test_tile_top_terms_tie_break_and_split(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from tdei_backend_service_spark.operators.tiling import tile_top_terms
+    z = 15
+    n = 1 << z
+    tl = lambda i: (i + 0.5) * 360.0 / n - 180.0
+    rows = [
+        # tile A: 'park' x2, 'zebra' x2 -> tie, smallest term wins;
+        # punctuation/case fold into the same split law
+        {"caption": "Park! zebra", "lon": tl(100), "lat": 47.0},
+        {"caption": "zebra,PARK", "lon": tl(100), "lat": 47.0},
+        # tile B: clear majority + empty-token stripping
+        {"caption": "  dog--dog  cat ", "lon": tl(300), "lat": 47.0},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r["tile_x"]: r for r in tile_top_terms(df, z).collect()}
+    a = next(v for v in out.values() if v["n_total_terms"] == 4)
+    assert (a["term"], a["n_term"]) == ("park", 2)  # tie -> min term
+    b = next(v for v in out.values() if v["n_total_terms"] == 3)
+    assert (b["term"], b["n_term"]) == ("dog", 2)
