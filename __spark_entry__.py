@@ -435,6 +435,21 @@ def _q_tile_terms(spark: SparkSession, sf: str) -> DataFrame:
     return tile_top_terms(df, TILE_Z)
 
 
+def _q_decode_mse(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-row payload fidelity as an operator (pipeline/multimodal.
+    decode_mse_cols): each record carries the SAME planted pattern in
+    both codecs; the integer squared-error sum between the decoded
+    pairs is closed-form (qimg shifts every sample by exactly 2 ->
+    sq_err_sum = 768 s^2), putting the north rule's PSNR invariant
+    under the hash oracle. The float psnr_db column (42.11 dB >= the
+    40 dB gate) is pinned in pytest, not hashed."""
+    from tdei_backend_service_spark.pipeline.multimodal import \
+        decode_mse_cols
+    pairs = FX.part_image_pairs(spark, sf)
+    return decode_mse_cols(pairs).select(
+        "image_id", "w", "h", "n_px", "sq_err_sum")
+
+
 def _q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return TX.with_token_counts(docs).select(
@@ -1591,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_gallery": _q_tile_gallery,
         "gallery_pyramid": _q_gallery_pyramid,
         "tile_terms": _q_tile_terms,
+        "decode_mse": _q_decode_mse,
         "token_count": _q_token_count,
         "text_quality": _q_quality,
         "langid": _q_langid,
@@ -2625,6 +2641,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(hi AS BIGINT) AS max_px,
                    CAST(p_partkey AS BIGINT) AS image_id
             FROM q
+        """,
+        # codec-pair fidelity: qimg shifts every decoded sample by
+        # exactly 2, so the squared error is 4 per channel sample
+        "decode_mse": """
+            SELECT CAST(p_partkey AS BIGINT) AS image_id,
+                   CAST(8 * (1 + p_partkey % 3) AS INT) AS w,
+                   CAST(8 * (1 + p_partkey % 3) AS INT) AS h,
+                   CAST(192 * (1 + p_partkey % 3) * (1 + p_partkey % 3)
+                        AS BIGINT) AS n_px,
+                   CAST(768 * (1 + p_partkey % 3) * (1 + p_partkey % 3)
+                        AS BIGINT) AS sq_err_sum
+            FROM part
         """,
         # dominant caption term per tile: identical split law (split on
         # non-alnum after lower, drop empties), ties to smallest term

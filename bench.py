@@ -96,7 +96,7 @@ def main() -> None:
         # r5 eighth session: geofence episodes + the visual raster
         # layer + per-tile representative thumbnails
         "zone_visits", "brightness_raster", "tile_gallery",
-        "gallery_pyramid", "tile_terms",
+        "gallery_pyramid", "tile_terms", "decode_mse",
     ]
 
     # input size for throughput: rows entering the spatial suite

@@ -668,6 +668,52 @@ def part_images_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("lat", F.lit(47.0) + site / F.lit(1000.0)))
 
 
+def part_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part_images plus a second blob of the SAME planted pattern in
+    the OTHER codec (png <-> qimg) — the lossless/lossy pair
+    decode_mse_cols compares. qimg's mid-rise reconstruction shifts
+    every pixel by exactly 2 (200->202, 40->42 on all 3 channels), so
+    the pair's integer squared error is closed-form: 4 per channel
+    sample -> sq_err_sum = 4 * 192 * s^2 = 768 s^2, PSNR = 42.11 dB
+    (>= the 40 dB lossy gate). Derivation rides over the cached blob
+    table; only 762 distinct blobs exist, memoized per batch."""
+    from pyspark.sql import types as T
+
+    from .codecs.image import encode_image
+
+    @F.pandas_udf(T.BinaryType())
+    def _img2(key: pd.Series) -> pd.Series:
+        import numpy as np
+        cache: dict = {}
+        out = []
+        for k in key:
+            k = int(k)
+            ck = (k % 127, k % 3, k % 2)
+            blob = cache.get(ck)
+            if blob is None:
+                v = phash_class_value(k % 127)
+                s = 1 + k % 3
+                cell = np.array([[(v >> (63 - (8 * i + j))) & 1
+                                  for j in range(8)] for i in range(8)],
+                                dtype=np.uint8)
+                img = np.repeat(np.repeat(np.where(cell == 1, 200, 40),
+                                          s, 0), s, 1).astype(np.uint8)
+                img = np.stack([img] * 3, axis=-1)
+                # OPPOSITE parity: even keys stored png get a qimg twin
+                blob = encode_image(img, "qimg" if k % 2 == 0 else "png")
+                cache[ck] = blob
+            out.append(blob)
+        return pd.Series(out)
+
+    imgs = part_images(spark, sf_dir)
+    return (imgs
+            .withColumn("bytes_b",
+                        _img2.asNondeterministic()(F.col("image_id")))
+            .withColumn("fmt_b",
+                        F.when(F.col("image_id") % 2 == 0, F.lit("qimg"))
+                        .otherwise(F.lit("png"))))
+
+
 def part_images_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part_images geotagged with the standard derived-point scramble
     (derive_lonlat on image_id) — unlike part_images_geo's 10-site

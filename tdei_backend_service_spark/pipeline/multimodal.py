@@ -265,6 +265,64 @@ def decode_pixel_sums(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     return df.select(*cols).mapInPandas(gen, schema=PIXEL_SUM_SCHEMA)
 
 
+def decode_mse_cols(df: DataFrame, id_col: str = "image_id",
+                    a_cols: tuple = ("bytes", "fmt"),
+                    b_cols: tuple = ("bytes_b", "fmt_b")) -> DataFrame:
+    """Per-row decoded-pixel fidelity between two payload columns of
+    the SAME record — the north rule's per-row invariant (decoded-pixel
+    allclose / PSNR >= 40 dB for lossy) as a first-class operator
+    rather than only a pytest: (id, w, h, n_px, sq_err_sum, psnr_db)
+    where ``sq_err_sum`` is the EXACT integer sum of squared channel
+    errors (so closed-form codec fixtures put the comparison under the
+    hash oracle) and ``psnr_db = 10*log10(255^2 * n_px / sq_err_sum)``
+    is the derived float for consumers (NULL when the payloads decode
+    identically — infinite PSNR).
+
+    Map-only: both blobs sit in the same row, so nothing shuffles —
+    the shape a lossy-reencode QA pass has at 10^12 images (pair the
+    columns at write time; pairing two separate blob TABLES would
+    shuffle payloads and belongs in a bucketed store). Rows where
+    either payload fails to decode or dims mismatch are dropped
+    (count deltas surface them, the decode_metadata convention)."""
+    ba, fa = a_cols
+    bb, fb = b_cols
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, ns, sqs, psnr = [], [], [], [], [], []
+            for i in range(len(pdf)):
+                try:
+                    x = decode_image(pdf[ba].iloc[i], pdf[fa].iloc[i])
+                    y = decode_image(pdf[bb].iloc[i], pdf[fb].iloc[i])
+                except (NotImplementedError, ValueError):
+                    continue
+                if x.shape != y.shape:
+                    continue
+                d = x.astype(np.int64) - y.astype(np.int64)
+                sq = int((d * d).sum())
+                n = int(x.size)
+                ids.append(int(pdf[id_col].iloc[i]))
+                hs.append(x.shape[0])
+                ws.append(x.shape[1])
+                ns.append(n)
+                sqs.append(sq)
+                psnr.append(10.0 * np.log10(255.0 * 255.0 * n / sq)
+                            if sq else None)
+            yield pd.DataFrame({
+                "image_id": pd.array(ids, dtype="int64"),
+                "w": pd.array(ws, dtype="int32"),
+                "h": pd.array(hs, dtype="int32"),
+                "n_px": pd.array(ns, dtype="int64"),
+                "sq_err_sum": pd.array(sqs, dtype="int64"),
+                "psnr_db": pd.array(psnr, dtype="float64"),
+            })
+
+    return (df.select(id_col, ba, fa, bb, fb)
+            .mapInPandas(gen, schema="image_id long, w int, h int, "
+                                     "n_px long, sq_err_sum long, "
+                                     "psnr_db double"))
+
+
 def verify_payload_invariants(df: DataFrame) -> DataFrame:
     """Per-row payload invariants from BASELINE.json input_hint:
     lossless rows decode to pixels whose rehash matches phash exactly;

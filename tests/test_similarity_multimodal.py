@@ -349,3 +349,33 @@ def test_augment_images_drops_undecodable(spark):
     ]))
     got = augment_images(df, ops=("flip_h",)).collect()
     assert [r["image_id"] for r in got] == [0]
+
+
+def test_decode_mse_cols_psnr_and_drops(spark):
+    from tdei_backend_service_spark.codecs.image import encode_image
+    base = np.full((8, 8, 3), 200, dtype=np.uint8)
+    off2 = np.full((8, 8, 3), 202, dtype=np.uint8)   # every sample +2
+    rows = [
+        # 0: constant +2 error -> sq = 4 * 192, psnr = 42.11 dB
+        {"image_id": 0, "bytes": encode_image(base, "png"), "fmt": "png",
+         "bytes_b": encode_image(off2, "png"), "fmt_b": "png"},
+        # 1: identical payloads -> sq 0, psnr NULL (infinite)
+        {"image_id": 1, "bytes": encode_image(base, "png"), "fmt": "png",
+         "bytes_b": encode_image(base, "png"), "fmt_b": "png"},
+        # 2: dims mismatch -> dropped
+        {"image_id": 2, "bytes": encode_image(base, "png"), "fmt": "png",
+         "bytes_b": encode_image(np.zeros((4, 4, 3), dtype=np.uint8),
+                                 "png"), "fmt_b": "png"},
+        # 3: undecodable second payload -> dropped
+        {"image_id": 3, "bytes": encode_image(base, "png"), "fmt": "png",
+         "bytes_b": b"junk", "fmt_b": "png"},
+    ]
+    out = {r["image_id"]: r for r in
+           MM.decode_mse_cols(spark.createDataFrame(
+               pd.DataFrame(rows))).collect()}
+    assert set(out) == {0, 1}
+    r0 = out[0]
+    assert (r0["n_px"], r0["sq_err_sum"]) == (192, 768)
+    assert abs(r0["psnr_db"] - 10 * np.log10(255**2 / 4)) < 1e-9
+    assert r0["psnr_db"] >= 40.0  # the north-rule lossy gate
+    assert out[1]["sq_err_sum"] == 0 and out[1]["psnr_db"] is None
