@@ -849,6 +849,40 @@ def _q_streaming_tiles(spark: SparkSession, sf: str) -> DataFrame:
                     "tile_x", "tile_y", F.col("n").cast("long").alias("n")))
 
 
+def _q_streaming_zones(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming geofence occupancy driven end-to-end (streaming/
+    zones.py): geotagged events pass the REAL broadcast ray-cast PIP
+    against the quad zones and aggregate into per-(hour-window, zone)
+    counts under a 30-minute watermark, APPEND mode. The sink holds
+    exactly the windows the final watermark sealed — closed-form over
+    the static table (zone = od_matrix's integer formula, half-lattice
+    boundaries keep every point interior), so the streaming front end
+    of the zone tier carries a full SQL oracle."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from tdei_backend_service_spark.streaming.zones import run_zone_counts
+    base = tempfile.mkdtemp(prefix="stream_zones_q_")
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("lon", T.DoubleType()),
+                           T.StructField("lat", T.DoubleType())])
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    (FX.derive_lonlat(ev, "event_id").select("ts", "lon", "lat")
+     .write.mode("overwrite").parquet(landing))
+    zones = FX.quad_zones(spark, side=4, dataset_id="tpch-z")
+    run_zone_counts(spark, landing, out, ckpt, schema, zones, "tpch-z")
+    return (spark.read.parquet(out)
+            .select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    F.col("zone_id").cast("long").alias("zone_id"),
+                    F.col("n").cast("long").alias("n")))
+
+
 def _q_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-zoom tile rollup (z15 down to z11): the corpus aggregates
     once at the base zoom, coarser levels integer-halve the previous
@@ -1709,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,
         # streaming front end of the live tile layer
         "streaming_tiles": _q_streaming_tiles,
+        "streaming_zones": _q_streaming_zones,
     }
 
 
@@ -2504,6 +2539,24 @@ def oracle_sql() -> dict[str, str]:
                    tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS n
             FROM e, m WHERE we <= mx - INTERVAL 30 MINUTE
             GROUP BY 1, 2, 3
+        """,
+        # streaming geofence: zone = the od_matrix integer formula over
+        # ALL events (no edge-tie exclusion needed: quad boundaries sit
+        # between lattice points); sealed iff window end <= max ts - 30m
+        "streaming_zones": """
+            WITH m AS (SELECT MAX(ts) AS mx FROM events),
+            e AS (
+              SELECT date_trunc('hour', ts) AS ws,
+                     date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
+                     ((event_id * 40503 + 12345) % 100000) // 25000 * 4
+                     + ((event_id * 2654435761) % 100000) // 25000
+                       AS zone_id
+              FROM events)
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   CAST(zone_id AS BIGINT) AS zone_id,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM e, m WHERE we <= mx - INTERVAL 30 MINUTE
+            GROUP BY 1, 2
         """,
         # session merge rule: strictly-greater 10-min gap breaks (an
         # event exactly gap after the previous merges — pinned against

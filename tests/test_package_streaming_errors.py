@@ -304,3 +304,62 @@ def test_streaming_tiles_seal_and_restart(spark, tmp_path):
             for r in spark.read.parquet(out).collect()}
     assert got2 == {("10:00", *t1): 2, ("10:00", *t2): 1,
                     ("11:00", *t1): 1, ("11:00", *t2): 1}
+
+
+def test_streaming_zones_seal_overlap_and_restart(spark, tmp_path):
+    """Streaming geofence occupancy end-to-end (append mode,
+    checkpointed across two runs): the broadcast ray-cast PIP assigns
+    zones (an overlap point counts in BOTH, an outside point drops),
+    only watermark-sealed windows emit, and a restart emits only newly
+    sealed windows."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tdei_backend_service_spark.core import geom
+    from tdei_backend_service_spark.core.schema import ZONES_SCHEMA
+    from tdei_backend_service_spark.streaming.zones import run_zone_counts
+
+    landing = str(tmp_path / "zland")
+    out = str(tmp_path / "zout")
+    ckpt = str(tmp_path / "zckpt")
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("lon", T.DoubleType()),
+                           T.StructField("lat", T.DoubleType())])
+
+    def rect(zid, x0, y0, x1, y1):
+        return (zid, [0, 1, 2, 3],
+                geom.wkb_polygon([(x0, y0), (x1, y0), (x1, y1),
+                                  (x0, y1), (x0, y0)]),
+                {}, "t-zones")
+
+    zones = spark.createDataFrame(
+        [rect(0, 0.0, 0.0, 0.01, 0.01),
+         rect(1, 0.005, 0.005, 0.015, 0.015)], ZONES_SCHEMA)
+    IN0, BOTH, OUT = (0.002, 0.002), (0.0075, 0.0075), (0.5, 0.5)
+
+    def drop(rows, mode):
+        pdf = pd.DataFrame(
+            [(dt.datetime(2024, 1, 1, h, m), p[0], p[1])
+             for h, m, p in rows], columns=["ts", "lon", "lat"])
+        spark.createDataFrame(pdf, schema=schema) \
+            .write.mode(mode).parquet(landing)
+
+    # window 10:00: zone0 x2 (IN0 + BOTH), zone1 x1 (BOTH); OUT drops;
+    # max ts 11:45 -> watermark 11:15 seals 10:00, 11:00 stays open
+    drop([(10, 5, IN0), (10, 40, BOTH), (10, 50, OUT), (11, 45, IN0)],
+         "overwrite")
+    run_zone_counts(spark, landing, out, ckpt, schema, zones, "t-zones")
+    got1 = {(r.window_start.strftime("%H:%M"), r.zone_id): r.n
+            for r in spark.read.parquet(out).collect()}
+    assert got1 == {("10:00", 0): 2, ("10:00", 1): 1}
+
+    # restart: 11:20 is a late row inside the open 11:00 window;
+    # 13:00 advances the watermark to 12:30, sealing 11:00
+    drop([(11, 20, BOTH), (13, 0, IN0)], "append")
+    run_zone_counts(spark, landing, out, ckpt, schema, zones, "t-zones")
+    got2 = {(r.window_start.strftime("%H:%M"), r.zone_id): r.n
+            for r in spark.read.parquet(out).collect()}
+    assert got2 == {("10:00", 0): 2, ("10:00", 1): 1,
+                    ("11:00", 0): 2, ("11:00", 1): 1}
