@@ -1060,6 +1060,26 @@ def _q_zonal_raster(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("max_v").cast("long")))
 
 
+def _q_zonal_brightness(spark: SparkSession, sf: str) -> DataFrame:
+    """Composition: zonal statistics over the VISUAL layer — the
+    decoded-brightness lattice (geo_visual.brightness_pixels) feeds
+    the same tile-cover zonal join as any density layer (operators/
+    raster.zonal_stats), answering 'how bright is the imagery per
+    district' in one pass. Oracle composes the popcount(V) brightness
+    closed form with the zone rectangles."""
+    from tdei_backend_service_spark.operators import raster
+    from tdei_backend_service_spark.operators.geo_visual import \
+        brightness_pixels
+    imgs = FX.part_images_spread(spark, sf)
+    pix = brightness_pixels(imgs, TILE_Z - 4, RASTER_PX)
+    return (raster.zonal_stats(pix, FX.pixel_zones(spark), RASTER_PX,
+                               value_col="n")
+            .select(F.col("zone_id").cast("long"),
+                    F.col("n_px").cast("long"),
+                    F.col("sum_v").cast("long"),
+                    F.col("max_v").cast("long")))
+
+
 def _q_raster_hotspots(spark: SparkSession, sf: str) -> DataFrame:
     """Neighborhood-density hotspots: 3x3 focal sum over the lattice,
     then the top 20 pixels under the deterministic total order (value
@@ -1725,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_focal": _q_raster_focal,
         "raster_algebra": _q_raster_algebra,
         "zonal_raster": _q_zonal_raster,
+        "zonal_brightness": _q_zonal_brightness,
         "raster_hotspots": _q_raster_hotspots,
         # areal burn-in composited onto the point-density layer
         "zone_burnin": _q_zone_burnin,
@@ -2916,6 +2937,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         # zonal stats of the DECODED layer: clipped pixel values joined
         # to the shared integer zone rectangles (inclusive bounds)
+        # zonal stats over the visual layer: brightness closed form
+        # (popcount polynomial, integer mean) -> zone rectangles
+        "zonal_brightness": f"""
+            WITH v AS (
+              SELECT p_partkey,
+                     CAST((CAST(p_partkey % 127 + 1 AS HUGEINT)
+                           * 11400714819323198485)
+                          % 2305843009213693952 AS BIGINT) AS V,
+                     1 + p_partkey % 3 AS s,
+                     CASE WHEN p_partkey % 2 = 0 THEN 200 ELSE 202 END AS hi,
+                     CASE WHEN p_partkey % 2 = 0 THEN 40 ELSE 42 END AS lo,
+                     {FX.SQL_LON.format(k="p_partkey")} AS lon,
+                     {FX.SQL_LAT.format(k="p_partkey")} AS lat
+              FROM part),
+            q AS (
+              SELECT *,
+                     (((V // 1) % 2) + ((V // 2) % 2) + ((V // 4) % 2) + ((V // 8) % 2) + ((V // 16) % 2) + ((V // 32) % 2) + ((V // 64) % 2) + ((V // 128) % 2) + ((V // 256) % 2) + ((V // 512) % 2) + ((V // 1024) % 2) + ((V // 2048) % 2) + ((V // 4096) % 2) + ((V // 8192) % 2) + ((V // 16384) % 2) + ((V // 32768) % 2) + ((V // 65536) % 2) + ((V // 131072) % 2) + ((V // 262144) % 2) + ((V // 524288) % 2) + ((V // 1048576) % 2) + ((V // 2097152) % 2) + ((V // 4194304) % 2) + ((V // 8388608) % 2) + ((V // 16777216) % 2) + ((V // 33554432) % 2) + ((V // 67108864) % 2) + ((V // 134217728) % 2) + ((V // 268435456) % 2) + ((V // 536870912) % 2) + ((V // 1073741824) % 2) + ((V // 2147483648) % 2) + ((V // 4294967296) % 2) + ((V // 8589934592) % 2) + ((V // 17179869184) % 2) + ((V // 34359738368) % 2) + ((V // 68719476736) % 2) + ((V // 137438953472) % 2) + ((V // 274877906944) % 2) + ((V // 549755813888) % 2) + ((V // 1099511627776) % 2) + ((V // 2199023255552) % 2) + ((V // 4398046511104) % 2) + ((V // 8796093022208) % 2) + ((V // 17592186044416) % 2) + ((V // 35184372088832) % 2) + ((V // 70368744177664) % 2) + ((V // 140737488355328) % 2) + ((V // 281474976710656) % 2) + ((V // 562949953421312) % 2) + ((V // 1125899906842624) % 2) + ((V // 2251799813685248) % 2) + ((V // 4503599627370496) % 2) + ((V // 9007199254740992) % 2) + ((V // 18014398509481984) % 2) + ((V // 36028797018963968) % 2) + ((V // 72057594037927936) % 2) + ((V // 144115188075855872) % 2) + ((V // 288230376151711744) % 2) + ((V // 576460752303423488) % 2) + ((V // 1152921504606846976) % 2)) AS pop
+              FROM v),
+            e AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS gx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS gy,
+                     CAST(3 * s * s AS BIGINT)
+                       * (hi * pop + lo * (64 - pop)) AS ps,
+                     CAST(192 AS BIGINT) * s * s AS np
+              FROM q),
+            pix AS (SELECT gx, gy, LEAST(SUM(ps) // SUM(np), 255) AS vv
+                    FROM e GROUP BY 1, 2),
+            zz AS (SELECT * FROM {FX.pixel_zones_sql()} z)
+            SELECT CAST(zone_id AS BIGINT) AS zone_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(vv) AS BIGINT) AS sum_v,
+                   CAST(MAX(vv) AS BIGINT) AS max_v
+            FROM pix JOIN zz
+            ON pix.gx BETWEEN zz.gx0 AND zz.gx1
+               AND pix.gy BETWEEN zz.gy0 AND zz.gy1
+            GROUP BY 1
+        """,
         "zonal_raster": f"""
             WITH g AS (
               SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS gx,

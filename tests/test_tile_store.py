@@ -109,3 +109,33 @@ def test_write_tile_layout_validates_stripe(spark, tmp_path):
     tiles = raster.rasterize(_points_df(spark, 23, 50), Z, PX)
     with pytest.raises(ValueError):
         write_tile_layout(tiles, str(tmp_path / "s"), stripe=0)
+
+
+def test_gallery_layer_through_store(spark, tmp_path):
+    """The browse layer composes with the manifest store like any
+    rendered layer: gallery tiles (thumb bytes + winner id) round-trip
+    byte-identically and viewport reads prune to the stripe."""
+    from tdei_backend_service_spark.codecs.image import encode_image
+    from tdei_backend_service_spark.operators.geo_visual import tile_gallery
+
+    n = 1 << 15
+    tl = lambda i: (i + 0.5) * 360.0 / n - 180.0
+    rows = [{"image_id": 10 + i,
+             "bytes": encode_image(np.full((8, 8), 60 + i,
+                                           dtype=np.uint8), "png"),
+             "fmt": "png", "lon": tl(1000 + 40 * i), "lat": 47.0}
+            for i in range(4)]
+    g = tile_gallery(spark.createDataFrame(pd.DataFrame(rows)), 15, 16)
+    run_dir = str(tmp_path / "gstore")
+    res = write_tile_layout(g, run_dir)
+    assert not res["skipped"]
+
+    all_rows = {(r["tile_x"], r["tile_y"]):
+                (bytes(r["bytes"]), r["image_id"]) for r in g.collect()}
+    assert len(all_rows) == 4
+    xs = sorted({x for x, _ in all_rows})
+    vp = read_viewport(spark, run_dir, 15, xs[0], xs[1], 0, n)
+    got = {(r["tile_x"], r["tile_y"]): (bytes(r["bytes"]), r["image_id"])
+           for r in vp.collect()}
+    want = {k: v for k, v in all_rows.items() if k[0] in (xs[0], xs[1])}
+    assert got == want  # thumbs AND winner ids survive the store
