@@ -238,6 +238,12 @@ def gallery_pyramid(images: DataFrame, z_base: int, z_min: int, px: int, *,
             .select(tx.cast("long").alias("_tx"),
                     ty.cast("long").alias("_ty"), F.col(id_col))
             .groupBy("_tx", "_ty").agg(F.min(id_col).alias(id_col)))
+    # the base winner relation feeds every pyramid level, the distinct-
+    # winner probe, AND the final attach join — materialize the NARROW
+    # relation once (the dedup-tier lineage rule) so the corpus is
+    # scanned exactly twice total (winner agg + blob fetch), not once
+    # per union branch
+    base = base.localCheckpoint()
     levels = [base.select(F.lit(z_base).cast("int").alias("z"),
                           "_tx", "_ty", id_col)]
     cur = base
