@@ -125,3 +125,47 @@ def test_extension_layers_and_info_headers(spark, tmp_path):
     assert ext_doc["$schema"] == "https://example/ext.json"  # not overridden
     assert len(ext_doc["features"]) == 5
     assert ext_doc["features"][0]["properties"]["curb"] == "lowered"
+
+
+def test_build_atlas_job_resume_and_read(spark, tmp_path):
+    """The atlas spark-submit entry (tools/build_atlas_job.py) builds
+    all four layers through the manifest, re-runs as a no-op, and the
+    stored gallery layer serves pruned viewport reads."""
+    import json
+    import sys
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "tools")
+    import build_atlas_job
+
+    from tdei_backend_service_spark.codecs.image import encode_image
+    from tdei_backend_service_spark.io.tile_store import read_viewport
+
+    blob = encode_image(np.full((8, 8, 3), 90, dtype=np.uint8), "png")
+    n = 1 << 15
+    tl = lambda i: (i + 0.5) * 360.0 / n - 180.0
+    pdf = pd.DataFrame([
+        {"image_id": i, "bytes": blob, "fmt": "png",
+         "caption": f"cap w{i % 3}", "lon": tl(900 + 31 * i), "lat": 47.0}
+        for i in range(6)])
+    images = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame(pdf).write.parquet(images)
+    run_dir = str(tmp_path / "atlas")
+
+    argv = ["--images", images, "--run-dir", run_dir, "--z", "15"]
+    assert build_atlas_job.main(argv) == 0
+    rec2 = {}
+    # second run: every layer skips (capture by re-invoking the writes)
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert build_atlas_job.main(argv) == 0
+    rec2 = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert all(v["skipped"] for v in rec2.values())
+    g = read_viewport(spark, run_dir, 15, 0, n, 0, n, stage="gallery")
+    rows = g.collect()
+    assert len(rows) == 6 and all(bytes(r["bytes"]) for r in rows)
