@@ -404,6 +404,24 @@ def _q_tile_gallery(spark: SparkSession, sf: str) -> DataFrame:
     return raster.decode_tile_stats(g, carry=("image_id",))
 
 
+def _q_incremental_gallery(spark: SparkSession, sf: str) -> DataFrame:
+    """Live browse-layer maintenance (operators/geo_visual.
+    incremental_gallery): an odd-key image drop merges into the
+    committed even-key gallery by re-thumbnailing ONLY tiles the drop
+    wins (min-id winners nest); untouched tiles keep committed bytes
+    via anti-join and corpus blobs are never re-read. The oracle is
+    the FULL-rebuild closed form over all keys — merge == recompute."""
+    from tdei_backend_service_spark.operators import raster
+    from tdei_backend_service_spark.operators.geo_visual import (
+        incremental_gallery, tile_gallery)
+    imgs = FX.part_images_spread(spark, sf)
+    committed = tile_gallery(imgs.filter(F.col("image_id") % 2 == 0),
+                             TILE_Z, RASTER_PX)
+    merged = incremental_gallery(imgs.filter(F.col("image_id") % 2 == 1),
+                                 committed, TILE_Z, RASTER_PX)
+    return raster.decode_tile_stats(merged, carry=("image_id",))
+
+
 def _q_gallery_pyramid(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-zoom browse layer (operators/geo_visual.gallery_pyramid):
     z15/z14/z13 representative thumbnails from ONE corpus pass — the
@@ -1659,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brightness_raster": _q_brightness_raster,
         "tile_gallery": _q_tile_gallery,
         "gallery_pyramid": _q_gallery_pyramid,
+        "incremental_gallery": _q_incremental_gallery,
         "tile_terms": _q_tile_terms,
         "decode_mse": _q_decode_mse,
         "token_count": _q_token_count,
@@ -2757,6 +2776,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n_term,
                    CAST(tot AS BIGINT) AS n_total_terms
             FROM r WHERE rk = 1
+        """,
+        # incremental admission == full rebuild: min nests, so the
+        # merged layer is exactly the tile_gallery closed form over
+        # ALL keys
+        "incremental_gallery": f"""
+            WITH v AS (
+              SELECT p_partkey,
+                     CAST((CAST(p_partkey % 127 + 1 AS HUGEINT)
+                           * 11400714819323198485)
+                          % 2305843009213693952 AS BIGINT) AS V,
+                     CASE WHEN p_partkey % 2 = 0 THEN 200 ELSE 202 END AS hi,
+                     CASE WHEN p_partkey % 2 = 0 THEN 40 ELSE 42 END AS lo,
+                     {FX.SQL_LON.format(k="p_partkey")} AS lon,
+                     {FX.SQL_LAT.format(k="p_partkey")} AS lat
+              FROM part),
+            t AS (
+              SELECT *,
+                     CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS tx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS ty
+              FROM v),
+            r AS (SELECT tx, ty, MIN(p_partkey) AS k
+                  FROM t GROUP BY 1, 2),
+            q AS (
+              SELECT r.tx, r.ty, t.p_partkey, t.hi, t.lo,
+                     (((V // 1) % 2) + ((V // 2) % 2) + ((V // 4) % 2) + ((V // 8) % 2) + ((V // 16) % 2) + ((V // 32) % 2) + ((V // 64) % 2) + ((V // 128) % 2) + ((V // 256) % 2) + ((V // 512) % 2) + ((V // 1024) % 2) + ((V // 2048) % 2) + ((V // 4096) % 2) + ((V // 8192) % 2) + ((V // 16384) % 2) + ((V // 32768) % 2) + ((V // 65536) % 2) + ((V // 131072) % 2) + ((V // 262144) % 2) + ((V // 524288) % 2) + ((V // 1048576) % 2) + ((V // 2097152) % 2) + ((V // 4194304) % 2) + ((V // 8388608) % 2) + ((V // 16777216) % 2) + ((V // 33554432) % 2) + ((V // 67108864) % 2) + ((V // 134217728) % 2) + ((V // 268435456) % 2) + ((V // 536870912) % 2) + ((V // 1073741824) % 2) + ((V // 2147483648) % 2) + ((V // 4294967296) % 2) + ((V // 8589934592) % 2) + ((V // 17179869184) % 2) + ((V // 34359738368) % 2) + ((V // 68719476736) % 2) + ((V // 137438953472) % 2) + ((V // 274877906944) % 2) + ((V // 549755813888) % 2) + ((V // 1099511627776) % 2) + ((V // 2199023255552) % 2) + ((V // 4398046511104) % 2) + ((V // 8796093022208) % 2) + ((V // 17592186044416) % 2) + ((V // 35184372088832) % 2) + ((V // 70368744177664) % 2) + ((V // 140737488355328) % 2) + ((V // 281474976710656) % 2) + ((V // 562949953421312) % 2) + ((V // 1125899906842624) % 2) + ((V // 2251799813685248) % 2) + ((V // 4503599627370496) % 2) + ((V // 9007199254740992) % 2) + ((V // 18014398509481984) % 2) + ((V // 36028797018963968) % 2) + ((V // 72057594037927936) % 2) + ((V // 144115188075855872) % 2) + ((V // 288230376151711744) % 2) + ((V // 576460752303423488) % 2) + ((V // 1152921504606846976) % 2)) AS pop
+              FROM r JOIN t ON t.p_partkey = r.k)
+            SELECT CAST(15 AS INT) AS z,
+                   CAST(tx AS INT) AS tile_x,
+                   CAST(ty AS INT) AS tile_y,
+                   CAST(256 AS BIGINT) AS nonzero_px,
+                   CAST(4 * (hi * pop + lo * (64 - pop)) AS BIGINT) AS sum_px,
+                   CAST(hi AS BIGINT) AS max_px,
+                   CAST(p_partkey AS BIGINT) AS image_id
+            FROM q
         """,
         # winner nesting under halving: parent winner = min of child
         # winners = min key per halved tile; same thumbnail polynomial

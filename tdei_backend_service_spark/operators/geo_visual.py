@@ -176,6 +176,15 @@ def tile_gallery(images: DataFrame, z: int, px: int, *,
             .agg(F.min(id_col).alias(id_col)))
     picked = images.select(id_col, "bytes", "fmt").join(
         F.broadcast(reps), id_col)
+    return _render_tile_thumbs(picked, z, px, id_col, fmt)
+
+
+def _render_tile_thumbs(picked: DataFrame, z: int, px: int,
+                        id_col: str, fmt: str) -> DataFrame:
+    """Decode + nearest-neighbor thumbnail each (``_tx``, ``_ty``,
+    id, bytes, fmt) winner row into a ``px x px`` tile (tile_gallery's
+    render stage, shared with incremental_gallery). Map-only;
+    undecodable winners drop their tile."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -210,6 +219,53 @@ def tile_gallery(images: DataFrame, z: int, px: int, *,
     return picked.mapInPandas(
         gen, schema=f"z int, tile_x int, tile_y int, w int, h int, "
                     f"fmt string, bytes binary, {id_col} long")
+
+
+def incremental_gallery(drop: DataFrame, committed: DataFrame,
+                        z: int, px: int, *,
+                        id_col: str = "image_id",
+                        lon_col: str = "lon", lat_col: str = "lat",
+                        fmt: str = "png") -> DataFrame:
+    """Maintain the browse layer when a new image drop lands:
+    re-thumbnail ONLY the tiles whose winner changes. ``committed`` is
+    the stored gallery layer (tile_gallery / this function's output);
+    min-id winners nest, so the merged winner per tile is simply
+    ``min(committed winner, drop winner)`` — a tile changes iff it is
+    new or the drop holds a smaller id. Changed winners decode FROM
+    THE DROP (the corpus blobs are never read again; the committed
+    layer contributes only its narrow winner ids and its kept bytes),
+    so decode/encode work is proportional to the drop's won tiles, not
+    the corpus, yet the result equals a full rebuild over the union
+    (merge == recompute, oracle-pinned).
+
+    One documented divergence from a full rebuild: a tile whose
+    COMMITTED winner was undecodable is absent from the committed
+    layer, so a drop record wins it here, while a rebuild would pick
+    the (undecodable) corpus id and leave the tile absent — the
+    incremental path strictly improves coverage in that case."""
+    tx, ty, _ = cells.tile_expr(F.col(lon_col), F.col(lat_col), z)
+    dwin = (drop
+            .select(tx.cast("long").alias("_tx"),
+                    ty.cast("long").alias("_ty"), F.col(id_col))
+            .groupBy("_tx", "_ty")
+            .agg(F.min(id_col).alias(id_col)))
+    cwin = committed.select(
+        F.col("tile_x").cast("long").alias("_tx"),
+        F.col("tile_y").cast("long").alias("_ty"),
+        F.col(id_col).alias("_cid"))
+    changed = (dwin.join(cwin, ["_tx", "_ty"], "left")
+               .filter(F.col("_cid").isNull()
+                       | (F.col(id_col) < F.col("_cid")))
+               .select("_tx", "_ty", id_col))
+    changed = changed.localCheckpoint()  # read twice (render + anti)
+    picked = drop.select(id_col, "bytes", "fmt").join(
+        F.broadcast(changed), id_col)
+    new_tiles = _render_tile_thumbs(picked, z, px, id_col, fmt)
+    untouched = committed.join(
+        changed.select(F.col("_tx").cast("int").alias("tile_x"),
+                       F.col("_ty").cast("int").alias("tile_y")),
+        ["tile_x", "tile_y"], "left_anti")
+    return untouched.unionByName(new_tiles)
 
 
 def gallery_pyramid(images: DataFrame, z_base: int, z_min: int, px: int, *,

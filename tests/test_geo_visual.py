@@ -336,3 +336,36 @@ def test_gallery_pyramid_winner_nesting(spark):
                      if r["image_id"] == 5)["bytes"])
     assert b14 == b13 == b15
     assert int(decode_image(b14, "png").max()) == 50
+
+
+def test_incremental_gallery_equals_rebuild(spark):
+    from tdei_backend_service_spark.operators.geo_visual import (
+        incremental_gallery, tile_gallery)
+    z = 15
+    n = 1 << z
+    tl = lambda i: (i + 0.5) * 360.0 / n - 180.0
+    blob = lambda v: encode_image(np.full((8, 8), v, dtype=np.uint8), "png")
+    mk = lambda rows: spark.createDataFrame(pd.DataFrame(
+        [{"image_id": i, "bytes": blob(40 + i), "fmt": "png",
+          "lon": tl(c), "lat": 47.0} for i, c in rows]))
+    # committed corpus: tile A winner 10, tile B winner 20
+    corpus = mk([(10, 500), (14, 500), (20, 700)])
+    committed = tile_gallery(corpus, z, 16)
+    # drop: loses tile A (id 12 > 10), WINS tile B (id 4 < 20),
+    # opens tile C (id 30)
+    drop = mk([(12, 500), (4, 700), (30, 900)])
+    merged = {(r["tile_x"], r["tile_y"]): (r["image_id"], bytes(r["bytes"]))
+              for r in incremental_gallery(drop, committed, z, 16)
+              .collect()}
+    # must equal the full rebuild over the union, byte for byte
+    full = {(r["tile_x"], r["tile_y"]): (r["image_id"], bytes(r["bytes"]))
+            for r in tile_gallery(
+                mk([(10, 500), (14, 500), (20, 700),
+                    (12, 500), (4, 700), (30, 900)]), z, 16).collect()}
+    assert merged == full
+    assert sorted(i for i, _ in merged.values()) == [4, 10, 30]
+    # the lost tile kept the COMMITTED bytes verbatim
+    cA = {(r["tile_x"], r["tile_y"]): bytes(r["bytes"])
+          for r in committed.collect() if r["image_id"] == 10}
+    (kA, bA), = cA.items()
+    assert merged[kA][1] == bA
