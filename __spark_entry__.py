@@ -422,6 +422,28 @@ def _q_incremental_gallery(spark: SparkSession, sf: str) -> DataFrame:
     return raster.decode_tile_stats(merged, carry=("image_id",))
 
 
+def _q_incremental_brightness(spark: SparkSession, sf: str) -> DataFrame:
+    """Live visual-layer maintenance (operators/geo_visual.
+    incremental_brightness_tiles): an odd-key image drop decodes alone,
+    its (ps, np) totals merge into the committed even-key sums (the
+    monoid — division only at render), and ONLY drop-touched tiles
+    re-encode. The oracle is the full brightness closed form over all
+    keys — merge == recompute."""
+    from tdei_backend_service_spark.operators import raster
+    from tdei_backend_service_spark.operators.geo_visual import (
+        brightness_pixel_sums, incremental_brightness_tiles,
+        pixels_from_sums)
+    imgs = FX.part_images_spread(spark, sf)
+    committed_sums = brightness_pixel_sums(
+        imgs.filter(F.col("image_id") % 2 == 0), TILE_Z - 4, RASTER_PX)
+    committed_tiles = raster.encode_tiles(
+        pixels_from_sums(committed_sums), RASTER_PX)
+    merged = incremental_brightness_tiles(
+        committed_sums, committed_tiles,
+        imgs.filter(F.col("image_id") % 2 == 1), TILE_Z - 4, RASTER_PX)
+    return raster.decode_tile_stats(merged)
+
+
 def _q_gallery_pyramid(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-zoom browse layer (operators/geo_visual.gallery_pyramid):
     z15/z14/z13 representative thumbnails from ONE corpus pass — the
@@ -1678,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_gallery": _q_tile_gallery,
         "gallery_pyramid": _q_gallery_pyramid,
         "incremental_gallery": _q_incremental_gallery,
+        "incremental_brightness": _q_incremental_brightness,
         "tile_terms": _q_tile_terms,
         "decode_mse": _q_decode_mse,
         "token_count": _q_token_count,
@@ -2667,6 +2690,41 @@ def oracle_sql() -> dict[str, str]:
         # verified z15 grid, pixel value = integer mean, then the
         # decoded-tile stats replay as floor arithmetic
         "brightness_raster": f"""
+            WITH v AS (
+              SELECT p_partkey,
+                     CAST((CAST(p_partkey % 127 + 1 AS HUGEINT)
+                           * 11400714819323198485)
+                          % 2305843009213693952 AS BIGINT) AS V,
+                     1 + p_partkey % 3 AS s,
+                     CASE WHEN p_partkey % 2 = 0 THEN 200 ELSE 202 END AS hi,
+                     CASE WHEN p_partkey % 2 = 0 THEN 40 ELSE 42 END AS lo,
+                     {FX.SQL_LON.format(k="p_partkey")} AS lon,
+                     {FX.SQL_LAT.format(k="p_partkey")} AS lat
+              FROM part),
+            q AS (
+              SELECT *,
+                     ({" + ".join(f"((V // {1 << i}) % 2)" for i in range(61))}) AS pop
+              FROM v),
+            e AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS gx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS gy,
+                     CAST(3 * s * s AS BIGINT)
+                       * (hi * pop + lo * (64 - pop)) AS ps,
+                     CAST(192 AS BIGINT) * s * s AS np
+              FROM q),
+            pix AS (SELECT gx, gy,
+                           LEAST(SUM(ps) // SUM(np), 255) AS vv
+                    FROM e GROUP BY 1, 2)
+            SELECT CAST(11 AS INT) AS z,
+                   CAST(gx // 16 AS INT) AS tile_x,
+                   CAST(gy // 16 AS INT) AS tile_y,
+                   CAST(COUNT(*) AS BIGINT) AS nonzero_px,
+                   CAST(SUM(vv) AS BIGINT) AS sum_px,
+                   CAST(MAX(vv) AS BIGINT) AS max_px
+            FROM pix GROUP BY 1, 2, 3
+        """,
+        # incremental == full recompute: (ps, np) is a monoid
+        "incremental_brightness": f"""
             WITH v AS (
               SELECT p_partkey,
                      CAST((CAST(p_partkey % 127 + 1 AS HUGEINT)

@@ -97,7 +97,7 @@ def main() -> None:
         # layer + per-tile representative thumbnails
         "zone_visits", "brightness_raster", "tile_gallery",
         "gallery_pyramid", "tile_terms", "decode_mse",
-        "streaming_zones", "zonal_brightness", "incremental_gallery",
+        "streaming_zones", "zonal_brightness", "incremental_gallery", "incremental_brightness",
     ]
 
     # input size for throughput: rows entering the spatial suite

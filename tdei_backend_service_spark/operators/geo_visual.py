@@ -70,23 +70,21 @@ def decode_phash_points(df: DataFrame, pk: str = "image_id") -> DataFrame:
                 pk=pk, pk_type=pk_type)))
 
 
-def brightness_pixels(images: DataFrame, z: int, px: int, *,
-                      lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
-    """Mean decoded brightness per map pixel: every geotagged blob is
-    decoded ONCE (map-only — bytes never shuffle) and reduced to
-    (lon, lat, pixel-value sum, pixel count); the corpus then
-    aggregates into the zoom-``z``/``px`` raster lattice where each
-    occupied pixel's value is the integer mean
-    ``least(255, sum(px_sum) DIV sum(n_px))`` over every image whose
-    location falls in that pixel — the visual analogue of the density
-    layer (raster.pixel_counts): WHERE images are bright/dark rather
-    than how many there are (exposure/lighting QA over a collected
-    corpus). Integer DIV keeps the layer under the hash-exact oracle.
+def brightness_pixel_sums(images: DataFrame, z: int, px: int, *,
+                          lon_col: str = "lon",
+                          lat_col: str = "lat") -> DataFrame:
+    """The MERGEABLE form of the brightness layer: every geotagged
+    blob is decoded ONCE (map-only — bytes never shuffle) and reduced
+    to (lon, lat, pixel-value sum, pixel count); the corpus then
+    aggregates into the zoom-``z``/``px`` raster lattice as the raw
+    per-pixel (ps, np) totals. (ps, np) is a monoid under addition, so
+    committed and drop relations merge by full-outer add
+    (``merge_brightness_sums``) — the integer-mean DIVISION happens
+    only at render (``brightness_pixels``), which is what makes the
+    layer incrementally maintainable (a clipped mean is not a monoid).
 
-    Output is pixel_counts-shaped (z, tile_x, tile_y, gx, gy, px_x,
-    px_y, n), so it composes with encode_tiles / zonal_stats /
-    hotspots / focal_sum like any other layer. Plan: one MapInPandas
-    decode pass + ONE partial-aggregated exchange on the pixel key."""
+    Output: (z, tile_x, tile_y, gx, gy, px_x, px_y, ps, np). Plan: one
+    MapInPandas decode pass + ONE partial-aggregated exchange."""
     from .raster import _log2_px
     p = _log2_px(px)
 
@@ -120,15 +118,88 @@ def brightness_pixels(images: DataFrame, z: int, px: int, *,
             .select(gx.cast("long").alias("gx"),
                     gy.cast("long").alias("gy"), "px_sum", "n_px")
             .groupBy("gx", "gy")
-            .agg(F.sum("px_sum").alias("_s"), F.sum("n_px").alias("_n"))
+            .agg(F.sum("px_sum").alias("ps"), F.sum("n_px").alias("np"))
             .select(F.lit(z).cast("int").alias("z"),
                     (F.col("gx") / px).cast("int").alias("tile_x"),
                     (F.col("gy") / px).cast("int").alias("tile_y"),
                     "gx", "gy",
                     (F.col("gx") % px).cast("int").alias("px_x"),
                     (F.col("gy") % px).cast("int").alias("px_y"),
-                    F.least(F.expr("_s DIV _n"), F.lit(255))
-                    .cast("long").alias("n")))
+                    F.col("ps").cast("long"), F.col("np").cast("long")))
+
+
+def pixels_from_sums(pixsums: DataFrame) -> DataFrame:
+    """(ps, np) totals -> the pixel_counts-shaped integer-mean layer
+    (n = least(255, ps DIV np)), composing with encode_tiles /
+    zonal_stats / focal_sum / hotspots like any density layer."""
+    return pixsums.select(
+        "z", "tile_x", "tile_y", "gx", "gy", "px_x", "px_y",
+        F.least(F.expr("ps DIV np"), F.lit(255)).cast("long").alias("n"))
+
+
+def brightness_pixels(images: DataFrame, z: int, px: int, *,
+                      lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Mean decoded brightness per map pixel: each occupied pixel's
+    value is the integer mean ``least(255, sum(px_sum) DIV
+    sum(n_px))`` over every image whose location falls in it — the
+    visual analogue of the density layer (WHERE images are bright/dark
+    rather than how many). Integer DIV keeps the layer under the
+    hash-exact oracle; see brightness_pixel_sums for the plan."""
+    return pixels_from_sums(
+        brightness_pixel_sums(images, z, px, lon_col=lon_col,
+                              lat_col=lat_col))
+
+
+def merge_brightness_sums(a: DataFrame, b: DataFrame,
+                          px: int) -> DataFrame:
+    """Pixel-wise add of two (ps, np) brightness-sum relations — the
+    monoid that makes the visual layer live-maintainable. Full-outer
+    on the pixel key over the two NONZERO relations, missing side
+    counts (0, 0)."""
+    key = ["z", "gx", "gy"]
+    ja = a.select(*key, F.col("ps").alias("_pa"), F.col("np").alias("_na"))
+    jb = b.select(*key, F.col("ps").alias("_pb"), F.col("np").alias("_nb"))
+    z = F.lit(0).cast("long")
+    merged = (ja.join(jb, key, "full_outer")
+              .select(*key,
+                      (F.coalesce("_pa", z) + F.coalesce("_pb", z))
+                      .cast("long").alias("ps"),
+                      (F.coalesce("_na", z) + F.coalesce("_nb", z))
+                      .cast("long").alias("np")))
+    return merged.select(
+        "z",
+        (F.col("gx") / px).cast("int").alias("tile_x"),
+        (F.col("gy") / px).cast("int").alias("tile_y"),
+        "gx", "gy",
+        (F.col("gx") % px).cast("int").alias("px_x"),
+        (F.col("gy") % px).cast("int").alias("px_y"),
+        "ps", "np")
+
+
+def incremental_brightness_tiles(committed_sums: DataFrame,
+                                 committed_tiles: DataFrame,
+                                 drop: DataFrame, z: int, px: int, *,
+                                 lon_col: str = "lon",
+                                 lat_col: str = "lat",
+                                 fmt: str = "png") -> DataFrame:
+    """Maintain the rendered brightness layer when an image drop
+    lands: decode ONLY the drop, merge its (ps, np) totals into the
+    committed sums, and re-encode ONLY the tiles the drop touches —
+    untouched tiles keep committed bytes via anti-join
+    (incremental_raster_tiles' shape with the brightness monoid), so
+    decode/encode work is proportional to the drop, not the corpus,
+    yet the result is bit-identical to a full re-render."""
+    from .raster import encode_tiles
+    dsum = brightness_pixel_sums(drop, z, px, lon_col=lon_col,
+                                 lat_col=lat_col)
+    affected = dsum.select("z", "tile_x", "tile_y").distinct()
+    csum_aff = committed_sums.join(affected, ["z", "tile_x", "tile_y"],
+                                   "left_semi")
+    merged_aff = merge_brightness_sums(csum_aff, dsum, px)
+    new_tiles = encode_tiles(pixels_from_sums(merged_aff), px, fmt)
+    untouched = committed_tiles.join(affected, ["z", "tile_x", "tile_y"],
+                                     "left_anti")
+    return untouched.unionByName(new_tiles)
 
 
 def brightness_raster(images: DataFrame, z: int, px: int, *,

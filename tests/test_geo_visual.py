@@ -369,3 +369,43 @@ def test_incremental_gallery_equals_rebuild(spark):
           for r in committed.collect() if r["image_id"] == 10}
     (kA, bA), = cA.items()
     assert merged[kA][1] == bA
+
+
+def test_incremental_brightness_monoid_merge(spark):
+    from tdei_backend_service_spark.operators.geo_visual import (
+        brightness_pixel_sums, brightness_raster,
+        incremental_brightness_tiles, pixels_from_sums)
+    from tdei_backend_service_spark.operators.raster import encode_tiles
+    z, px = 11, 16
+    nt = 1 << (z + 4)
+    tl = lambda i: (i + 0.5) * 360.0 / nt - 180.0
+    blob = lambda v: encode_image(np.full((8, 8), v, dtype=np.uint8), "png")
+    mk = lambda rows: spark.createDataFrame(pd.DataFrame(
+        [{"image_id": i, "bytes": blob(v), "fmt": "png",
+          "lon": tl(c), "lat": 47.0} for i, v, c in rows]))
+    committed_imgs = mk([(0, 10, 5000), (1, 80, 9000)])
+    csums = brightness_pixel_sums(committed_imgs, z, px)
+    ctiles = encode_tiles(pixels_from_sums(csums), px)
+    # drop: 3 bright images land in pixel 5000 + one opens pixel 12000
+    drop = mk([(2, 50, 5000), (3, 50, 5000), (4, 50, 5000),
+               (5, 7, 12000)])
+    merged = incremental_brightness_tiles(csums, ctiles, drop, z, px)
+    got = {(r["tile_x"], r["tile_y"]): bytes(r["bytes"])
+           for r in merged.collect()}
+    # bit-identical to the full re-render over the union
+    full = {(r["tile_x"], r["tile_y"]): bytes(r["bytes"])
+            for r in brightness_raster(
+                mk([(0, 10, 5000), (1, 80, 9000), (2, 50, 5000),
+                    (3, 50, 5000), (4, 50, 5000), (5, 7, 12000)]),
+                z, px).collect()}
+    assert got == full
+    # the shared pixel's value is the mean over SUMS (10+3*50)/4 = 40,
+    # not the mean of means (30) — the monoid point
+    from tdei_backend_service_spark.codecs.image import decode_image
+    ty = next(iter(got))[1]  # all points share lat 47.0 -> one tile row
+    img = decode_image(got[(5000 // px, ty)], "png")
+    assert 40 in set(int(x) for x in img.ravel())
+    # untouched tile (pixel 9000) kept its committed bytes verbatim
+    cmap = {(r["tile_x"], r["tile_y"]): bytes(r["bytes"])
+            for r in ctiles.collect()}
+    assert got[(9000 // px, ty)] == cmap[(9000 // px, ty)]
