@@ -490,6 +490,26 @@ def _q_decode_mse(spark: SparkSession, sf: str) -> DataFrame:
         "image_id", "w", "h", "n_px", "sq_err_sum")
 
 
+def _q_incremental_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Live caption-layer maintenance (operators/tiling.
+    incremental_tile_terms): an odd-key caption drop tokenizes alone,
+    merges into the committed even-key (tile, term) counts (the
+    monoid), and the top-1 window recomputes only over drop-touched
+    tiles. Oracle = the full tile_terms closed form over all keys."""
+    from tdei_backend_service_spark.operators.tiling import (
+        incremental_tile_terms, tile_term_counts, tile_top_terms)
+    parts = spark.read.parquet(f"{sf}/part.parquet")
+    df = FX.derive_lonlat(parts, "p_partkey").select(
+        "p_partkey", "lon", "lat",
+        F.concat(F.lit("scene"), (F.col("p_partkey") % 5).cast("string"),
+                 F.lit(" tag"), (F.col("p_partkey") % 11).cast("string"))
+        .alias("caption"))
+    even = df.filter(F.col("p_partkey") % 2 == 0)
+    odd = df.filter(F.col("p_partkey") % 2 == 1)
+    return incremental_tile_terms(odd, tile_term_counts(even, TILE_Z),
+                                  tile_top_terms(even, TILE_Z), TILE_Z)
+
+
 def _q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return TX.with_token_counts(docs).select(
@@ -1702,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_gallery": _q_incremental_gallery,
         "incremental_brightness": _q_incremental_brightness,
         "tile_terms": _q_tile_terms,
+        "incremental_terms": _q_incremental_terms,
         "decode_mse": _q_decode_mse,
         "token_count": _q_token_count,
         "text_quality": _q_quality,
@@ -2808,6 +2829,35 @@ def oracle_sql() -> dict[str, str]:
         # dominant caption term per tile: identical split law (split on
         # non-alnum after lower, drop empties), ties to smallest term
         "tile_terms": f"""
+            WITH p AS (
+              SELECT {FX.SQL_LON.format(k="p_partkey")} AS lon,
+                     {FX.SQL_LAT.format(k="p_partkey")} AS lat,
+                     'scene' || CAST(p_partkey % 5 AS VARCHAR)
+                       || ' tag' || CAST(p_partkey % 11 AS VARCHAR)
+                       AS caption
+              FROM part),
+            t AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS tx,
+                     CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32768) AS BIGINT) AS ty,
+                     unnest(list_filter(regexp_split_to_array(
+                         lower(caption), '[^a-z0-9]+'),
+                         x -> x <> '')) AS term
+              FROM p),
+            c AS (SELECT tx, ty, term, COUNT(*) AS n
+                  FROM t GROUP BY 1, 2, 3),
+            r AS (SELECT *,
+                         ROW_NUMBER() OVER (PARTITION BY tx, ty
+                                            ORDER BY n DESC, term) AS rk,
+                         SUM(n) OVER (PARTITION BY tx, ty) AS tot
+                  FROM c)
+            SELECT CAST(15 AS INT) AS z,
+                   tx AS tile_x, ty AS tile_y, term,
+                   CAST(n AS BIGINT) AS n_term,
+                   CAST(tot AS BIGINT) AS n_total_terms
+            FROM r WHERE rk = 1
+        """,
+        # incremental == full recompute: term counts are a monoid
+        "incremental_terms": f"""
             WITH p AS (
               SELECT {FX.SQL_LON.format(k="p_partkey")} AS lon,
                      {FX.SQL_LAT.format(k="p_partkey")} AS lat,

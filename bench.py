@@ -98,6 +98,7 @@ def main() -> None:
         "zone_visits", "brightness_raster", "tile_gallery",
         "gallery_pyramid", "tile_terms", "decode_mse",
         "streaming_zones", "zonal_brightness", "incremental_gallery", "incremental_brightness",
+        "incremental_terms",
     ]
 
     # input size for throughput: rows entering the spatial suite

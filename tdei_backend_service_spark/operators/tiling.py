@@ -104,22 +104,16 @@ def incremental_tile_counts(committed: DataFrame, drop: DataFrame,
             .agg(F.sum("n").cast("long").alias("n")))
 
 
-def tile_top_terms(df: DataFrame, z: int, *, caption_col: str = "caption",
-                   lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
-    """Label the map: per zoom-``z`` tile the dominant caption term —
-    lowercased alnum tokens, count per (tile, term), most frequent wins,
-    ties to the lexicographically smallest term (a deterministic total
-    order, so the layer carries a full oracle). The caption-side
-    summarization a browse map serves next to tile_gallery's thumbnails
-    (the north-rule input is image + caption pairs; this is the
-    caption analogue of the density/brightness layers).
-
-    Plan, all JVM: split/filter/explode map-side, ONE partial-combined
-    exchange on (tile, term), then the top-1 window on the tile key —
-    the (tile, term) relation entering the window is already bounded by
-    the vocabulary x occupied tiles, never the corpus. Output:
-    (z, tile_x, tile_y, term, n_term, n_total_terms)."""
-    from pyspark.sql.window import Window
+def tile_term_counts(df: DataFrame, z: int, *,
+                     caption_col: str = "caption",
+                     lon_col: str = "lon",
+                     lat_col: str = "lat") -> DataFrame:
+    """The MERGEABLE form of the caption layer: (tile_x, tile_y, term,
+    n_term) — lowercased alnum token counts per tile. Counts are a
+    monoid under addition (``merge_term_counts``), so the layer is
+    live-maintainable; the top-1 selection happens at render
+    (``top_terms_from_counts``). All JVM: split/filter/explode
+    map-side + ONE partial-combined exchange."""
     tx, ty, _ = cells.tile_expr(F.col(lon_col), F.col(lat_col), z)
     toks = (df.select(tx.cast("long").alias("tile_x"),
                       ty.cast("long").alias("tile_y"),
@@ -127,8 +121,28 @@ def tile_top_terms(df: DataFrame, z: int, *, caption_col: str = "caption",
                           F.split(F.lower(F.col(caption_col)),
                                   "[^a-z0-9]+"),
                           lambda t: t != "")).alias("term")))
-    counts = (toks.groupBy("tile_x", "tile_y", "term")
-              .agg(F.count(F.lit(1)).alias("n_term")))
+    return (toks.groupBy("tile_x", "tile_y", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_term")))
+
+
+def merge_term_counts(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-(tile, term) add of two count relations — full-outer over
+    the two nonzero relations, missing side counts 0."""
+    key = ["tile_x", "tile_y", "term"]
+    z = F.lit(0).cast("long")
+    ja = a.select(*key, F.col("n_term").alias("_a"))
+    jb = b.select(*key, F.col("n_term").alias("_b"))
+    return (ja.join(jb, key, "full_outer")
+            .select(*key, (F.coalesce("_a", z) + F.coalesce("_b", z))
+                    .cast("long").alias("n_term")))
+
+
+def top_terms_from_counts(counts: DataFrame, z: int) -> DataFrame:
+    """(tile, term, n_term) -> the dominant term per tile (most
+    frequent; ties to the lexicographically smallest term — a
+    deterministic total order) plus the tile's total term count.
+    One window pass over the bounded term relation."""
+    from pyspark.sql.window import Window
     w = Window.partitionBy("tile_x", "tile_y") \
         .orderBy(F.desc("n_term"), F.asc("term"))
     return (counts
@@ -144,3 +158,41 @@ def tile_top_terms(df: DataFrame, z: int, *, caption_col: str = "caption",
                     F.col("n_term").cast("long").alias("n_term"),
                     F.col("n_total_terms").cast("long")
                     .alias("n_total_terms")))
+
+
+def tile_top_terms(df: DataFrame, z: int, *, caption_col: str = "caption",
+                   lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Label the map: per zoom-``z`` tile the dominant caption term —
+    the caption-side summarization a browse map serves next to
+    tile_gallery's thumbnails (the north-rule input is image + caption
+    pairs; this is the caption analogue of the density/brightness
+    layers). tile_term_counts + top_terms_from_counts; the (tile,
+    term) relation entering the window is bounded by the vocabulary x
+    occupied tiles, never the corpus. Output: (z, tile_x, tile_y,
+    term, n_term, n_total_terms)."""
+    return top_terms_from_counts(
+        tile_term_counts(df, z, caption_col=caption_col,
+                         lon_col=lon_col, lat_col=lat_col), z)
+
+
+def incremental_tile_terms(drop: DataFrame, committed_counts: DataFrame,
+                           committed_top: DataFrame, z: int, *,
+                           caption_col: str = "caption",
+                           lon_col: str = "lon",
+                           lat_col: str = "lat") -> DataFrame:
+    """Maintain the caption layer when an image drop lands: tokenize
+    ONLY the drop, merge its counts into the committed (tile, term)
+    relation, and recompute the top-1 window ONLY over drop-touched
+    tiles — untouched tiles keep their committed rows via anti-join.
+    Work is proportional to the drop's tile footprint, yet the result
+    equals a full recompute (counts are a monoid, oracle-pinned)."""
+    dcnt = tile_term_counts(drop, z, caption_col=caption_col,
+                            lon_col=lon_col, lat_col=lat_col)
+    affected = dcnt.select("tile_x", "tile_y").distinct()
+    ccnt_aff = committed_counts.join(affected, ["tile_x", "tile_y"],
+                                     "left_semi")
+    merged_aff = merge_term_counts(ccnt_aff, dcnt)
+    new_rows = top_terms_from_counts(merged_aff, z)
+    untouched = committed_top.join(affected, ["tile_x", "tile_y"],
+                                   "left_anti")
+    return untouched.unionByName(new_rows)

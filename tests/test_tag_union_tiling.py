@@ -575,3 +575,34 @@ def test_tile_top_terms_tie_break_and_split(spark):
     assert (a["term"], a["n_term"]) == ("park", 2)  # tie -> min term
     b = next(v for v in out.values() if v["n_total_terms"] == 3)
     assert (b["term"], b["n_term"]) == ("dog", 2)
+
+
+def test_incremental_tile_terms_flips_winner(spark):
+    """The drop flips a tile's dominant term (counts merge, then the
+    top-1 recomputes only there); an untouched tile keeps its
+    committed row; result equals the full recompute."""
+    import pandas as pd
+    from tdei_backend_service_spark.operators.tiling import (
+        incremental_tile_terms, tile_term_counts, tile_top_terms)
+    z = 15
+    n = 1 << z
+    tl = lambda i: (i + 0.5) * 360.0 / n - 180.0
+    mk = lambda rows: spark.createDataFrame(pd.DataFrame(
+        [{"caption": c, "lon": tl(x), "lat": 47.0} for c, x in rows]))
+    committed = mk([("park park zebra", 100), ("dog", 300)])
+    drop = mk([("zebra zebra", 100)])  # tile A: zebra 3 > park 2
+    out = incremental_tile_terms(
+        drop, tile_term_counts(committed, z),
+        tile_top_terms(committed, z), z)
+    got = {(r["tile_x"], r["tile_y"]):
+           (r["term"], r["n_term"], r["n_total_terms"])
+           for r in out.collect()}
+    full = {(r["tile_x"], r["tile_y"]):
+            (r["term"], r["n_term"], r["n_total_terms"])
+            for r in tile_top_terms(
+                mk([("park park zebra", 100), ("dog", 300),
+                    ("zebra zebra", 100)]), z).collect()}
+    assert got == full
+    assert sorted(v[0] for v in got.values()) == ["dog", "zebra"]
+    a = next(v for v in got.values() if v[0] == "zebra")
+    assert (a[1], a[2]) == (3, 5)
