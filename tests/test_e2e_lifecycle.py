@@ -169,3 +169,54 @@ def test_build_atlas_job_resume_and_read(spark, tmp_path):
     g = read_viewport(spark, run_dir, 15, 0, n, 0, n, stage="gallery")
     rows = g.collect()
     assert len(rows) == 6 and all(bytes(r["bytes"]) for r in rows)
+
+
+def test_refresh_atlas_job_equals_full_build(spark, tmp_path):
+    """The incremental refresh entry (tools/refresh_atlas_job.py)
+    produces an atlas version identical — tile bytes included — to a
+    full rebuild over corpus + drop, for all seven stages."""
+    import sys
+
+    import numpy as np
+    import pandas as pd
+
+    sys.path.insert(0, "tools")
+    import build_atlas_job
+    import refresh_atlas_job
+
+    from tdei_backend_service_spark.codecs.image import encode_image
+    from tdei_backend_service_spark.core.manifest import read_stage
+
+    n = 1 << 15
+    tl = lambda i: (i + 0.5) * 360.0 / n - 180.0
+    mk = lambda rows: pd.DataFrame(
+        [{"image_id": i, "bytes": encode_image(
+            np.full((8, 8, 3), v, dtype=np.uint8), "png"),
+          "fmt": "png", "caption": cap, "lon": tl(c), "lat": 47.0}
+         for i, v, cap, c in rows])
+    corpus = [(0, 10, "park zebra", 500), (2, 200, "park", 500),
+              (4, 90, "dog", 800)]
+    drop = [(1, 50, "zebra zebra", 500), (3, 7, "cat", 1200)]
+    pc, pdrop, pall = (str(tmp_path / f"{k}.parquet")
+                       for k in ("c", "d", "a"))
+    spark.createDataFrame(mk(corpus)).write.parquet(pc)
+    spark.createDataFrame(mk(drop)).write.parquet(pdrop)
+    spark.createDataFrame(mk(corpus + drop)).write.parquet(pall)
+    v1, v2, full = (str(tmp_path / k) for k in ("v1", "v2", "full"))
+
+    assert build_atlas_job.main(["--images", pc, "--run-dir", v1]) == 0
+    assert refresh_atlas_job.main(
+        ["--prev-run-dir", v1, "--drop", pdrop, "--run-dir", v2]) == 0
+    assert build_atlas_job.main(["--images", pall, "--run-dir", full]) == 0
+
+    for stage in ("density_pix", "density", "brightness_sums",
+                  "brightness", "gallery", "term_counts", "terms"):
+        a = read_stage(spark, v2, stage).drop("xs").toPandas()
+        b = read_stage(spark, full, stage).drop("xs").toPandas()
+        for df in (a, b):
+            if "bytes" in df.columns:
+                df["bytes"] = df["bytes"].map(lambda x: bytes(x).hex())
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b), stage

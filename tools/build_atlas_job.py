@@ -60,15 +60,33 @@ def main(argv=None) -> int:
     from tdei_backend_service_spark.operators.raster import rasterize
     from tdei_backend_service_spark.operators.tiling import tile_top_terms
 
+    from pyspark.sql import functions as F
+
+    from tdei_backend_service_spark.operators.geo_visual import (
+        brightness_pixel_sums, pixels_from_sums)
+    from tdei_backend_service_spark.operators.raster import (
+        encode_tiles, pixel_counts)
+    from tdei_backend_service_spark.operators.tiling import (
+        tile_term_counts, top_terms_from_counts)
+
     imgs = spark.read.parquet(args.images)
     # raster layers render at z - log2(px) so their pixel lattice is
     # the zoom-z grid the gallery/terms layers key on
     import math
     zr = args.z - int(math.log2(args.px))
+    # alongside each rendered layer, persist its MERGEABLE narrow
+    # relation (pixel counts / brightness sums / term counts) — the
+    # state refresh_atlas_job merges a drop into without re-reading
+    # corpus blobs
     layers = {
+        "density_pix": lambda: pixel_counts(imgs, zr, args.px),
         "density": lambda: rasterize(imgs, zr, args.px),
+        "brightness_sums": lambda: brightness_pixel_sums(
+            imgs, zr, args.px),
         "brightness": lambda: brightness_raster(imgs, zr, args.px),
         "gallery": lambda: tile_gallery(imgs, args.z, args.px),
+        "term_counts": lambda: tile_term_counts(imgs, args.z)
+        .withColumn("z", F.lit(args.z).cast("int")),
         "terms": lambda: tile_top_terms(imgs, args.z),
     }
     out = {}
