@@ -1192,6 +1192,25 @@ def _q_viewport_similar(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("hamming").cast("long")))
 
 
+def _q_viewport_caption_similar(spark: SparkSession, sf: str) -> DataFrame:
+    """Three-tier atlas search (geo x caption x visual) in ONE query
+    (operators/geo_visual.viewport_similar with caption_token): bbox
+    and caption-substring filters precede the decode — only matching
+    viewport rows ever reach Python — then the ranked hamming cut.
+    Oracle: the viewport_similar closed form with the caption LIKE
+    restriction on the planted 'cap-<k%89>' captions."""
+    from tdei_backend_service_spark.operators.geo_visual import \
+        viewport_similar
+    imgs = FX.part_images_geo(spark, sf).withColumn(
+        "caption", F.concat(F.lit("cap-"),
+                            (F.col("image_id") % 89).cast("string")))
+    qh = FX.phash_class_value(VIEWPORT_QUERY_CLASS)
+    return (viewport_similar(imgs, qh, VIEWPORT_BBOX, k=25,
+                             caption_token="cap-7")
+            .select(F.col("image_id").cast("long"),
+                    F.col("hamming").cast("long")))
+
+
 def _q_geo_visual_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """The A+B flagship composition (operators/geo_visual.py): a record
     loses iff a smaller id sits within 5 m AND within hamming 8 of its
@@ -1814,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_burnin": _q_zone_burnin,
         # bbox-scoped visual top-k over recomputed perceptual hashes
         "viewport_similar": _q_viewport_similar,
+        "viewport_caption_similar": _q_viewport_caption_similar,
         # proximity AND visual near-dup over the real decode path
         "geo_visual_dedup": _q_geo_visual_dedup,
         # geo-visual drop admission vs the committed narrow corpus
@@ -3204,6 +3224,26 @@ def oracle_sql() -> dict[str, str]:
                            * 11400714819323198485)
                           % 2305843009213693952 AS BIGINT) AS h
               FROM part WHERE p_partkey % 10 BETWEEN 3 AND 6),
+            x AS (SELECT p_partkey,
+                         xor(h, {FX.phash_class_value(VIEWPORT_QUERY_CLASS)}) AS xv
+                  FROM v),
+            d AS (SELECT p_partkey,
+                         ({" + ".join(f"((xv // {1 << i}) % 2)" for i in range(61))}) AS hamming
+                  FROM x)
+            SELECT CAST(p_partkey AS BIGINT) AS image_id,
+                   CAST(hamming AS BIGINT) AS hamming
+            FROM d ORDER BY hamming, p_partkey LIMIT 25
+        """,
+        # same ranked search restricted to captions containing the token
+        "viewport_caption_similar": f"""
+            WITH v AS (
+              SELECT p_partkey,
+                     CAST((CAST(p_partkey % 127 + 1 AS HUGEINT)
+                           * 11400714819323198485)
+                          % 2305843009213693952 AS BIGINT) AS h
+              FROM part WHERE p_partkey % 10 BETWEEN 3 AND 6
+                AND ('cap-' || CAST(p_partkey % 89 AS VARCHAR))
+                    LIKE '%cap-7%'),
             x AS (SELECT p_partkey,
                          xor(h, {FX.phash_class_value(VIEWPORT_QUERY_CLASS)}) AS xv
                   FROM v),

@@ -88,6 +88,7 @@ def main() -> None:
         # algebra, zonal stats over the decoded layer, hotspot top-k)
         "raster_focal", "raster_algebra", "zonal_raster",
         "raster_hotspots", "zone_burnin", "viewport_similar",
+        "viewport_caption_similar",
         # r5 seventh session: trajectory tier + trajectory x raster
         # (speed heat-map layer, DDA route burn-in through PNG codec)
         "map_match", "trip_stats", "od_matrix", "coverage_gaps",

@@ -422,22 +422,31 @@ def gallery_pyramid(images: DataFrame, z_base: int, z_min: int, px: int, *,
 
 def viewport_similar(images: DataFrame, query_hash: int,
                      bbox: tuple[float, float, float, float], k: int,
-                     pk: str = "image_id") -> DataFrame:
+                     pk: str = "image_id",
+                     caption_token: str | None = None,
+                     caption_col: str = "caption") -> DataFrame:
     """Visual similarity search scoped to a geographic viewport: the
     top-``k`` images inside ``bbox`` ranked by hamming distance between
     ``query_hash`` and the perceptual hash RECOMPUTED from the decoded
     pixels (ties broken by ``pk`` — a deterministic total order).
+    ``caption_token`` (optional) restricts to records whose caption
+    contains the token case-insensitively — the three-tier atlas
+    search (WHERE x what-it-says x what-it-looks-like) in one query.
 
     Plan shape, inside-out: the bbox filter runs FIRST against the raw
     lon/lat columns (Catalyst pushes it to the scan, so at 10^12 images
-    only viewport rows are ever fetched, let alone decoded), the decode
-    is one map-only pass over the survivors, the distance is JVM
-    ``bit_count(xor)``, and the sort+limit plans as
-    TakeOrderedAndProject — per-partition heaps of k, no global sort.
-    Returns (pk, hamming)."""
+    only viewport rows are ever fetched, let alone decoded), the
+    caption predicate is a JVM string filter on the same scan (both
+    cheap filters precede the decode), the decode is one map-only pass
+    over the survivors, the distance is JVM ``bit_count(xor)``, and
+    the sort+limit plans as TakeOrderedAndProject — per-partition
+    heaps of k, no global sort. Returns (pk, hamming)."""
     minx, miny, maxx, maxy = bbox
     vp = images.filter(F.col("lon").between(minx, maxx)
                        & F.col("lat").between(miny, maxy))
+    if caption_token is not None:
+        vp = vp.filter(F.contains(F.lower(F.col(caption_col)),
+                                  F.lit(caption_token.lower())))
     hashed = decode_phash_points(vp, pk)
     return (hashed.select(
         pk,

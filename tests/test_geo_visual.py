@@ -409,3 +409,28 @@ def test_incremental_brightness_monoid_merge(spark):
     cmap = {(r["tile_x"], r["tile_y"]): bytes(r["bytes"])
             for r in ctiles.collect()}
     assert got[(9000 // px, ty)] == cmap[(9000 // px, ty)]
+
+
+def test_viewport_similar_caption_token_prefilters(spark):
+    from tdei_backend_service_spark.operators.geo_visual import (
+        viewport_similar)
+    lon0, lat0 = -122.30, 47.61
+    rows = [
+        {"image_id": 0, "bytes": _img_bytes(BASE), "fmt": "png",
+         "lon": lon0, "lat": lat0, "caption": "Curb RAMP east"},
+        # better visual match but caption misses the token -> excluded
+        {"image_id": 1, "bytes": _img_bytes(BASE), "fmt": "png",
+         "lon": lon0, "lat": lat0, "caption": "crosswalk"},
+        # caption matches (case-insensitive) but outside bbox
+        {"image_id": 2, "bytes": _img_bytes(BASE), "fmt": "png",
+         "lon": lon0 + 5.0, "lat": lat0, "caption": "ramp west"},
+        # matches token, worse visually -> ranked after 0
+        {"image_id": 3, "bytes": _img_bytes(BASE, (1, 2, 3)), "fmt": "png",
+         "lon": lon0, "lat": lat0, "caption": "steep ramp"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    bbox = (lon0 - 0.01, lat0 - 0.01, lon0 + 0.01, lat0 + 0.01)
+    got = [(r["image_id"], r["hamming"]) for r in
+           viewport_similar(df, BASE, bbox, k=10,
+                            caption_token="Ramp").collect()]
+    assert got == [(0, 0), (3, 3)]
