@@ -26,6 +26,9 @@ from tdei_backend_service_spark.operators.pagination import dynamic_query
 from tdei_backend_service_spark.operators.spatial_join import spatial_join
 from tdei_backend_service_spark.operators.tag_road import (
     dataset_tag_road, knn_join)
+from tdei_backend_service_spark.operators.graph import (
+    hop_distance as graph_hop_distance,
+    network_distance as graph_network_distance)
 from tdei_backend_service_spark.operators import temporal as TP
 from tdei_backend_service_spark.operators import trajectory as TJ
 from tdei_backend_service_spark.operators.tiling import assign_tiles
@@ -1694,6 +1697,30 @@ def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _q_graph_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS (operators/graph.hop_distance): hop counts
+    within 20 traversals from the corridor-start seeds over the
+    chain+shortcut customer graph. The Spark side runs the real
+    frontier iteration (two-layer anti-join, localCheckpoint lineage
+    cuts); the oracle is DuckDB WITH RECURSIVE over the identical
+    integer edge rule — layered walk enumeration reduced by MIN(hops),
+    exact because hops are bounded and deduplicated per (node, hops)."""
+    return graph_hop_distance(
+        FX.chain_graph(spark, sf), FX.chain_graph_seeds(spark, sf),
+        max_hops=20)
+
+
+def _q_network_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Hop-bounded shortest network distance (operators/graph.
+    network_distance): synchronous Bellman-Ford over the integer
+    meter weights, 20 relaxation rounds — shortcut edges (130 m vs
+    ~500 m of chain) must win wherever they help. Exact long
+    arithmetic end to end."""
+    return graph_network_distance(
+        FX.chain_graph(spark, sf), FX.chain_graph_seeds(spark, sf),
+        max_rounds=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: two-phase spatial join (edge x derived points) at sf0.001."""
     return _q_join_count(spark, "/root/testdata/sf0.001")
@@ -1735,6 +1762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_usage": _q_edge_usage,
         "co_travelers": _q_co_travelers,
         "zone_visits": _q_zone_visits,
+        "graph_hops": _q_graph_hops,
+        "network_distance": _q_network_distance,
         "brightness_raster": _q_brightness_raster,
         "tile_gallery": _q_tile_gallery,
         "gallery_pyramid": _q_gallery_pyramid,
@@ -2334,6 +2363,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(us) AS BIGINT) AS exit_us,
                    CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us
             FROM s GROUP BY 1, 2, 3
+        """,
+        # multi-source BFS: layered walk enumeration (hops-bounded, so
+        # the recursive UNION's (node, hops) dedup keeps it polynomial)
+        # reduced by MIN — exactly the hop_distance definition
+        "graph_hops": f"""
+            WITH RECURSIVE {FX.CHAIN_GRAPH_SQL},
+            r(node, hops) AS (
+              SELECT node, 0 FROM seeds
+              UNION
+              SELECT s.dst, r.hops + 1
+              FROM r JOIN sym s ON s.src = r.node
+              WHERE r.hops < 20
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(MIN(hops) AS INT) AS hops
+            FROM r GROUP BY node
+        """,
+        # hop-bounded Bellman-Ford: min total weight over walks of
+        # <= 20 edges; Spark's early-converged fixpoint equals the
+        # bounded min whenever it exits early (no walk improves it)
+        "network_distance": f"""
+            WITH RECURSIVE {FX.CHAIN_GRAPH_SQL},
+            r(node, dist, hops) AS (
+              SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+              UNION
+              SELECT s.dst, r.dist + s.w, r.hops + 1
+              FROM r JOIN sym s ON s.src = r.node
+              WHERE r.hops < 20
+            )
+            SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+            FROM r GROUP BY node
         """,
         # linked-step dwell: same cumsum-of-breaks window as trip_stats
         # but keyed on the floored-mm step threshold

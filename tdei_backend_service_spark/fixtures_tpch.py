@@ -916,3 +916,58 @@ def event_pings(spark: SparkSession, sf_dir: str,
     return (derive_lonlat(ev, "event_id")
             .select("event_id", "user_id", "ts", "lon", "lat")
             .withColumn("dataset_id", F.lit(dataset_id)))
+
+
+def chain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic road-network graph over customer keys, shaped for
+    non-trivial BFS/shortest-path answers while staying pure integer
+    SQL (so DuckDB WITH RECURSIVE can replay it exactly):
+
+    * chain edges ``(k, k+1)`` whenever ``k % 100 != 0`` — the node set
+      splits into disjoint 100-node corridors;
+    * shortcut edges ``(k, k+5)`` whenever ``k % 25 == 2`` (always
+      inside a corridor), cheaper than the 5 chain steps they bypass;
+    * integer weights: chain ``100 + (k % 7) * 10`` m, shortcut 130 m.
+    """
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .select(F.col("c_custkey").cast("long").alias("k")))
+    chain = (c.filter(F.col("k") % 100 != 0)
+             .select(F.col("k").alias("orig_node_id"),
+                     (F.col("k") + 1).alias("dest_node_id"),
+                     (F.lit(100) + (F.col("k") % 7) * 10)
+                     .cast("long").alias("w")))
+    short = (c.filter(F.col("k") % 25 == 2)
+             .select(F.col("k").alias("orig_node_id"),
+                     (F.col("k") + 5).alias("dest_node_id"),
+                     F.lit(130).cast("long").alias("w")))
+    return chain.unionByName(short)
+
+
+def chain_graph_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One seed per corridor: the k % 100 == 1 node."""
+    return (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .filter(F.col("c_custkey") % 100 == 1)
+            .select(F.col("c_custkey").cast("long").alias("node")))
+
+
+CHAIN_GRAPH_SQL = """
+    edges AS (
+      SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST(c_custkey + 1 AS BIGINT) AS dst,
+             CAST(100 + (c_custkey % 7) * 10 AS BIGINT) AS w
+      FROM customer WHERE c_custkey % 100 <> 0
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey + 5 AS BIGINT),
+             CAST(130 AS BIGINT)
+      FROM customer WHERE c_custkey % 25 = 2
+    ),
+    sym AS (
+      SELECT src, dst, w FROM edges
+      UNION ALL
+      SELECT dst, src, w FROM edges
+    ),
+    seeds AS (
+      SELECT CAST(c_custkey AS BIGINT) AS node
+      FROM customer WHERE c_custkey % 100 = 1
+    )
+"""

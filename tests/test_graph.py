@@ -1,0 +1,138 @@
+"""Graph traversal tier (operators/graph.py): differential tests vs
+pure-python BFS/Bellman-Ford references on randomized graphs, plus the
+directed/undirected dedup-strategy split and input validation."""
+
+import random
+from collections import deque
+
+import pytest
+from pyspark.sql import functions as F
+
+from tdei_backend_service_spark.exceptions import InputException
+from tdei_backend_service_spark.operators.graph import (
+    hop_distance, network_distance)
+
+
+def _edges_df(spark, edges, weights=None):
+    rows = [{"orig_node_id": a, "dest_node_id": b,
+             "w": (weights or {}).get((a, b), 1)} for a, b in edges]
+    return spark.createDataFrame(rows)
+
+
+def _seeds_df(spark, seeds):
+    return spark.createDataFrame([{"node": s} for s in seeds])
+
+
+def _py_bfs(edges, seeds, max_hops, directed):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] == max_hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def _py_bf(edges, weights, seeds, rounds, directed):
+    sym = list(edges) + ([] if directed else [(b, a) for a, b in edges])
+    w = {}
+    for a, b in edges:
+        w[(a, b)] = weights.get((a, b), 1)
+        if not directed:
+            w[(b, a)] = weights.get((a, b), 1)
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for a, b in sym:
+            if a in dist and dist[a] + w[(a, b)] < nxt.get(b, float("inf")):
+                nxt[b] = dist[a] + w[(a, b)]
+        if nxt == dist:
+            break
+        dist = nxt
+    return dist
+
+
+def _rand_graph(rng, n_nodes, n_edges):
+    return list({(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                 for _ in range(n_edges)})
+
+
+@pytest.mark.parametrize("directed", [False, True])
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_hop_distance_differential(spark, directed, seed):
+    rng = random.Random(seed)
+    edges = _rand_graph(rng, 60, 90)
+    seeds = sorted(rng.sample(range(60), 3))
+    for max_hops in (0, 2, 7):
+        got = {r["node"]: r["hops"]
+               for r in hop_distance(_edges_df(spark, edges),
+                                     _seeds_df(spark, seeds), max_hops,
+                                     directed=directed).collect()}
+        assert got == _py_bfs(edges, seeds, max_hops, directed)
+
+
+def test_hop_distance_directed_back_edge(spark):
+    """A directed back edge pointing far up the layer stack must NOT
+    re-admit an old node (the full-visited path), while the same graph
+    undirected takes the two-layer shortcut and still agrees."""
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]
+    for directed in (False, True):
+        got = {r["node"]: r["hops"]
+               for r in hop_distance(_edges_df(spark, edges),
+                                     _seeds_df(spark, [0]), 10,
+                                     directed=directed).collect()}
+        assert got == _py_bfs(edges, [0], 10, directed)
+
+
+def test_hop_distance_early_exit_and_multigraph(spark):
+    """Frontier drains before max_hops; duplicate/parallel edges and
+    duplicate seeds collapse."""
+    edges = [(0, 1), (0, 1), (1, 0), (1, 2)]
+    got = {r["node"]: r["hops"]
+           for r in hop_distance(_edges_df(spark, edges),
+                                 _seeds_df(spark, [0, 0]), 50).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+@pytest.mark.parametrize("directed", [False, True])
+@pytest.mark.parametrize("seed", [4, 5])
+def test_network_distance_differential(spark, directed, seed):
+    rng = random.Random(seed)
+    edges = _rand_graph(rng, 40, 70)
+    weights = {e: rng.randrange(1, 500) for e in edges}
+    seeds = sorted(rng.sample(range(40), 2))
+    for rounds in (0, 3, 12):
+        got = {r["node"]: r["dist"]
+               for r in network_distance(
+                   _edges_df(spark, edges, weights),
+                   _seeds_df(spark, seeds), rounds,
+                   directed=directed).collect()}
+        assert got == _py_bf(edges, weights, seeds, rounds, directed)
+
+
+def test_network_distance_shortcut_wins(spark):
+    """Chain 0-1-2-3-4-5 at 100 m/step plus a 150 m shortcut 0->5."""
+    edges = [(k, k + 1) for k in range(5)] + [(0, 5)]
+    weights = {e: 100 for e in edges[:-1]}
+    weights[(0, 5)] = 150
+    got = {r["node"]: r["dist"]
+           for r in network_distance(_edges_df(spark, edges, weights),
+                                     _seeds_df(spark, [0]), 20).collect()}
+    assert got == {0: 0, 1: 100, 2: 200, 3: 300, 4: 250, 5: 150}
+
+
+def test_graph_input_validation(spark):
+    e, s = _edges_df(spark, [(0, 1)]), _seeds_df(spark, [0])
+    with pytest.raises(InputException):
+        hop_distance(e, s, -1)
+    with pytest.raises(InputException):
+        network_distance(e, s, "5")
