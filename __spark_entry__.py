@@ -1721,6 +1721,16 @@ def _q_network_distance(spark: SparkSession, sf: str) -> DataFrame:
         max_rounds=20)
 
 
+def _q_tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyword retrieval (pipeline/text.tfidf_topk): top-25 documents
+    for a 4-term query under rational TF-IDF — integer idf weights
+    (N*1e6 DIV df), tf filtered to the query vocabulary before any
+    exchange, TakeOrderedAndProject for the cut. Ties break on doc_id
+    so the LIMIT boundary is deterministic in both engines."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return TX.tfidf_topk(docs, ["spark", "hash", "window", "vector"], k=25)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: two-phase spatial join (edge x derived points) at sf0.001."""
     return _q_join_count(spark, "/root/testdata/sf0.001")
@@ -1764,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_visits": _q_zone_visits,
         "graph_hops": _q_graph_hops,
         "network_distance": _q_network_distance,
+        "tfidf_search": _q_tfidf_search,
         "brightness_raster": _q_brightness_raster,
         "tile_gallery": _q_tile_gallery,
         "gallery_pyramid": _q_gallery_pyramid,
@@ -2394,6 +2405,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
             FROM r GROUP BY node
+        """,
+        # rational TF-IDF retrieval: same whitespace split law as the
+        # token counters, integer idf = (N*1e6) // df, id tie-break at
+        # the LIMIT cut
+        "tfidf_search": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text),
+                            '\\s+'), x -> x <> '')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM w WHERE term IN ('spark', 'hash', 'window', 'vector')
+              GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                      FROM tf GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+            SELECT doc_id,
+                   CAST(SUM(tf * ((n.n * 1000000) // dfreq.df))
+                        AS BIGINT) AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 25
         """,
         # linked-step dwell: same cumsum-of-breaks window as trip_stats
         # but keyed on the floored-mm step threshold

@@ -233,3 +233,44 @@ def corpus_report(df: DataFrame, key_col: str = "source",
          .alias("quality_micros"),
         *[F.sum(F.when(F.col("lang_pred") == c, 1).otherwise(0)).cast("long")
            .alias(f"n_{c}") for c in langs])
+
+
+def tfidf_topk(df: DataFrame, query_terms: list[str], k: int = 20,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keyword retrieval: the top-``k`` documents for a bag of query
+    terms under rational TF-IDF — score = sum over query terms of
+    tf(term, doc) * ((N * 1_000_000) // df(term)), where N is the
+    corpus size and df the term's document frequency. The integer
+    inverse-frequency weight is order-isomorphic to 1/df (log-free on
+    purpose: any engine replays it bit-exactly, and with single-term
+    weights the log vs reciprocal choice only rescales, it cannot
+    reorder documents sharing a term profile). Ties break on id, so
+    the LIMIT cut is deterministic. Only matching documents rank.
+
+    Scale shape: tokens explode map-side (the whitespace split every
+    text op pins) and filter to the broadcast-tiny query vocabulary
+    BEFORE any exchange — the (id, term) partial-aggregated tf relation
+    carries only matching rows; df folds from tf with a second tiny
+    aggregate; the final top-k is a TakeOrderedAndProject, never a full
+    sort. At 10^12 documents the shuffled bytes are proportional to
+    query-term occurrences, not corpus size."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    n_docs = df.count()
+    tf = (df.select(F.col(id_col),
+                    F.explode(words_col(F.col(text_col))).alias("term"))
+          .filter(F.col("term").isin(terms))
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # integer DIV, not float-divide-then-cast: float rounding at an
+    # integer boundary would break cross-engine exactness
+    idf = dfreq.select(
+        "term",
+        F.expr(f"CAST(CAST({int(n_docs)} AS BIGINT) * 1000000 "
+               "DIV df AS BIGINT)").alias("idf"))
+    scored = (tf.join(F.broadcast(idf), "term")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("tf") * F.col("idf")).alias("score")))
+    return (scored.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))
+            .select(F.col(id_col), F.col("score").cast("long")))

@@ -621,3 +621,42 @@ def test_corpus_report_values_and_plan(spark):
     assert plan.count("Exchange") == 1
     # quality_micros is an exact integer (fixed-point, never a float)
     assert isinstance(a["quality_micros"], int)
+
+
+def test_tfidf_topk_differential_and_ties(spark):
+    from collections import Counter
+
+    from tdei_backend_service_spark.pipeline.text import tfidf_topk
+    texts = {
+        1: "spark hash spark table",
+        2: "hash window",
+        3: "vector vector vector",
+        4: "the quick fox",           # no query term: never ranks
+        5: "spark window hash",
+        6: "window spark hash",       # same profile as 5 -> tie, id wins
+    }
+    df = spark.createDataFrame(
+        [{"doc_id": k, "text": v} for k, v in texts.items()])
+    got = [(r["doc_id"], r["score"])
+           for r in tfidf_topk(df, ["Spark", "hash", "window", "vector"],
+                               k=3).collect()]
+
+    n = len(texts)
+    tf = {d: Counter(t.split()) for d, t in texts.items()}
+    terms = ["spark", "hash", "window", "vector"]
+    dfreq = {t: sum(1 for d in tf if tf[d][t]) for t in terms}
+    idf = {t: (n * 1_000_000) // dfreq[t] for t in terms}
+    score = {d: sum(tf[d][t] * idf[t] for t in terms) for d in tf
+             if any(tf[d][t] for t in terms)}
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == want
+    # 5 and 6 tie exactly; whichever survives the cut must be by id
+    assert score[5] == score[6]
+
+    plan = (tfidf_topk(df, ["spark"], k=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tfidf_topk(df, [])
