@@ -1731,6 +1731,19 @@ def _q_tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
     return TX.tfidf_topk(docs, ["spark", "hash", "window", "vector"], k=25)
 
 
+def _q_viewport_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Geo-scoped keyword search — the A+B retrieval composition: the
+    engine's bbox operator (pure-Catalyst pushdown) scopes geotagged
+    documents to the standard viewport FIRST, then tfidf_topk ranks
+    inside it with viewport-LOCAL idf (df and N measured over the
+    scoped corpus — rarity inside the viewport is what matters to a
+    map search box). Two tiers compose without a new operator."""
+    docs = FX.derive_lonlat(
+        spark.read.parquet(f"{sf}/documents.parquet"), "doc_id")
+    scoped = bbox_filter_points(docs, BBOX)
+    return TX.tfidf_topk(scoped, ["merge", "vector", "scan"], k=15)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: two-phase spatial join (edge x derived points) at sf0.001."""
     return _q_join_count(spark, "/root/testdata/sf0.001")
@@ -1775,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hops": _q_graph_hops,
         "network_distance": _q_network_distance,
         "tfidf_search": _q_tfidf_search,
+        "viewport_tfidf": _q_viewport_tfidf,
         "brightness_raster": _q_brightness_raster,
         "tile_gallery": _q_tile_gallery,
         "gallery_pyramid": _q_gallery_pyramid,
@@ -2430,6 +2444,38 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dfreq USING (term) CROSS JOIN n
             GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 25
+        """,
+        # bbox-scoped TF-IDF: idf measured over the viewport-local
+        # corpus (df AND N from the scoped set), same split law
+        "viewport_tfidf": f"""
+            WITH scoped AS (
+              SELECT doc_id, text,
+                     {FX.SQL_LON.format(k="doc_id")} AS lon,
+                     {FX.SQL_LAT.format(k="doc_id")} AS lat
+              FROM documents
+              WHERE lon BETWEEN -122.33 AND -122.29
+                AND lat BETWEEN 47.62 AND 47.66
+            ),
+            w AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text),
+                            '\\s+'), x -> x <> '')) AS term
+              FROM scoped
+            ),
+            tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM w WHERE term IN ('merge', 'vector', 'scan')
+              GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                      FROM tf GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scoped)
+            SELECT doc_id,
+                   CAST(SUM(tf * ((n.n * 1000000) // dfreq.df))
+                        AS BIGINT) AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 15
         """,
         # linked-step dwell: same cumsum-of-breaks window as trip_stats
         # but keyed on the floored-mm step threshold
