@@ -28,7 +28,10 @@ from tdei_backend_service_spark.operators.tag_road import (
     dataset_tag_road, knn_join)
 from tdei_backend_service_spark.operators.graph import (
     hop_distance as graph_hop_distance,
-    network_distance as graph_network_distance)
+    network_distance as graph_network_distance,
+    pagerank as graph_pagerank,
+    triangle_count as graph_triangle_count,
+    PR_SCALE as GRAPH_PR_SCALE)
 from tdei_backend_service_spark.operators import temporal as TP
 from tdei_backend_service_spark.operators import trajectory as TJ
 from tdei_backend_service_spark.operators.tiling import assign_tiles
@@ -1721,6 +1724,28 @@ def _q_network_distance(spark: SparkSession, sf: str) -> DataFrame:
         max_rounds=20)
 
 
+def _q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.triangle_count) over
+    the triangle-rich chain+wedge customer graph: degree-ordered
+    orientation on the Spark side (each triangle found once at its
+    lowest-rank corner, out-degree capped ~sqrt(E) on any skew); the
+    oracle enumerates 3-cliques by id-ordering — same set, so the
+    per-node participation counts agree exactly. Reversed-duplicate
+    fixture edges pin the canonicalization."""
+    return graph_triangle_count(FX.tri_graph(spark, sf))
+
+
+def _q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact damped PageRank (operators/graph.pagerank), five
+    synchronous power iterations over the DIRECTED chain+shortcut
+    graph in 10^-12 fixed-point units — every division is integer DIV
+    so DuckDB's unrolled-CTE replica lands on identical longs. The
+    corridor shape makes ranks genuinely non-uniform: corridor heads
+    lose their upstream source, shortcut targets gain a second
+    in-edge."""
+    return graph_pagerank(FX.chain_graph(spark, sf), n_iter=5)
+
+
 def _q_tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
     """Keyword retrieval (pipeline/text.tfidf_topk): top-25 documents
     for a 4-term query under rational TF-IDF — integer idf weights
@@ -1787,6 +1812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_visits": _q_zone_visits,
         "graph_hops": _q_graph_hops,
         "network_distance": _q_network_distance,
+        "triangle_count": _q_triangle_count,
+        "pagerank": _q_pagerank,
         "tfidf_search": _q_tfidf_search,
         "viewport_tfidf": _q_viewport_tfidf,
         "brightness_raster": _q_brightness_raster,
@@ -1944,6 +1971,32 @@ def oracle_sql() -> dict[str, str]:
         f"h_{c}" for c in sorted(TX.STOPWORDS)) + ")"
     n_tile = 1 << TILE_Z
     n_cell = 1 << CELL_DEPTH
+    # pagerank: the 5 integer power iterations unrolled as CTEs —
+    # DuckDB's // floors and Spark's div truncates, identical on the
+    # always-positive ranks
+    pr_base = ((20 - 17) * GRAPH_PR_SCALE) // 20
+    pr_iters = ",\n".join(f"""
+            r{i + 1} AS (
+              SELECT n.node,
+                     CAST({pr_base} + (17 * COALESCE(s.m, 0)) // 20
+                          AS BIGINT) AS r
+              FROM pr_nodes n LEFT JOIN (
+                SELECT de.dst AS node, SUM(r{i}.r // od.c) AS m
+                FROM r{i} JOIN de ON de.src = r{i}.node
+                JOIN od ON od.src = de.src
+                GROUP BY 1) s ON s.node = n.node)""" for i in range(5))
+    pr_sql = f"""
+            WITH {FX.CHAIN_GRAPH_SQL},
+            de AS (SELECT DISTINCT src, dst FROM edges),
+            pr_nodes AS (SELECT src AS node FROM de
+                         UNION SELECT dst AS node FROM de),
+            od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM de GROUP BY 1),
+            r0 AS (SELECT node, CAST({GRAPH_PR_SCALE} AS BIGINT) AS r
+                   FROM pr_nodes),
+            {pr_iters}
+            SELECT node, r AS pr FROM r5
+    """
     return {
         "bbox_points": f"""
             SELECT o_orderkey, lon, lat FROM {_PTS}
@@ -2420,6 +2473,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
             FROM r GROUP BY node
         """,
+        # triangles by id-ordered 3-clique enumeration (the Spark
+        # side's degree-ordering finds the same set, once each)
+        "triangle_count": f"""
+            WITH {FX.TRI_GRAPH_SQL},
+            ce AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                   FROM tri_edges WHERE src <> dst GROUP BY 1, 2),
+            t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+                  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+            corner AS (SELECT x AS node FROM t
+                       UNION ALL SELECT y AS node FROM t
+                       UNION ALL SELECT z AS node FROM t)
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+            FROM corner GROUP BY node
+        """,
+        "pagerank": pr_sql,
         # rational TF-IDF retrieval: same whitespace split law as the
         # token counters, integer idf = (N*1e6) // df, id tie-break at
         # the LIMIT cut

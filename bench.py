@@ -100,6 +100,10 @@ def main() -> None:
         "gallery_pyramid", "tile_terms", "decode_mse",
         "streaming_zones", "zonal_brightness", "incremental_gallery", "incremental_brightness",
         "incremental_terms",
+        # r5 ninth session: graph traversal + analytics tier and the
+        # rational TF-IDF retrieval rows
+        "graph_hops", "network_distance", "triangle_count", "pagerank",
+        "tfidf_search", "viewport_tfidf",
     ]
 
     # input size for throughput: rows entering the spatial suite

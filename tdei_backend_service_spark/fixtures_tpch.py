@@ -971,3 +971,46 @@ CHAIN_GRAPH_SQL = """
       FROM customer WHERE c_custkey % 100 = 1
     )
 """
+
+
+def tri_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic triangle-rich graph over customer keys, pure
+    integer SQL so DuckDB replays it exactly:
+
+    * chain edges ``(k, k+1)`` whenever ``k % 100 != 0`` (the same
+      100-node corridors as chain_graph);
+    * wedge edges ``(k, k+2)`` whenever ``k % 3 == 0`` — closing the
+      triangle (k, k+1, k+2) exactly when both chain edges exist
+      (``k % 100 not in (0, 99)``); boundary wedges stay open on
+      purpose (wedges without a closing edge must count nothing);
+    * reversed duplicates ``(k+1, k)`` whenever ``k % 10 == 5`` and
+      the chain edge exists — pins the canonicalization (direction
+      and multiplicity must not change any count).
+    """
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .select(F.col("c_custkey").cast("long").alias("k")))
+    chain = (c.filter(F.col("k") % 100 != 0)
+             .select(F.col("k").alias("orig_node_id"),
+                     (F.col("k") + 1).alias("dest_node_id")))
+    wedge = (c.filter(F.col("k") % 3 == 0)
+             .select(F.col("k").alias("orig_node_id"),
+                     (F.col("k") + 2).alias("dest_node_id")))
+    rev = (c.filter((F.col("k") % 10 == 5) & (F.col("k") % 100 != 0))
+           .select((F.col("k") + 1).alias("orig_node_id"),
+                   F.col("k").alias("dest_node_id")))
+    return chain.unionByName(wedge).unionByName(rev)
+
+
+TRI_GRAPH_SQL = """
+    tri_edges AS (
+      SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST(c_custkey + 1 AS BIGINT) AS dst
+      FROM customer WHERE c_custkey % 100 <> 0
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey + 2 AS BIGINT)
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT CAST(c_custkey + 1 AS BIGINT), CAST(c_custkey AS BIGINT)
+      FROM customer WHERE c_custkey % 10 = 5 AND c_custkey % 100 <> 0
+    )
+"""

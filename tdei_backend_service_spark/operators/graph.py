@@ -38,7 +38,14 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..exceptions import InputException
 
-__all__ = ["hop_distance", "network_distance"]
+__all__ = ["hop_distance", "network_distance", "triangle_count",
+           "pagerank"]
+
+#: PageRank fixed-point scale: rank 1.0 == 10^12, so five damped
+#: iterations stay far inside int64 (mass * damping_num <= N * 1e12 *
+#: 17 — good to ~5e5 nodes per corpus partition of the oracle; the
+#: operator itself only needs per-node sums, bounded by in-degree).
+PR_SCALE = 10**12
 
 
 def _symmetrize(edges: DataFrame, src: str, dst: str,
@@ -139,3 +146,121 @@ def network_distance(edges: DataFrame, seeds: DataFrame, max_rounds: int,
         if improved == 0:
             break
     return dist.select(F.col("_n").alias(node), F.col("_dist").alias("dist"))
+
+
+def triangle_count(edges: DataFrame, src: str = "orig_node_id",
+                   dst: str = "dest_node_id",
+                   node: str = "node") -> DataFrame:
+    """Per-node triangle participation: (node, triangles) for every
+    node that sits on at least one 3-clique of the undirected simple
+    graph underlying ``edges`` (direction, duplicates and self-loops
+    are all collapsed first — one distinct exchange bounded by O(E)).
+
+    Scale shape: the classic degree-ordered orientation. Each
+    undirected edge is directed from its LOWER-rank endpoint to its
+    higher, rank = (degree, node id) — under that orientation a
+    node's out-degree is O(sqrt(E)) even on power-law graphs, so the
+    wedge self-join (the only superlinear step) touches
+    sum(outdeg^2) = O(E^1.5) candidate wedges worst-case instead of
+    the O(sum indeg^2) a celebrity node would cost unoriented. The
+    closing edge of a wedge (v, w) with rank(v) < rank(w) can only be
+    oriented v->w, so one equi-join against the oriented relation
+    finishes: every triangle is found exactly once, at its
+    lowest-rank corner. Reference semantics anchor: the walkway
+    network's edge table (src/models OSW edge schema) — triangle
+    density is the standard local-clustering input the reference
+    delegates to out-of-repo consumers.
+    """
+    s, d = F.col(src).cast("long"), F.col(dst).cast("long")
+    canon = (edges.select(F.least(s, d).alias("_a"),
+                          F.greatest(s, d).alias("_b"))
+             .filter(F.col("_a") != F.col("_b"))
+             .distinct())
+    deg = (canon.select(F.col("_a").alias("_n"))
+           .unionAll(canon.select(F.col("_b").alias("_n")))
+           .groupBy("_n").agg(F.count("*").alias("_deg")))
+    e = (canon
+         .join(deg.select(F.col("_n").alias("_a"),
+                          F.col("_deg").alias("_da")), "_a")
+         .join(deg.select(F.col("_n").alias("_b"),
+                          F.col("_deg").alias("_db")), "_b"))
+    a_first = ((F.col("_da") < F.col("_db"))
+               | ((F.col("_da") == F.col("_db"))
+                  & (F.col("_a") < F.col("_b"))))
+    oriented = (e.select(
+        F.when(a_first, F.col("_a")).otherwise(F.col("_b")).alias("_s"),
+        F.when(a_first, F.col("_b")).otherwise(F.col("_a")).alias("_d"),
+        F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_dd"))
+        .localCheckpoint())
+    o1 = oriented.select(F.col("_s").alias("_u"), F.col("_d").alias("_v"),
+                         F.col("_dd").alias("_vd"))
+    o2 = oriented.select(F.col("_s").alias("_u"), F.col("_d").alias("_w"),
+                         F.col("_dd").alias("_wd"))
+    wedges = (o1.join(o2, "_u")
+              .filter((F.col("_vd") < F.col("_wd"))
+                      | ((F.col("_vd") == F.col("_wd"))
+                         & (F.col("_v") < F.col("_w")))))
+    tris = wedges.join(
+        oriented.select(F.col("_s").alias("_v"), F.col("_d").alias("_w")),
+        ["_v", "_w"])
+    corners = (tris.select(F.col("_u").alias("_n"))
+               .unionAll(tris.select(F.col("_v").alias("_n")))
+               .unionAll(tris.select(F.col("_w").alias("_n"))))
+    return (corners.groupBy("_n").agg(F.count("*").alias("triangles"))
+            .select(F.col("_n").alias(node),
+                    F.col("triangles").cast("long")))
+
+
+def pagerank(edges: DataFrame, n_iter: int,
+             src: str = "orig_node_id", dst: str = "dest_node_id",
+             node: str = "node",
+             damping_num: int = 17, damping_den: int = 20) -> DataFrame:
+    """Integer-exact damped PageRank over the DIRECTED simple graph:
+    (node, pr) after exactly ``n_iter`` synchronous power iterations,
+    ranks in fixed-point units of ``PR_SCALE`` (rank 1.0 == 10^12).
+
+    The update is pure integer arithmetic so any engine replays it
+    bit-exactly (the float variant could never sit under a hash
+    oracle):
+
+        pr_0(v)   = PR_SCALE
+        contrib(u) = pr_i(u) DIV outdeg(u)        (per out-edge)
+        pr_{i+1}(v) = ((den-num)*PR_SCALE) DIV den
+                      + (num * SUM contrib over in-edges) DIV den
+
+    with damping num/den defaulting to 17/20 = 0.85. Dangling-node
+    mass (nodes with no out-edges) is dropped, the documented
+    lost-mass variant — total mass therefore shrinks monotonically,
+    which is fine for ranking and keeps the per-iteration plan ONE
+    equi-join + ONE partial-aggregated sum exchange. Node set = every
+    id appearing as src or dst. Per-round ``localCheckpoint`` cuts
+    lineage exactly like hop_distance/network_distance, so n_iter is
+    a cost bound, not a plan-depth bomb.
+    """
+    if not isinstance(n_iter, int) or n_iter < 0:
+        raise InputException("n_iter must be a non-negative integer")
+    if damping_num <= 0 or damping_den <= 0 or damping_num > damping_den:
+        raise InputException("damping must satisfy 0 < num <= den")
+    e = (edges.select(F.col(src).cast("long").alias("_s"),
+                      F.col(dst).cast("long").alias("_d"))
+         .distinct())
+    nodes = (e.select(F.col("_s").alias("_n"))
+             .unionAll(e.select(F.col("_d").alias("_n")))
+             .distinct().localCheckpoint())
+    ej = (e.join(e.groupBy("_s").agg(F.count("*").alias("_od")), "_s")
+          .localCheckpoint())
+    base = ((damping_den - damping_num) * PR_SCALE) // damping_den
+    ranks = nodes.select("_n", F.lit(PR_SCALE).cast("long").alias("_r"))
+    for _ in range(n_iter):
+        sums = (ranks.join(ej, ranks["_n"] == ej["_s"])
+                .select(F.col("_d").alias("_n"),
+                        F.expr("_r div _od").alias("_c"))
+                .groupBy("_n").agg(F.sum("_c").alias("_in")))
+        ranks = (nodes.join(sums, "_n", "left")
+                 .select("_n",
+                         (F.lit(base)
+                          + F.expr(f"({damping_num} * coalesce(_in, 0))"
+                                   f" div {damping_den}"))
+                         .cast("long").alias("_r"))
+                 .localCheckpoint())
+    return ranks.select(F.col("_n").alias(node), F.col("_r").alias("pr"))

@@ -136,3 +136,100 @@ def test_graph_input_validation(spark):
         hop_distance(e, s, -1)
     with pytest.raises(InputException):
         network_distance(e, s, "5")
+
+
+# --- triangle_count / pagerank ---------------------------------------
+
+from tdei_backend_service_spark.operators.graph import (  # noqa: E402
+    PR_SCALE, pagerank, triangle_count)
+
+
+def _py_triangles(edges):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    for x in (u, v, w):
+                        counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+def _py_pagerank(edges, n_iter, num=17, den=20):
+    de = {(a, b) for a, b in edges}
+    nodes = sorted({a for a, _ in de} | {b for _, b in de})
+    od = {}
+    for a, _ in de:
+        od[a] = od.get(a, 0) + 1
+    base = ((den - num) * PR_SCALE) // den
+    r = {n: PR_SCALE for n in nodes}
+    for _ in range(n_iter):
+        s = {n: 0 for n in nodes}
+        for a, b in de:
+            s[b] += r[a] // od[a]
+        r = {n: base + (num * s[n]) // den for n in nodes}
+    return r
+
+
+def test_triangle_count_differential(spark):
+    rng = random.Random(71)
+    for trial in range(3):
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(120)]
+        got = {r["node"]: r["triangles"]
+               for r in triangle_count(_edges_df(spark, edges)).collect()}
+        assert got == _py_triangles(edges)
+
+
+def test_triangle_count_canonicalization(spark):
+    # duplicates, both directions, and a self-loop collapse to one
+    # triangle (1,2,3); node 4 hangs off an open wedge
+    edges = [(1, 2), (2, 1), (2, 3), (1, 3), (1, 3), (3, 3), (3, 4),
+             (2, 4)]
+    got = {r["node"]: r["triangles"]
+           for r in triangle_count(_edges_df(spark, edges)).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_count_none(spark):
+    got = triangle_count(_edges_df(spark, [(1, 2), (2, 3), (3, 4)]))
+    assert got.collect() == []
+
+
+def test_pagerank_differential(spark):
+    rng = random.Random(72)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(60)]
+    got = {r["node"]: r["pr"]
+           for r in pagerank(_edges_df(spark, edges), n_iter=4).collect()}
+    assert got == _py_pagerank(edges, 4)
+
+
+def test_pagerank_zero_iters_and_sink(spark):
+    # n_iter=0 returns the uniform start; a pure sink (no out-edges)
+    # keeps collecting mass while the dangling loss shrinks the total
+    edges = [(1, 3), (2, 3)]
+    r0 = {r["node"]: r["pr"]
+          for r in pagerank(_edges_df(spark, edges), n_iter=0).collect()}
+    assert r0 == {1: PR_SCALE, 2: PR_SCALE, 3: PR_SCALE}
+    r2 = {r["node"]: r["pr"]
+          for r in pagerank(_edges_df(spark, edges), n_iter=2).collect()}
+    assert r2 == _py_pagerank(edges, 2)
+    assert r2[3] > r2[1] == r2[2]
+
+
+def test_pagerank_validation(spark):
+    df = _edges_df(spark, [(1, 2)])
+    with pytest.raises(InputException):
+        pagerank(df, n_iter=-1)
+    with pytest.raises(InputException):
+        pagerank(df, n_iter=1, damping_num=21, damping_den=20)
