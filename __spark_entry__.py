@@ -1756,6 +1756,18 @@ def _q_tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
     return TX.tfidf_topk(docs, ["spark", "hash", "window", "vector"], k=25)
 
 
+def _q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 retrieval (pipeline/text.bm25_topk): top-25 documents for
+    a 4-term query under the rational BM25 saturation law (k1=6/5,
+    b=3/4) — clearing denominators by 20*S turns the per-term
+    saturation fraction into ONE integer division, so the score is
+    pure int64 and DuckDB replays the ranking bit-exactly. Unlike
+    tfidf_search, long documents are length-normalized and repeated
+    terms saturate."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return TX.bm25_topk(docs, ["merge", "vector", "scan", "hash"], k=25)
+
+
 def _q_viewport_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     """Geo-scoped keyword search — the A+B retrieval composition: the
     engine's bbox operator (pure-Catalyst pushdown) scopes geotagged
@@ -1815,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "pagerank": _q_pagerank,
         "tfidf_search": _q_tfidf_search,
+        "bm25_search": _q_bm25_search,
         "viewport_tfidf": _q_viewport_tfidf,
         "brightness_raster": _q_brightness_raster,
         "tile_gallery": _q_tile_gallery,
@@ -2511,6 +2524,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(tf * ((n.n * 1000000) // dfreq.df))
                         AS BIGINT) AS score
             FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 25
+        """,
+        # rational BM25: saturation fraction cleared to one integer
+        # division by 20*S (S = corpus tokens, N = corpus size), same
+        # integer idf and split law as tfidf_search
+        "bm25_search": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                            '\\s+'), x -> x <> '') AS w
+              FROM documents
+            ),
+            g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(len(w)) AS BIGINT) AS s FROM toks),
+            x AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                         unnest(w) AS term FROM toks),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+                          MIN(dl) AS dl
+                   FROM x WHERE term IN ('merge', 'vector', 'scan', 'hash')
+                   GROUP BY 1, 2),
+            dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                      FROM tf GROUP BY 1)
+            SELECT doc_id,
+                   CAST(SUM(((g.n * 1000000) // dfreq.df)
+                            * ((44 * g.s * tf.tf * 100000) //
+                               (20 * g.s * tf.tf + 6 * g.s
+                                + 18 * tf.dl * g.n)))
+                        AS BIGINT) AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN g
             GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 25
         """,

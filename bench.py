@@ -103,7 +103,7 @@ def main() -> None:
         # r5 ninth session: graph traversal + analytics tier and the
         # rational TF-IDF retrieval rows
         "graph_hops", "network_distance", "triangle_count", "pagerank",
-        "tfidf_search", "viewport_tfidf",
+        "tfidf_search", "bm25_search", "viewport_tfidf",
     ]
 
     # input size for throughput: rows entering the spatial suite

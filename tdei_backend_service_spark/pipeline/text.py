@@ -274,3 +274,62 @@ def tfidf_topk(df: DataFrame, query_terms: list[str], k: int = 20,
               .agg(F.sum(F.col("tf") * F.col("idf")).alias("score")))
     return (scored.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))
             .select(F.col(id_col), F.col("score").cast("long")))
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 20,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keyword retrieval under rational BM25: top-``k`` documents with
+
+        score = SUM over query terms of
+                idf(t) * ((44*S*tf * 100000) DIV
+                          (20*S*tf + 6*S + 18*dl*N))
+
+    which is EXACTLY the BM25 term-saturation law
+    ``tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))`` for k1 = 6/5 and
+    b = 3/4 with every denominator cleared: avgdl = S/N (S = corpus
+    token count, N = corpus size, dl = document length), so
+    multiplying through by k1d*bd*S = 20*S turns the saturation
+    fraction into one integer division — scaled by 1e5 and floored,
+    then weighted by the same order-isomorphic integer idf as
+    tfidf_topk ((N*1e6) DIV df). No float touches the score, so any
+    engine replays the ranking bit-exactly. Int64 envelope:
+    44*S*tf*1e5 must stay under 2^63 — S*tf < 2.1e12, i.e. corpora to
+    ~10^10 tokens with tf <= 200; beyond that drop the 1e5 scale a
+    decade (the ranking is scale-invariant). Ties break on id.
+
+    Scale shape: identical to tfidf_topk — dl computes map-side from
+    the split array BEFORE the explode, tokens filter to the
+    broadcast-tiny query vocabulary before the first exchange, (N, S)
+    are one tiny global aggregate, and the cut is a
+    TakeOrderedAndProject. Shuffled bytes stay proportional to
+    query-term occurrences, not corpus size.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(F.col(id_col), words_col(F.col(text_col)).alias("_w"))
+    n_docs, s_tokens = toks.agg(
+        F.count(F.lit(1)), F.sum(F.size("_w"))).first()
+    n_docs, s_tokens = int(n_docs), int(s_tokens or 0)
+    if s_tokens == 0:
+        raise ValueError("corpus has no tokens")
+    tf = (toks.select(F.col(id_col), F.size("_w").alias("dl"),
+                      F.explode("_w").alias("term"))
+          .filter(F.col("term").isin(terms))
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.select(
+        "term",
+        F.expr(f"CAST(CAST({n_docs} AS BIGINT) * 1000000 "
+               "DIV df AS BIGINT)").alias("idf"))
+    norm = F.expr(
+        f"(CAST({44 * s_tokens} AS BIGINT) * tf * 100000) DIV "
+        f"(CAST({20 * s_tokens} AS BIGINT) * tf"
+        f" + CAST({6 * s_tokens} AS BIGINT)"
+        f" + CAST({18 * n_docs} AS BIGINT) * dl)")
+    scored = (tf.join(F.broadcast(idf), "term")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("idf") * norm).alias("score")))
+    return (scored.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))
+            .select(F.col(id_col), F.col("score").cast("long")))

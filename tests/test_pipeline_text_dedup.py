@@ -660,3 +660,53 @@ def test_tfidf_topk_differential_and_ties(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         tfidf_topk(df, [])
+
+
+def test_bm25_topk_differential_saturation_and_length(spark):
+    from collections import Counter
+
+    from tdei_backend_service_spark.pipeline.text import bm25_topk
+    texts = {
+        1: "spark hash spark table",
+        2: "hash window",
+        3: "vector vector vector vector vector vector",
+        4: "the quick fox",                    # no query term
+        5: "spark window hash",
+        6: "spark window hash one two three four five six seven",
+        7: "vector",
+    }
+    df = spark.createDataFrame(
+        [{"doc_id": k, "text": v} for k, v in texts.items()])
+    got = [(r["doc_id"], r["score"])
+           for r in bm25_topk(df, ["Spark", "hash", "window", "vector"],
+                              k=6).collect()]
+
+    # pure-python integer replica of the cleared-denominator law
+    toks = {d: t.split() for d, t in texts.items()}
+    n = len(toks)
+    s = sum(len(w) for w in toks.values())
+    tf = {d: Counter(w) for d, w in toks.items()}
+    terms = ["spark", "hash", "window", "vector"]
+    dfreq = {t: sum(1 for d in tf if tf[d][t]) for t in terms}
+    idf = {t: (n * 1_000_000) // dfreq[t] for t in terms if dfreq[t]}
+
+    def norm(c, dl):
+        return (44 * s * c * 100000) // (20 * s * c + 6 * s + 18 * dl * n)
+
+    score = {d: sum(idf[t] * norm(tf[d][t], len(toks[d]))
+                    for t in terms if tf[d][t])
+             for d in tf if any(tf[d][t] for t in terms)}
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
+    assert got == want
+
+    # term saturation: six repeats of 'vector' score < 6x one repeat
+    one = norm(1, 1)
+    six = norm(6, 6)
+    assert six < 6 * one
+    # length normalization: doc 6 repeats doc 5's terms in a longer
+    # document and must score strictly lower
+    assert score[6] < score[5]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bm25_topk(df, [])
