@@ -1756,6 +1756,28 @@ def _q_tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
     return TX.tfidf_topk(docs, ["spark", "hash", "window", "vector"], k=25)
 
 
+def _q_postings(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index construction (pipeline/text.build_postings):
+    one row per vocabulary term with df and the ascending
+    comma-joined posting list. Terms dedupe within each document
+    map-side, so the exchange carries exactly the index size; the
+    posting list is a string so the oracle equality is plain value
+    comparison in both engines."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return TX.build_postings(docs)
+
+
+def _q_cooccur_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed co-occurrence + integer PMI (pipeline/text.
+    cooccur_pmi): ordered token pairs within a 2-token window,
+    scored (c_uv * T * 1e6) DIV (c_u * c_v) — Spark generates pairs
+    map-side via nested transform-over-sequence (no positional
+    self-join); the oracle replays them with a positional self-join.
+    Same multiset, bit-identical scores."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return TX.cooccur_pmi(docs, window=2, k=50, min_count=2)
+
+
 def _q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     """BM25 retrieval (pipeline/text.bm25_topk): top-25 documents for
     a 4-term query under the rational BM25 saturation law (k1=6/5,
@@ -1829,6 +1851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_search": _q_tfidf_search,
         "bm25_search": _q_bm25_search,
         "viewport_tfidf": _q_viewport_tfidf,
+        "postings": _q_postings,
+        "cooccur_pmi": _q_cooccur_pmi,
         "brightness_raster": _q_brightness_raster,
         "tile_gallery": _q_tile_gallery,
         "gallery_pyramid": _q_gallery_pyramid,
@@ -2526,6 +2550,48 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dfreq USING (term) CROSS JOIN n
             GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 25
+        """,
+        # inverted index: same within-doc dedup + split law; posting
+        # list = ascending comma-joined doc ids as a plain string
+        "postings": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_filter(
+                            regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> ''))) AS term
+              FROM documents
+            )
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM toks GROUP BY term
+        """,
+        # windowed co-occurrence via positional self-join (the Spark
+        # side builds the same ordered-pair multiset map-side)
+        "cooccur_pmi": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                            '\\s+'), x -> x <> '') AS w
+              FROM documents
+            ),
+            pos AS (SELECT doc_id, unnest(w) AS term,
+                           generate_subscripts(w, 1) AS i FROM toks),
+            uni AS (SELECT term AS tok, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM pos GROUP BY 1),
+            tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM pos),
+            pr AS (SELECT a.term AS u, b.term AS v,
+                          CAST(COUNT(*) AS BIGINT) AS c_uv
+                   FROM pos a JOIN pos b
+                     ON a.doc_id = b.doc_id
+                    AND b.i BETWEEN a.i + 1 AND a.i + 2
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT pr.u, pr.v, pr.c_uv,
+                   CAST(pr.c_uv * tt.t * 1000000 // (cu.c * cv.c)
+                        AS BIGINT) AS pmi_scaled
+            FROM pr JOIN uni cu ON cu.tok = pr.u
+            JOIN uni cv ON cv.tok = pr.v CROSS JOIN tt
+            ORDER BY pmi_scaled DESC, u, v LIMIT 50
         """,
         # rational BM25: saturation fraction cleared to one integer
         # division by 20*S (S = corpus tokens, N = corpus size), same

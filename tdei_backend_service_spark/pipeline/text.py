@@ -333,3 +333,104 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 20,
               .agg(F.sum(F.col("idf") * norm).alias("score")))
     return (scored.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))
             .select(F.col(id_col), F.col("score").cast("long")))
+
+
+def build_postings(df: DataFrame, min_df: int = 1,
+                   max_df: int | None = None,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Inverted-index construction: one row per vocabulary term with
+    its document frequency and the full posting list — doc ids sorted
+    ascending and comma-joined into a string (a string, not an array,
+    so the oracle comparison is a plain value equality in any
+    engine). ``min_df``/``max_df`` implement the standard vocabulary
+    pruning band (drop hapaxes / stop-terms before they bloat the
+    index).
+
+    Scale shape: terms deduplicate WITHIN each document map-side
+    (array_distinct before the explode), so the exchange carries one
+    (term, doc) row per posting — exactly the index size. One
+    partial-aggregated groupBy builds df and the posting list
+    together. At 10^12 documents a single term's posting list no
+    longer fits one row — shard the groupBy key to (term,
+    id DIV 2^20) and keep per-shard rows; the band filter still
+    applies to the global df (one extra tiny aggregate). The in-row
+    string here is the fixture-scale layout.
+    """
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(words_col(F.col(text_col))))
+        .alias("term"))
+    g = (toks.groupBy("term")
+         .agg(F.count(F.lit(1)).alias("df"),
+              F.concat_ws(",", F.transform(
+                  F.sort_array(F.collect_list(F.col(id_col))),
+                  lambda x: x.cast("string"))).alias("postings")))
+    out = g.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        out = out.filter(F.col("df") <= max_df)
+    return out.select("term", F.col("df").cast("long"), "postings")
+
+
+def cooccur_pmi(df: DataFrame, window: int = 2, k: int = 50,
+                min_count: int = 2, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Windowed co-occurrence statistics with an integer PMI-style
+    score — the word2vec/GloVe-shaped corpus preprocessing pass: for
+    every ordered token pair (u at position i, v at position i+j,
+    1 <= j <= window, same document) count occurrences c_uv, then
+    score each pair
+
+        pmi_scaled = (c_uv * T * 1_000_000) DIV (c_u * c_v)
+
+    where c_u/c_v are corpus token-occurrence counts and T the corpus
+    token total — the integer-rational analogue of pointwise mutual
+    information p(u,v)/(p(u)p(v)) (log-free on purpose: monotone in
+    the true PMI for fixed marginals and bit-exact in any engine).
+    Top-``k`` pairs by (score desc, u, v); pairs below ``min_count``
+    drop first. Int64 envelope: c_uv * T * 1e6 < 2^63 — fine to
+    ~10^8-token corpora with c_uv <= 10^4; shrink the 1e6 scale for
+    more.
+
+    Scale shape: pairs are generated MAP-SIDE as a nested
+    transform-over-sequence on the split array (the word_ngrams
+    trick) — no positional self-join, no shuffle until the (u, v)
+    partial-aggregated count; unigram counts fold from one explode of
+    the same array; the cut is a TakeOrderedAndProject.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = words_col(F.col(text_col))
+    toks = df.select(w.alias("_w"))
+    uni = (toks.select(F.explode("_w").alias("u"))
+           .groupBy("u").agg(F.count(F.lit(1)).alias("cu")))
+    t_total = int(toks.agg(F.sum(F.size("_w"))).first()[0] or 0)
+    if t_total == 0:
+        raise ValueError("corpus has no tokens")
+    starts = F.when(F.size("_w") >= 2,
+                    F.sequence(F.lit(1), F.size("_w") - 1)) \
+              .otherwise(F.array().cast("array<int>"))
+    pair_arrays = F.flatten(F.transform(
+        starts,
+        lambda i: F.transform(
+            F.sequence(i + 1, F.least(i + window,
+                                      F.size("_w").cast("int"))),
+            lambda j: F.struct(F.element_at("_w", i).alias("u"),
+                               F.element_at("_w", j).alias("v")))))
+    pairs = (toks.select(F.explode(pair_arrays).alias("p"))
+             .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("c_uv"))
+             .filter(F.col("c_uv") >= min_count))
+    scored = (pairs
+              .join(F.broadcast(uni), "u")
+              .join(F.broadcast(uni.select(F.col("u").alias("v"),
+                                           F.col("cu").alias("cv"))),
+                    "v")
+              .select("u", "v", F.col("c_uv").cast("long"),
+                      F.expr(f"CAST(c_uv * {t_total} * 1000000 "
+                             "DIV (cu * cv) AS BIGINT)")
+                      .alias("pmi_scaled")))
+    return (scored.orderBy(F.desc("pmi_scaled"), F.asc("u"), F.asc("v"))
+            .limit(int(k)))

@@ -710,3 +710,64 @@ def test_bm25_topk_differential_saturation_and_length(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bm25_topk(df, [])
+
+
+def test_build_postings_values_band_and_order(spark):
+    from tdei_backend_service_spark.pipeline.text import build_postings
+    rows = [
+        (3, "alpha beta alpha"),       # within-doc dup of alpha collapses
+        (1, "beta gamma"),
+        (2, "ALPHA beta"),             # case folds
+        (4, "delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["term"]: (r["df"], r["postings"])
+           for r in build_postings(df).collect()}
+    assert got == {
+        "alpha": (2, "2,3"), "beta": (3, "1,2,3"),
+        "gamma": (1, "1"), "delta": (1, "4"),
+    }
+    banded = {r["term"] for r in
+              build_postings(df, min_df=2, max_df=2).collect()}
+    assert banded == {"alpha"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        build_postings(df, min_df=0)
+
+
+def test_cooccur_pmi_differential(spark):
+    from collections import Counter
+
+    from tdei_backend_service_spark.pipeline.text import cooccur_pmi
+    texts = {1: "a b a b c", 2: "b c a", 3: "a", 4: "c c b a a b"}
+    df = spark.createDataFrame(
+        [{"doc_id": k, "text": v} for k, v in texts.items()])
+    got = [(r["u"], r["v"], r["c_uv"], r["pmi_scaled"])
+           for r in cooccur_pmi(df, window=2, k=10,
+                                min_count=1).collect()]
+
+    toks = {d: t.split() for d, t in texts.items()}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    t_total = sum(uni.values())
+    pairs = Counter()
+    for ws in toks.values():
+        for i, u in enumerate(ws):
+            for j in range(i + 1, min(i + 2, len(ws) - 1) + 1):
+                pairs[(u, ws[j])] += 1
+    want = [(u, v, c, (c * t_total * 1_000_000) // (uni[u] * uni[v]))
+            for (u, v), c in pairs.items()]
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == want[:10]
+
+    # min_count drops singletons; window=1 sees only adjacent pairs
+    c2 = {(r["u"], r["v"]): r["c_uv"]
+          for r in cooccur_pmi(df, window=1, k=100,
+                               min_count=2).collect()}
+    adj = Counter()
+    for ws in toks.values():
+        for i in range(len(ws) - 1):
+            adj[(ws[i], ws[i + 1])] += 1
+    assert c2 == {p: c for p, c in adj.items() if c >= 2}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cooccur_pmi(df, window=0)
