@@ -404,9 +404,13 @@ def cooccur_pmi(df: DataFrame, window: int = 2, k: int = 50,
         raise ValueError("window must be >= 1")
     w = words_col(F.col(text_col))
     toks = df.select(w.alias("_w"))
+    # one corpus pass builds the (tiny) vocabulary relation; the token
+    # total folds out of it, and localCheckpoint stops the two join
+    # sides below from re-deriving it with two more corpus scans
     uni = (toks.select(F.explode("_w").alias("u"))
-           .groupBy("u").agg(F.count(F.lit(1)).alias("cu")))
-    t_total = int(toks.agg(F.sum(F.size("_w"))).first()[0] or 0)
+           .groupBy("u").agg(F.count(F.lit(1)).alias("cu"))
+           .localCheckpoint())
+    t_total = int(uni.agg(F.sum("cu")).first()[0] or 0)
     if t_total == 0:
         raise ValueError("corpus has no tokens")
     starts = F.when(F.size("_w") >= 2,
