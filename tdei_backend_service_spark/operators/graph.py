@@ -200,9 +200,11 @@ def triangle_count(edges: DataFrame, src: str = "orig_node_id",
               .filter((F.col("_vd") < F.col("_wd"))
                       | ((F.col("_vd") == F.col("_wd"))
                          & (F.col("_v") < F.col("_w")))))
+    # bounded by the triangle count; checkpoint so the three-corner
+    # union below does not re-execute the wedge join per branch
     tris = wedges.join(
         oriented.select(F.col("_s").alias("_v"), F.col("_d").alias("_w")),
-        ["_v", "_w"])
+        ["_v", "_w"]).localCheckpoint()
     corners = (tris.select(F.col("_u").alias("_n"))
                .unionAll(tris.select(F.col("_v").alias("_n")))
                .unionAll(tris.select(F.col("_w").alias("_n"))))

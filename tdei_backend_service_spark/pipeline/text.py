@@ -258,10 +258,13 @@ def tfidf_topk(df: DataFrame, query_terms: list[str], k: int = 20,
         raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
     n_docs = df.count()
+    # tf is bounded by query-term occurrences; checkpointing it stops
+    # the df-fold below from re-deriving it with a second corpus scan
     tf = (df.select(F.col(id_col),
                     F.explode(words_col(F.col(text_col))).alias("term"))
           .filter(F.col("term").isin(terms))
-          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint())
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # integer DIV, not float-divide-then-cast: float rounding at an
     # integer boundary would break cross-engine exactness
@@ -313,11 +316,14 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 20,
     n_docs, s_tokens = int(n_docs), int(s_tokens or 0)
     if s_tokens == 0:
         raise ValueError("corpus has no tokens")
+    # bounded by query-term occurrences; checkpoint so the df-fold
+    # does not re-derive it with a second corpus scan
     tf = (toks.select(F.col(id_col), F.size("_w").alias("dl"),
                       F.explode("_w").alias("term"))
           .filter(F.col("term").isin(terms))
           .groupBy(id_col, "term")
-          .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")))
+          .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+          .localCheckpoint())
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = dfreq.select(
         "term",
