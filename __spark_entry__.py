@@ -1756,6 +1756,46 @@ def _q_tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
     return TX.tfidf_topk(docs, ["spark", "hash", "window", "vector"], k=25)
 
 
+def _q_service_area(spark: SparkSession, sf: str) -> DataFrame:
+    """Network service area x image corpus — the full A+B composition:
+    every geotagged point kNN-tags to its nearest grid edge through
+    the REAL two-phase padded-cover join (dataset_tag_road), connector
+    edges chain the ten grid edges into one corridor (node 2k+1 ->
+    2k+2), the REAL multi-source BFS (operators/graph.hop_distance)
+    measures hops from depot node 0, and a point belongs to the
+    12-hop service area iff min(hops at its edge's endpoints) <= 12.
+    The oracle replays both closed forms: nearest edge k from the lat
+    lattice, and node 2k sitting exactly 2k hops down the corridor —
+    so the row verifies the composed pipeline, while graph_hops /
+    knn_tag verify each kernel in isolation."""
+    pts = FX.orders_points(spark, sf)
+    edges = FX.grid_edges(spark)
+    tagged = (dataset_tag_road(pts, "tpch", edges, "tpch-edges",
+                               attrs=["highway"], cutoff_m=KNN_CUTOFF_M,
+                               pk="o_orderkey")
+              .filter(F.col("nearest_edge_id").isNotNull()))
+    grid_nodes = edges.select("edge_id", "orig_node_id", "dest_node_id")
+    conn = spark.range(9).select(
+        (2 * F.col("id") + 1).alias("orig_node_id"),
+        (2 * F.col("id") + 2).alias("dest_node_id"))
+    g = grid_nodes.select("orig_node_id", "dest_node_id").unionByName(conn)
+    seeds = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    hops = graph_hop_distance(g, seeds, max_hops=12)
+    edge_hops = (grid_nodes
+                 .join(hops.withColumnsRenamed(
+                     {"node": "orig_node_id", "hops": "h1"}),
+                     "orig_node_id", "left")
+                 .join(hops.withColumnsRenamed(
+                     {"node": "dest_node_id", "hops": "h2"}),
+                     "dest_node_id", "left")
+                 .select("edge_id", F.least("h1", "h2").alias("edge_hops"))
+                 .filter(F.col("edge_hops").isNotNull()))
+    return (tagged.join(edge_hops,
+                        tagged["nearest_edge_id"] == edge_hops["edge_id"])
+            .select("o_orderkey", "edge_id",
+                    F.col("edge_hops").cast("int")))
+
+
 def _q_postings(spark: SparkSession, sf: str) -> DataFrame:
     """Inverted-index construction (pipeline/text.build_postings):
     one row per vocabulary term with df and the ascending
@@ -1853,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewport_tfidf": _q_viewport_tfidf,
         "postings": _q_postings,
         "cooccur_pmi": _q_cooccur_pmi,
+        "service_area": _q_service_area,
         "brightness_raster": _q_brightness_raster,
         "tile_gallery": _q_tile_gallery,
         "gallery_pyramid": _q_gallery_pyramid,
@@ -2550,6 +2591,15 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dfreq USING (term) CROSS JOIN n
             GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 25
+        """,
+        # service area: nearest-edge closed form (lat lattice) x the
+        # corridor hop closed form (node 2k sits 2k hops from depot 0,
+        # so edge k enters the 12-hop area iff k <= 6)
+        "service_area": f"""
+            SELECT o_orderkey, k AS edge_id,
+                   CAST(2 * k AS INT) AS edge_hops
+            FROM {_PTS_K}
+            WHERE dist_m <= {KNN_CUTOFF_M} AND k <= 6
         """,
         # inverted index: same within-doc dedup + split law; posting
         # list = ascending comma-joined doc ids as a plain string

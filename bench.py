@@ -104,7 +104,7 @@ def main() -> None:
         # rational TF-IDF retrieval rows
         "graph_hops", "network_distance", "triangle_count", "pagerank",
         "tfidf_search", "bm25_search", "viewport_tfidf",
-        "postings", "cooccur_pmi",
+        "postings", "cooccur_pmi", "service_area",
     ]
 
     # input size for throughput: rows entering the spatial suite
