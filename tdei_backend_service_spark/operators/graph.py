@@ -243,8 +243,12 @@ def pagerank(edges: DataFrame, n_iter: int,
         raise InputException("n_iter must be a non-negative integer")
     if damping_num <= 0 or damping_den <= 0 or damping_num > damping_den:
         raise InputException("damping must satisfy 0 < num <= den")
+    # dangling-endpoint rows drop entirely (the same hygiene as
+    # triangle_count's canon filter): a NULL endpoint must not mint a
+    # NULL node or inflate its partner's out-degree
     e = (edges.select(F.col(src).cast("long").alias("_s"),
                       F.col(dst).cast("long").alias("_d"))
+         .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
          .distinct())
     nodes = (e.select(F.col("_s").alias("_n"))
              .unionAll(e.select(F.col("_d").alias("_n")))

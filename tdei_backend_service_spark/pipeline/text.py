@@ -235,6 +235,23 @@ def corpus_report(df: DataFrame, key_col: str = "source",
            .alias(f"n_{c}") for c in langs])
 
 
+def _int_idf(n_docs: int) -> Column:
+    """The shared integer inverse-document-frequency law of both
+    retrieval scorers: (N * 1_000_000) DIV df — integer DIV, not
+    float-divide-then-cast, so a rounding ulp at an integer boundary
+    can never desynchronize the engines."""
+    return F.expr(f"CAST(CAST({int(n_docs)} AS BIGINT) * 1000000 "
+                  "DIV df AS BIGINT)").alias("idf")
+
+
+def _topk_by_score(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Shared retrieval cut: top-k by (score desc, id asc) — the id
+    tie-break makes the LIMIT boundary deterministic in any engine —
+    compiled to a TakeOrderedAndProject, never a full sort."""
+    return (scored.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))
+            .select(F.col(id_col), F.col("score").cast("long")))
+
+
 def tfidf_topk(df: DataFrame, query_terms: list[str], k: int = 20,
                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keyword retrieval: the top-``k`` documents for a bag of query
@@ -266,17 +283,11 @@ def tfidf_topk(df: DataFrame, query_terms: list[str], k: int = 20,
           .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
           .localCheckpoint())
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # integer DIV, not float-divide-then-cast: float rounding at an
-    # integer boundary would break cross-engine exactness
-    idf = dfreq.select(
-        "term",
-        F.expr(f"CAST(CAST({int(n_docs)} AS BIGINT) * 1000000 "
-               "DIV df AS BIGINT)").alias("idf"))
+    idf = dfreq.select("term", _int_idf(n_docs))
     scored = (tf.join(F.broadcast(idf), "term")
               .groupBy(id_col)
               .agg(F.sum(F.col("tf") * F.col("idf")).alias("score")))
-    return (scored.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))
-            .select(F.col(id_col), F.col("score").cast("long")))
+    return _topk_by_score(scored, id_col, k)
 
 
 def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 20,
@@ -325,10 +336,7 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 20,
           .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
           .localCheckpoint())
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = dfreq.select(
-        "term",
-        F.expr(f"CAST(CAST({n_docs} AS BIGINT) * 1000000 "
-               "DIV df AS BIGINT)").alias("idf"))
+    idf = dfreq.select("term", _int_idf(n_docs))
     norm = F.expr(
         f"(CAST({44 * s_tokens} AS BIGINT) * tf * 100000) DIV "
         f"(CAST({20 * s_tokens} AS BIGINT) * tf"
@@ -337,8 +345,7 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 20,
     scored = (tf.join(F.broadcast(idf), "term")
               .groupBy(id_col)
               .agg(F.sum(F.col("idf") * norm).alias("score")))
-    return (scored.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))
-            .select(F.col(id_col), F.col("score").cast("long")))
+    return _topk_by_score(scored, id_col, k)
 
 
 def build_postings(df: DataFrame, min_df: int = 1,

@@ -233,3 +233,16 @@ def test_pagerank_validation(spark):
         pagerank(df, n_iter=-1)
     with pytest.raises(InputException):
         pagerank(df, n_iter=1, damping_num=21, damping_den=20)
+
+
+def test_pagerank_null_endpoint_drops(spark):
+    # a dangling NULL endpoint must not mint a NULL node or inflate
+    # its partner's out-degree (same hygiene as triangle_count's canon)
+    clean = [(1, 3), (2, 3)]
+    rows = [{"orig_node_id": a, "dest_node_id": b} for a, b in clean]
+    rows.append({"orig_node_id": 1, "dest_node_id": None})
+    df = spark.createDataFrame(
+        rows, "orig_node_id long, dest_node_id long")
+    got = {r["node"]: r["pr"]
+           for r in pagerank(df, n_iter=2).collect()}
+    assert got == _py_pagerank(clean, 2)

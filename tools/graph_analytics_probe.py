@@ -4,9 +4,9 @@ triangle_count, pagerank) — millions of nodes, verified FULL-FRAME.
 
 * triangle_count runs the chain+wedge construction over 1..N (chain
   (k, k+1) for k % 100 != 0, wedge (k, k+2) for k % 3 == 0 OR
-  k % 7 == 0 — two overlapping wedge families, so per-node
-  participation spans 1..3 and k % 21 bases exercise duplicate-edge
-  collapse). A triangle sits at base k iff tri(k) := (k % 3 == 0 or
+  k % 7 == 0 — two overlapping wedge families emitted as
+  separate unions, so per-node participation spans 1..3 and k % 21
+  bases emit genuine duplicate edges the collapse must absorb). A triangle sits at base k iff tri(k) := (k % 3 == 0 or
   k % 7 == 0) and k % 100 not in (0, 99) and k <= N-1,
   so node m's participation has the closed form
   tri(m) + tri(m-1) + tri(m-2) — evaluated as a pure Catalyst
@@ -52,10 +52,15 @@ def main() -> int:
     chain = (ks.filter(F.col("k") % 100 != 0)
              .select(F.col("k").alias("orig_node_id"),
                      (F.col("k") + 1).alias("dest_node_id")))
-    wedge = (ks.filter((F.col("k") % 3 == 0) | (F.col("k") % 7 == 0))
-             .select(F.col("k").alias("orig_node_id"),
-                     (F.col("k") + 2).alias("dest_node_id")))
-    tri_edges = chain.unionByName(wedge)
+    wedge3 = (ks.filter(F.col("k") % 3 == 0)
+              .select(F.col("k").alias("orig_node_id"),
+                      (F.col("k") + 2).alias("dest_node_id")))
+    wedge7 = (ks.filter(F.col("k") % 7 == 0)
+              .select(F.col("k").alias("orig_node_id"),
+                      (F.col("k") + 2).alias("dest_node_id")))
+    # two SEPARATE unions: k % 21 bases emit the same wedge edge twice,
+    # so the probe genuinely exercises duplicate collapse at scale
+    tri_edges = chain.unionByName(wedge3).unionByName(wedge7)
     n_tri_edges = tri_edges.count()
 
     t0 = time.time()
