@@ -31,6 +31,8 @@ from tdei_backend_service_spark.operators.graph import (
     network_distance as graph_network_distance,
     pagerank as graph_pagerank,
     triangle_count as graph_triangle_count,
+    kcore as graph_kcore,
+    neighbor_jaccard as graph_neighbor_jaccard,
     PR_SCALE as GRAPH_PR_SCALE)
 from tdei_backend_service_spark.operators import temporal as TP
 from tdei_backend_service_spark.operators import trajectory as TJ
@@ -1756,6 +1758,26 @@ def _q_tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
     return TX.tfidf_topk(docs, ["spark", "hash", "window", "vector"], k=25)
 
 
+def _q_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """2-core of the chain+shortcut graph (operators/graph.kcore):
+    REAL iterative peeling on the Spark side — drop degree<2 nodes,
+    induce, repeat to fixpoint. The oracle is the closed form the
+    corridor shape implies: each corridor's 2-core runs from its
+    first shortcut base to the end of its last COMPLETE 6-cycle
+    (chain tails and any trailing incomplete cycle peel away; paths
+    BETWEEN cycles survive because both anchors persist)."""
+    return graph_kcore(FX.chain_graph(spark, sf), k=2)
+
+
+def _q_link_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Link prediction (operators/graph.neighbor_jaccard): top-60
+    non-edge pairs of the triangle-rich graph by integer neighbor
+    Jaccard (common*1e6 DIV (du+dv-common)) — wedge-generated
+    candidates, existing edges anti-joined out, (score, u, v) total
+    order at the cut."""
+    return graph_neighbor_jaccard(FX.tri_graph(spark, sf), k=60)
+
+
 def _q_service_area(spark: SparkSession, sf: str) -> DataFrame:
     """Network service area x image corpus — the full A+B composition:
     every geotagged point kNN-tags to its nearest grid edge through
@@ -1894,6 +1916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": _q_postings,
         "cooccur_pmi": _q_cooccur_pmi,
         "service_area": _q_service_area,
+        "kcore": _q_kcore,
+        "link_jaccard": _q_link_jaccard,
         "brightness_raster": _q_brightness_raster,
         "tile_gallery": _q_tile_gallery,
         "gallery_pyramid": _q_gallery_pyramid,
@@ -2591,6 +2615,52 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dfreq USING (term) CROSS JOIN n
             GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 25
+        """,
+        # 2-core closed form: corridor runs from the first shortcut
+        # base to the end of its last complete 6-cycle (k+4 <= N);
+        # chain tails and incomplete trailing cycles peel
+        "kcore": f"""
+            WITH {FX.CHAIN_GRAPH_SQL},
+            b AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                         CAST((c_custkey - 1) // 100 AS BIGINT) AS cor
+                  FROM customer
+                  WHERE c_custkey % 25 = 2
+                    AND c_custkey + 4 <= (SELECT MAX(c_custkey)
+                                          FROM customer)),
+            r AS (SELECT cor, MIN(k) AS f, MAX(k) + 5 AS l
+                  FROM b GROUP BY cor),
+            gnodes AS (SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst AS node FROM edges))
+            SELECT n.node FROM gnodes n JOIN r
+              ON CAST((n.node - 1) // 100 AS BIGINT) = r.cor
+             AND n.node BETWEEN r.f AND r.l
+        """,
+        # neighbor Jaccard via the same wedge shape in SQL; existing
+        # edges excluded; integer score with (score, u, v) total order
+        "link_jaccard": f"""
+            WITH {FX.TRI_GRAPH_SQL},
+            ce AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                   FROM tri_edges WHERE src <> dst GROUP BY 1, 2),
+            sym AS (SELECT a AS m, b AS x FROM ce
+                    UNION ALL SELECT b AS m, a AS x FROM ce),
+            deg AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM sym GROUP BY 1),
+            pr AS (SELECT s1.x AS u, s2.x AS v,
+                          CAST(COUNT(*) AS BIGINT) AS common
+                   FROM sym s1 JOIN sym s2
+                     ON s1.m = s2.m AND s1.x < s2.x
+                   GROUP BY 1, 2),
+            ne AS (SELECT pr.* FROM pr WHERE NOT EXISTS (
+                     SELECT 1 FROM ce
+                     WHERE ce.a = pr.u AND ce.b = pr.v))
+            SELECT ne.u, ne.v, ne.common,
+                   CAST(ne.common * 1000000 //
+                        (du.c + dv.c - ne.common) AS BIGINT)
+                     AS jaccard_scaled
+            FROM ne JOIN deg du ON du.m = ne.u
+            JOIN deg dv ON dv.m = ne.v
+            ORDER BY jaccard_scaled DESC, u, v LIMIT 60
         """,
         # service area: nearest-edge closed form (lat lattice) x the
         # corridor hop closed form (node 2k sits 2k hops from depot 0,

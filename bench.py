@@ -105,6 +105,7 @@ def main() -> None:
         "graph_hops", "network_distance", "triangle_count", "pagerank",
         "tfidf_search", "bm25_search", "viewport_tfidf",
         "postings", "cooccur_pmi", "service_area",
+        "kcore", "link_jaccard",
     ]
 
     # input size for throughput: rows entering the spatial suite

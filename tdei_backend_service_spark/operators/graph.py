@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..exceptions import InputException
 
 __all__ = ["hop_distance", "network_distance", "triangle_count",
-           "pagerank"]
+           "pagerank", "kcore", "neighbor_jaccard"]
 
 #: PageRank fixed-point scale: rank 1.0 == 10^12, so five damped
 #: iterations stay far inside int64 (mass * damping_num <= N * 1e12 *
@@ -270,3 +270,106 @@ def pagerank(edges: DataFrame, n_iter: int,
                          .cast("long").alias("_r"))
                  .localCheckpoint())
     return ranks.select(F.col("_n").alias(node), F.col("_r").alias("pr"))
+
+
+def kcore(edges: DataFrame, k: int, src: str = "orig_node_id",
+          dst: str = "dest_node_id", node: str = "node",
+          max_rounds: int = 1000) -> DataFrame:
+    """The k-core of the undirected simple graph: the node set of the
+    maximal subgraph in which every node has degree >= ``k``,
+    computed by the standard iterative peeling — drop all nodes whose
+    CURRENT degree is below k, recompute degrees on the induced
+    subgraph, repeat to fixpoint. Returns one ``node`` column.
+
+    Scale shape: each round is one partial-aggregated degree count +
+    two semi-joins to induce the surviving edge set, with
+    ``localCheckpoint`` lineage cuts; rounds are bounded by the
+    longest peel cascade (the graph's degeneracy ordering depth), and
+    the loop exits as soon as a round removes nothing. Nothing is
+    ever quadratic: peeling touches only the shrinking edge relation.
+    """
+    if not isinstance(k, int) or k < 1:
+        raise InputException("k must be a positive integer")
+    s, d = F.col(src).cast("long"), F.col(dst).cast("long")
+    cur = (edges.select(F.least(s, d).alias("_a"),
+                        F.greatest(s, d).alias("_b"))
+           .filter(F.col("_a").isNotNull() & (F.col("_a") != F.col("_b")))
+           .distinct().localCheckpoint())
+    for _ in range(max_rounds):
+        deg = (cur.select(F.col("_a").alias("_n"))
+               .unionAll(cur.select(F.col("_b").alias("_n")))
+               .groupBy("_n").agg(F.count(F.lit(1)).alias("_deg")))
+        keep = deg.filter(F.col("_deg") >= k).select("_n").localCheckpoint()
+        nxt = (cur.join(keep.select(F.col("_n").alias("_a")), "_a",
+                        "left_semi")
+               .join(keep.select(F.col("_n").alias("_b")), "_b",
+                     "left_semi")
+               .localCheckpoint())
+        if nxt.count() == cur.count():
+            cur = nxt
+            break
+        cur = nxt
+    surv = (cur.select(F.col("_a").alias("_n"))
+            .unionAll(cur.select(F.col("_b").alias("_n")))
+            .groupBy("_n").agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k))
+    return surv.select(F.col("_n").alias(node))
+
+
+def neighbor_jaccard(edges: DataFrame, k: int = 50, min_common: int = 1,
+                     src: str = "orig_node_id", dst: str = "dest_node_id",
+                     max_degree: int | None = None) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard: for every NON-edge
+    pair (u < v) sharing at least ``min_common`` neighbors, score
+
+        jaccard_scaled = (|N(u) & N(v)| * 1_000_000)
+                         DIV (deg(u) + deg(v) - |N(u) & N(v)|)
+
+    over the undirected simple graph, and return the top-``k`` pairs
+    by (score desc, u, v). Pure integer arithmetic — any engine
+    replays the ranking bit-exactly.
+
+    Scale shape: candidate pairs come only from shared middles (one
+    self-join of the adjacency on the middle node with u < v — the
+    same wedge shape as triangle_count), so cost is sum(deg(m)^2),
+    never all-pairs. On power-law graphs a celebrity middle makes
+    that term quadratic: pass ``max_degree`` to drop hub middles from
+    PAIR GENERATION only (their edges still count toward degrees and
+    intersections found via other middles) — the standard
+    hub-sampling recall trade, documented rather than silent.
+    """
+    if min_common < 1:
+        raise InputException("min_common must be >= 1")
+    s, d = F.col(src).cast("long"), F.col(dst).cast("long")
+    canon = (edges.select(F.least(s, d).alias("_a"),
+                          F.greatest(s, d).alias("_b"))
+             .filter(F.col("_a").isNotNull() & (F.col("_a") != F.col("_b")))
+             .distinct().localCheckpoint())
+    sym = (canon.select(F.col("_a").alias("_m"), F.col("_b").alias("_x"))
+           .unionAll(canon.select(F.col("_b").alias("_m"),
+                                  F.col("_a").alias("_x"))))
+    deg = sym.groupBy("_m").agg(F.count(F.lit(1)).alias("_deg"))
+    mids = sym
+    if max_degree is not None:
+        mids = sym.join(
+            deg.filter(F.col("_deg") <= max_degree).select("_m"),
+            "_m", "left_semi")
+    a = mids.select("_m", F.col("_x").alias("u"))
+    b = mids.select("_m", F.col("_x").alias("v"))
+    common = (a.join(b, "_m").filter(F.col("u") < F.col("v"))
+              .groupBy("u", "v").agg(F.count(F.lit(1)).alias("common"))
+              .filter(F.col("common") >= min_common))
+    non_edge = common.join(
+        canon.select(F.col("_a").alias("u"), F.col("_b").alias("v")),
+        ["u", "v"], "left_anti")
+    scored = (non_edge
+              .join(deg.select(F.col("_m").alias("u"),
+                               F.col("_deg").alias("_du")), "u")
+              .join(deg.select(F.col("_m").alias("v"),
+                               F.col("_deg").alias("_dv")), "v")
+              .select("u", "v", F.col("common").cast("long"),
+                      F.expr("CAST(common * 1000000 DIV "
+                             "(_du + _dv - common) AS BIGINT)")
+                      .alias("jaccard_scaled")))
+    return (scored.orderBy(F.desc("jaccard_scaled"), F.asc("u"),
+                           F.asc("v")).limit(int(k)))

@@ -246,3 +246,79 @@ def test_pagerank_null_endpoint_drops(spark):
     got = {r["node"]: r["pr"]
            for r in pagerank(df, n_iter=2).collect()}
     assert got == _py_pagerank(clean, 2)
+
+
+from tdei_backend_service_spark.operators.graph import (  # noqa: E402
+    kcore, neighbor_jaccard)
+
+
+def _py_kcore(edges, k):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return set(adj)
+
+
+def test_kcore_differential_and_path_between_cycles(spark):
+    rng = random.Random(73)
+    for trial in range(3):
+        edges = [(rng.randrange(30), rng.randrange(30))
+                 for _ in range(55)]
+        for kk in (2, 3):
+            got = {r["node"]
+                   for r in kcore(_edges_df(spark, edges), k=kk).collect()}
+            assert got == _py_kcore(edges, kk)
+    # two triangles joined by a path: the path SURVIVES the 2-core
+    # (interior degree 2, anchored both ends); the pendant leaf peels
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+             (5, 7), (7, 8)]
+    got = {r["node"] for r in kcore(_edges_df(spark, edges), 2).collect()}
+    assert got == {1, 2, 3, 4, 5, 6, 7}
+    with pytest.raises(InputException):
+        kcore(_edges_df(spark, edges), 0)
+
+
+def test_neighbor_jaccard_differential(spark):
+    from collections import Counter
+    rng = random.Random(74)
+    edges = list({(min(a, b), max(a, b))
+                  for a, b in ((rng.randrange(20), rng.randrange(20))
+                               for _ in range(45)) if a != b})
+    got = [(r["u"], r["v"], r["common"], r["jaccard_scaled"])
+           for r in neighbor_jaccard(_edges_df(spark, edges),
+                                     k=100).collect()]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = []
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if v in adj[u]:
+                continue
+            c = len(adj[u] & adj[v])
+            if c >= 1:
+                want.append((u, v, c,
+                             (c * 1_000_000)
+                             // (len(adj[u]) + len(adj[v]) - c)))
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == want[:100]
+    # hub cap: middles above max_degree generate no pairs
+    star = [(0, i) for i in range(1, 8)] + [(1, 2)]
+    capped = neighbor_jaccard(_edges_df(spark, star), k=100,
+                              max_degree=3).collect()
+    full = neighbor_jaccard(_edges_df(spark, star), k=100).collect()
+    assert len(capped) < len(full)
+    with pytest.raises(InputException):
+        neighbor_jaccard(_edges_df(spark, star), min_common=0)
