@@ -125,6 +125,25 @@ def main() -> int:
                   or (pdf["node"].to_numpy() != want_nodes).sum()
                   + (pdf["pr"].to_numpy() != want_pr).sum())
 
+    # --- kcore ---------------------------------------------------------
+    # 2-core of the chain+shortcut law: closed form = nodes with
+    # (m-1) % 100 in [1, 81] (corridor runs base+2 .. base+82; every
+    # corridor is complete when n % 100 == 0). Peel rounds are bounded
+    # by the 18-node tail cascade, not corpus size.
+    from tdei_backend_service_spark.operators.graph import kcore
+    t2 = time.time()
+    core = kcore(pr_edges, k=2).localCheckpoint()
+    core_rows = core.count()
+    t_core = time.time() - t2
+    expect_core = (spark.range(1, n + 2)
+                   .filter(((F.col("id") - 1) % 100 >= 1)
+                           & ((F.col("id") - 1) % 100 <= 81))
+                   .select(F.col("id").alias("want")))
+    core_mism = (core.join(expect_core, core["node"] == expect_core["want"],
+                           "full")
+                 .filter(F.col("node").isNull() | F.col("want").isNull())
+                 .count())
+
     out = {
         "probe": "graph_analytics_scale", "n": n,
         "tri_edges": int(n_tri_edges), "tri_nodes": int(tri_rows),
@@ -134,7 +153,9 @@ def main() -> int:
         "pr_rows": len(pdf), "pr_mismatches": pr_mism,
         "pr_wall_s": round(t_pr, 1),
         "pr_node_iters_per_sec": int(5 * len(pdf) / t_pr),
-        "exact": mism == 0 and pr_mism == 0
+        "kcore_rows": int(core_rows), "kcore_mismatches": int(core_mism),
+        "kcore_wall_s": round(t_core, 1),
+        "exact": mism == 0 and pr_mism == 0 and core_mism == 0
                  and int(total_tri) == 3 * want_tri,
     }
     print(json.dumps(out))
