@@ -215,6 +215,46 @@ COMMENTARY = {
                    "on (cell, bucket) — broadcast at sf0.01, shuffle at "
                    "scale — with the integer |dt| + floored-mm refine "
                    "inside the join; one aggregate exchange after.",
+    "graph_hops": "Iterative BFS: the surviving plan is the union of "
+                  "checkpointed per-layer RDD scans — each round's join "
+                  "ran eagerly with frontier-local anti-joins; no "
+                  "geometric lineage growth reaches the final plan.",
+    "network_distance": "Bellman-Ford fixpoint: final plan reads the "
+                        "last checkpointed (node, dist) relation; each "
+                        "round was one equi-join + one partial-agg min "
+                        "exchange.",
+    "triangle_count": "Oriented wedge join reads the checkpointed "
+                      "oriented relation; tris checkpoints so the "
+                      "3-corner union scans it instead of re-running "
+                      "the join; one final count exchange.",
+    "pagerank": "Final plan reads the checkpointed round-5 ranks; each "
+                "round was one equi-join + one partial-aggregated sum — "
+                "plan depth flat across iterations.",
+    "kcore": "Peel fixpoint: final plan is one degree count over the "
+             "checkpointed surviving edges; rounds cost one count + two "
+             "semi-joins each, bounded by cascade depth.",
+    "link_jaccard": "Wedge self-join on the checkpointed canon adjacency, "
+                    "anti-join drops existing edges, broadcast degree "
+                    "joins, integer score, TakeOrderedAndProject cut.",
+    "tfidf_search": "tf checkpoints (bounded by query-term matches): ONE "
+                    "corpus scan total; df folds from the tiny relation; "
+                    "broadcast idf join; TakeOrderedAndProject.",
+    "bm25_search": "Same single-scan shape as tfidf_search with dl "
+                   "computed map-side before the explode; the cleared-"
+                   "denominator saturation is one codegen DIV.",
+    "viewport_tfidf": "bbox predicates reach the parquet scan "
+                      "(PushedFilters) BEFORE tokenization; then the "
+                      "tfidf single-scan shape over the scoped corpus.",
+    "postings": "Within-doc array_distinct BEFORE the explode: the only "
+                "exchange carries exactly the index rows; df + sorted "
+                "posting string fold in one partial aggregate.",
+    "cooccur_pmi": "Pairs generated map-side by nested transform-over-"
+                   "sequence (no positional self-join); one pair-count "
+                   "exchange; unigrams checkpointed once and broadcast "
+                   "to both sides; TakeOrderedAndProject.",
+    "service_area": "Composition: the kNN zero-shuffle map path feeds a "
+                    "broadcast join against the 7-row BFS edge-hop "
+                    "relation — no new exchange beyond the kernels'.",
 }
 
 
