@@ -50,13 +50,20 @@ PR_SCALE = 10**12
 
 def _symmetrize(edges: DataFrame, src: str, dst: str,
                 directed: bool, extra: list[str] | None = None) -> DataFrame:
+    """Cast endpoints to long and (for undirected graphs) emit both
+    directions. Rows with a NULL endpoint drop entirely — the same
+    hygiene as pagerank/kcore/neighbor_jaccard (ADVICE r5: a NULL dest
+    otherwise mints a NULL node that left_anti equi-joins never match,
+    so BFS could re-emit it at several hop levels)."""
     cols = extra or []
-    fwd = edges.select(F.col(src).cast("long").alias("_s"),
+    clean = edges.filter(F.col(src).cast("long").isNotNull()
+                         & F.col(dst).cast("long").isNotNull())
+    fwd = clean.select(F.col(src).cast("long").alias("_s"),
                        F.col(dst).cast("long").alias("_d"), *cols)
     if directed:
         return fwd
     return fwd.unionByName(
-        edges.select(F.col(dst).cast("long").alias("_s"),
+        clean.select(F.col(dst).cast("long").alias("_s"),
                      F.col(src).cast("long").alias("_d"), *cols))
 
 
@@ -255,7 +262,28 @@ def pagerank(edges: DataFrame, n_iter: int,
              .distinct().localCheckpoint())
     ej = (e.join(e.groupBy("_s").agg(F.count("*").alias("_od")), "_s")
           .localCheckpoint())
+    # int64 envelope guard (ADVICE r5 low #1): the fixed-point update can
+    # exceed int64 on funnel graphs (every node feeding one hub). Two
+    # sound per-iteration caps, replayed as an exact Python-int scalar
+    # recurrence (no big-int SQL needed):
+    #   in_sum(v) <= total mass M_i <= N * PR_SCALE   (mass never grows:
+    #     each u contributes at most pr(u) across ALL its out-edges), and
+    #   in_sum(v) <= max_indeg * max_rank_i.
+    # If num * min(caps) could reach 2^63, refuse rather than wrap. Cost:
+    # one count + one max aggregation over already-checkpointed frames.
+    n_nodes = nodes.count()
+    max_indeg = int((e.groupBy("_d").agg(F.count(F.lit(1)).alias("_id"))
+                     .agg(F.max("_id")).first() or [0])[0] or 0)
     base = ((damping_den - damping_num) * PR_SCALE) // damping_den
+    r_max = PR_SCALE
+    for _ in range(n_iter):
+        in_sum_cap = min(n_nodes * PR_SCALE, max_indeg * r_max)
+        if damping_num * in_sum_cap >= 2**63:
+            raise InputException(
+                f"pagerank int64 envelope exceeded: {n_nodes} nodes, max "
+                f"in-degree {max_indeg}, {n_iter} iterations overflow the "
+                f"fixed-point scale {PR_SCALE}; lower PR_SCALE or n_iter")
+        r_max = base + (damping_num * in_sum_cap) // damping_den
     ranks = nodes.select("_n", F.lit(PR_SCALE).cast("long").alias("_r"))
     for _ in range(n_iter):
         sums = (ranks.join(ej, ranks["_n"] == ej["_s"])

@@ -322,3 +322,34 @@ def test_neighbor_jaccard_differential(spark):
     assert len(capped) < len(full)
     with pytest.raises(InputException):
         neighbor_jaccard(_edges_df(spark, star), min_common=0)
+
+
+def test_symmetrize_null_endpoint_hygiene(spark):
+    """ADVICE r5: a NULL dest must not mint a NULL node in BFS output
+    (left_anti equi-joins never match NULL keys, so a NULL node could
+    be re-emitted at several hop levels, breaking one-row-per-node)."""
+    rows = [{"orig_node_id": 1, "dest_node_id": 2, "w": 1},
+            {"orig_node_id": 2, "dest_node_id": 3, "w": 1},
+            {"orig_node_id": 2, "dest_node_id": None, "w": 1},
+            {"orig_node_id": None, "dest_node_id": 3, "w": 1}]
+    df = spark.createDataFrame(
+        rows, "orig_node_id long, dest_node_id long, w long")
+    out = hop_distance(df, _seeds_df(spark, [1]), max_hops=4).collect()
+    got = {r["node"]: r["hops"] for r in out}
+    assert len(out) == len(got), "duplicate node rows"
+    assert None not in got
+    assert got == {1: 0, 2: 1, 3: 2}
+    nd = network_distance(df, _seeds_df(spark, [1]), max_rounds=4).collect()
+    ndm = {r["node"]: r["dist"] for r in nd}
+    assert None not in ndm and ndm == {1: 0, 2: 1, 3: 2}
+
+
+def test_pagerank_int64_envelope_guard(spark):
+    """ADVICE r5: a funnel graph (600k leaves -> one hub, out-degree 1
+    each) drives the hub's damped in-sum past 2^63 at PR_SCALE=1e12;
+    the guard must refuse up front instead of silently wrapping."""
+    edges = spark.range(600_000).select(
+        (F.col("id") + 1).alias("orig_node_id"),
+        F.lit(0).alias("dest_node_id"))
+    with pytest.raises(InputException, match="int64 envelope"):
+        pagerank(edges, n_iter=1)
