@@ -363,3 +363,88 @@ def test_streaming_zones_seal_overlap_and_restart(spark, tmp_path):
             for r in spark.read.parquet(out).collect()}
     assert got2 == {("10:00", 0): 2, ("10:00", 1): 1,
                     ("11:00", 0): 2, ("11:00", 1): 1}
+
+
+def test_zone_membership_parity_and_bounds(spark):
+    """VERDICT r5 wrong #1: zone membership must (a) match a naive
+    per-zone ray-cast reference row-for-row, (b) refuse an over-bound
+    zone table instead of collecting it, and (c) generate candidates
+    from the cell cover index — per-point candidate work bounded by
+    zones NEAR the point, not the zone count."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tdei_backend_service_spark.core import cells, geom
+    from tdei_backend_service_spark.core.schema import ZONES_SCHEMA
+    from tdei_backend_service_spark.exceptions import InputException
+    from tdei_backend_service_spark.streaming import zones as Z
+
+    rng = np.random.default_rng(7)
+
+    def rect_wkb(x0, y0, x1, y1):
+        return geom.wkb_polygon([(x0, y0), (x1, y0), (x1, y1),
+                                 (x0, y1), (x0, y0)])
+
+    # overlapping random rectangles + points scattered across them
+    n_zones, n_pts = 60, 400
+    zx = rng.uniform(-0.5, 0.5, n_zones)
+    zy = rng.uniform(-0.5, 0.5, n_zones)
+    zw = rng.uniform(0.01, 0.2, n_zones)
+    zrows = [(int(i), [0], rect_wkb(zx[i], zy[i], zx[i] + zw[i],
+                                    zy[i] + zw[i]), {}, "pz")
+             for i in range(n_zones)]
+    zdf = spark.createDataFrame(zrows, ZONES_SCHEMA)
+    px = rng.uniform(-0.6, 0.8, n_pts)
+    py = rng.uniform(-0.6, 0.8, n_pts)
+
+    udf = Z.zone_membership_udf(spark, zdf, "pz")
+    pts = spark.createDataFrame(
+        pd.DataFrame({"i": np.arange(n_pts), "lon": px, "lat": py}),
+        "i long, lon double, lat double")
+    got = {r["i"]: list(r["zs"])
+           for r in pts.select("i", udf("lon", "lat").alias("zs")).collect()}
+
+    # naive reference: every zone tested against every point (the old path)
+    g = geom.parse_wkb_batch([r[2] for r in zrows])
+    want = {i: [] for i in range(n_pts)}
+    for j in range(n_zones):
+        inside = geom.point_in_polygon(
+            px, py, np.full(n_pts, j, dtype=np.int64), g)
+        for i in np.nonzero(inside)[0]:
+            want[int(i)].append(j)
+    assert got == want  # new path emits ids sorted; naive j-loop is sorted
+
+    # (b) over-bound table refuses up front (monkeypatched row cap)
+    old = Z.BROADCAST_GEOM_MAX_ROWS
+    try:
+        Z.BROADCAST_GEOM_MAX_ROWS = n_zones - 1
+        with pytest.raises(InputException, match="broadcast bound"):
+            Z.zone_membership_udf(spark, zdf, "pz")
+    finally:
+        Z.BROADCAST_GEOM_MAX_ROWS = old
+
+    # (c) 10k disjoint zones on a grid: candidates per point stay O(1)
+    side = 100  # 10_000 zones, each 0.008 deg in a 0.01-deg lattice
+    step, w = 0.01, 0.008
+    xs = (np.arange(side * side) % side) * step
+    ys = (np.arange(side * side) // side) * step
+    blobs = [rect_wkb(xs[k], ys[k], xs[k] + w, ys[k] + w)
+             for k in range(side * side)]
+    gg, box, depth, index = Z.build_zone_index(blobs)
+    qx = rng.uniform(0, side * step, 2000)
+    qy = rng.uniform(0, side * step, 2000)
+    row_idx, cand = index.probe(cells.encode(qx, qy, depth))
+    per_point = np.bincount(row_idx, minlength=qx.size)
+    assert per_point.mean() <= 8, per_point.mean()
+    assert per_point.max() <= 16, per_point.max()
+    # ...and the probe found the true containing zone for interior points
+    cx, cy = np.searchsorted(np.arange(side) * step, qx) - 1, \
+        np.searchsorted(np.arange(side) * step, qy) - 1
+    interior = ((qx >= cx * step) & (qx <= cx * step + w)
+                & (qy >= cy * step) & (qy <= cy * step + w)
+                & (cx >= 0) & (cy >= 0))
+    true_zone = cy * side + cx
+    found = set(zip(row_idx.tolist(), cand.tolist()))
+    for i in np.nonzero(interior)[0][:200]:
+        assert (int(i), int(true_zone[i])) in found
