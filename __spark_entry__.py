@@ -33,6 +33,7 @@ from tdei_backend_service_spark.operators.graph import (
     triangle_count as graph_triangle_count,
     kcore as graph_kcore,
     neighbor_jaccard as graph_neighbor_jaccard,
+    connected_components as graph_connected_components,
     PR_SCALE as GRAPH_PR_SCALE)
 from tdei_backend_service_spark.operators import temporal as TP
 from tdei_backend_service_spark.operators import trajectory as TJ
@@ -1748,6 +1749,17 @@ def _q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return graph_pagerank(FX.chain_graph(spark, sf), n_iter=5)
 
 
+def _q_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components (operators/graph.connected_components):
+    REAL min-label propagation with pointer jumping over the
+    chain+shortcut graph — the "which sidewalk islands exist" query.
+    The corridor construction makes components closed-form: node n
+    belongs to corridor floor((n-1)/100), whose minimum node id is
+    100*floor((n-1)/100)+1, so the oracle is pure integer SQL while
+    the Spark side runs the full O(log d) iterative collapse."""
+    return graph_connected_components(FX.chain_graph(spark, sf))
+
+
 def _q_tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
     """Keyword retrieval (pipeline/text.tfidf_topk): top-25 documents
     for a 4-term query under rational TF-IDF — integer idf weights
@@ -1917,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur_pmi": _q_cooccur_pmi,
         "service_area": _q_service_area,
         "kcore": _q_kcore,
+        "connected_components": _q_connected_components,
         "link_jaccard": _q_link_jaccard,
         "brightness_raster": _q_brightness_raster,
         "tile_gallery": _q_tile_gallery,
@@ -2619,6 +2632,20 @@ def oracle_sql() -> dict[str, str]:
         # 2-core closed form: corridor runs from the first shortcut
         # base to the end of its last complete 6-cycle (k+4 <= N);
         # chain tails and incomplete trailing cycles peel
+        # connected components: the corridor construction is closed-form
+        # (node n sits in corridor floor((n-1)/100); shortcut edges never
+        # cross a corridor boundary), so component = min id of the
+        # corridor while Spark runs the real iterative collapse
+        "connected_components": f"""
+            WITH {FX.CHAIN_GRAPH_SQL},
+            gnodes AS (SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst AS node FROM edges))
+            SELECT node,
+                   CAST(((node - 1) // 100) * 100 + 1 AS BIGINT)
+                     AS component
+            FROM gnodes
+        """,
         "kcore": f"""
             WITH {FX.CHAIN_GRAPH_SQL},
             b AS (SELECT CAST(c_custkey AS BIGINT) AS k,

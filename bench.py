@@ -106,6 +106,8 @@ def main() -> None:
         "tfidf_search", "bm25_search", "viewport_tfidf",
         "postings", "cooccur_pmi", "service_area",
         "kcore", "link_jaccard",
+        # r6: public connected-components (sidewalk islands)
+        "connected_components",
     ]
 
     # input size for throughput: rows entering the spatial suite
@@ -126,7 +128,7 @@ def main() -> None:
                        ("bbox_points", "cell_grid_agg", "tile_assign",
                         "spatial_join_count", "knn_tag", "union_dedup"))
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(json.dumps({
+    result = {
         "metric": "spatial-join + tile-assignment suite wall time",
         "value": total,
         "unit": "sec",
@@ -134,7 +136,24 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rows_per_sec": round(spatial_rows / max(spatial_secs, 1e-9), 1),
         "cpus": CPUS,
-    }))
+    }
+    # Full per-query JSON first + a sidecar file; the LAST line is a
+    # compact summary (slowest 12 queries only) so a tail-capture of
+    # ~2000 chars always parses (VERDICT r5 wrong #2: the 121-query map
+    # overflowed the driver's capture window and 'parsed' came back
+    # null).
+    print(json.dumps(result))
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/bench_full_latest.json", "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+    print(json.dumps({**{k: v for k, v in result.items() if k != "queries"},
+                      "n_queries": len(timings),
+                      "queries": slowest,
+                      "queries_full": "BENCH/bench_full_latest.json"}))
     spark.stop()
 
 

@@ -39,7 +39,8 @@ from pyspark.sql import DataFrame, functions as F
 from ..exceptions import InputException
 
 __all__ = ["hop_distance", "network_distance", "triangle_count",
-           "pagerank", "kcore", "neighbor_jaccard"]
+           "pagerank", "kcore", "neighbor_jaccard",
+           "connected_components"]
 
 #: PageRank fixed-point scale: rank 1.0 == 10^12, so five damped
 #: iterations stay far inside int64 (mass * damping_num <= N * 1e12 *
@@ -298,6 +299,39 @@ def pagerank(edges: DataFrame, n_iter: int,
                          .cast("long").alias("_r"))
                  .localCheckpoint())
     return ranks.select(F.col("_n").alias(node), F.col("_r").alias("pr"))
+
+
+def connected_components(edges: DataFrame, src: str = "orig_node_id",
+                         dst: str = "dest_node_id",
+                         stats: dict | None = None) -> DataFrame:
+    """Exact connected components of the undirected graph: one
+    ``(node, component)`` row per node that appears on an edge, where
+    ``component`` is the minimum node id in that node's component —
+    the "which sidewalk islands exist" query over the reference's edge
+    schema (src/model/interfaces.ts:193 orig/dest node ids), asked
+    directly instead of through union_dataset's dedup collapse.
+
+    This is the public face of the min-label propagation that already
+    powers union_dataset(collapse='cc') and the cluster-dedup family
+    (union_dataset._cc_labels): each round combines neighbor-min with
+    pointer jumping (label-of-label), so the fixpoint arrives in
+    O(log diameter) rounds with localCheckpoint lineage cuts — a
+    10^12-edge graph pays O(log d) joins, never a per-node loop.
+    NULL endpoints drop (dirty-edge hygiene, same as the other graph
+    operators); direction, duplicate edges and self-loops are
+    irrelevant to the result. Isolated nodes (no edges) have no rows
+    by construction — there is no node table in the edge relation.
+
+    ``stats``, if given, receives {"rounds": n, "rss_mb": [...]} — the
+    same probe contract as union_dataset._cc_labels.
+    """
+    from .union_dataset import _cc_labels
+    e = _symmetrize(edges, src, dst, directed=True)  # cast + NULL-drop;
+    # _cc_labels symmetrizes internally, one direction suffices here
+    labels = _cc_labels(
+        e.select(F.col("_s").alias("l_rank"), F.col("_d").alias("r_rank")),
+        stats)
+    return labels.select("node", F.col("label").alias("component"))
 
 
 def kcore(edges: DataFrame, k: int, src: str = "orig_node_id",

@@ -353,3 +353,61 @@ def test_pagerank_int64_envelope_guard(spark):
         F.lit(0).alias("dest_node_id"))
     with pytest.raises(InputException, match="int64 envelope"):
         pagerank(edges, n_iter=1)
+
+
+def test_connected_components_planted_and_dirty(spark):
+    """Planted multi-chain components (three chains + a cycle + an
+    isolated edge) with dirty rows mixed in: duplicates, reversed
+    duplicates, self-loops, and NULL endpoints. Every node labels with
+    its component's minimum id; NULL rows and self-loop-only noise
+    change nothing."""
+    from tdei_backend_service_spark.operators.graph import (
+        connected_components)
+    chains = [(1, 2), (2, 3), (3, 4),          # component min 1
+              (10, 11), (11, 12),              # component min 10
+              (20, 21), (21, 22), (22, 20),    # cycle, min 20
+              (30, 31)]                        # min 30
+    dirty = [(2, 1), (3, 4), (12, 12),         # reversed dup, dup, self-loop
+              (None, 7), (7, None)]            # NULL endpoints drop
+    rows = [{"orig_node_id": a, "dest_node_id": b} for a, b in chains + dirty]
+    df = spark.createDataFrame(
+        rows, "orig_node_id long, dest_node_id long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+    assert got == want
+    assert None not in got
+
+
+def test_connected_components_random_differential(spark):
+    """Random sparse graph vs a pure-python union-find reference."""
+    from tdei_backend_service_spark.operators.graph import (
+        connected_components)
+    rng = random.Random(11)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(220)]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    # canonical min-id per component over touched nodes only
+    members: dict = {}
+    for v in touched:
+        members.setdefault(find(v), []).append(v)
+    want = {v: min(ms) for r, ms in members.items() for v in ms}
+    df = spark.createDataFrame(
+        [{"orig_node_id": a, "dest_node_id": b} for a, b in edges],
+        "orig_node_id long, dest_node_id long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == want
