@@ -761,6 +761,23 @@ def _q_zone_pip(spark: SparkSession, sf: str) -> DataFrame:
                       F.col("props").getItem("ext:n").cast("bigint").alias("n"))
 
 
+def _q_zone_contains(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Contains predicate (compiler vocabulary, r6): points per quad
+    zone under `ST_Contains(geometry_target, geometry_source)` — the
+    containment refine (core/geom.pair_contains) through the same
+    two-phase join. The half-lattice zone boundaries keep every point
+    interior, where ST_Contains and unbuffered ST_Intersects agree, so
+    the closed-form integer oracle carries over while the Spark side
+    exercises the new predicate path end to end."""
+    zones = FX.quad_zones(spark, side=4, dataset_id="tpch-z")
+    pts = FX.orders_points(spark, sf)
+    out = spatial_join(zones, "zone", "tpch-z", pts, "point", "tpch",
+                       "ST_Contains(geometry_target, geometry_source)",
+                       ["count(*) as n"])
+    return out.select("zone_id",
+                      F.col("props").getItem("ext:n").cast("bigint").alias("n"))
+
+
 def _q_angle_join(spark: SparkSession, sf: str) -> DataFrame:
     """PURE-ANGLE join condition — unbounded predicate, so this drives
     the dataset cross-join path (core/join.py:435), the reference's
@@ -1963,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_invariants": _q_payload_invariants,
         "winnow_fingerprint": _q_winnow,
         "zone_pip_count": _q_zone_pip,
+        "zone_contains_count": _q_zone_contains,
         "bbox_edges": _q_bbox_edges,
         "tri_zone_pip": _q_tri_zone_pip,
         # angle predicate (cross-join + bounded combined paths) and the
@@ -2998,6 +3016,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         # quad_zones boundaries sit between lattice points, so zone
         # membership is exact integer arithmetic on the key hash.
+        # same closed form as zone_pip_count: every fixture point is
+        # interior, where contains == unbuffered intersects
+        "zone_contains_count": """
+            SELECT z.zone_id, COALESCE(c.n, 0) AS n
+            FROM (SELECT CAST(range AS BIGINT) AS zone_id FROM range(16)) z
+            LEFT JOIN (
+              SELECT ((o_orderkey * 40503 + 12345) % 100000) // 25000 * 4
+                   + ((o_orderkey * 2654435761) % 100000) // 25000 AS zone_id,
+                     COUNT(*) AS n
+              FROM orders GROUP BY 1) c USING (zone_id)
+        """,
         "zone_pip_count": """
             SELECT z.zone_id, COALESCE(c.n, 0) AS n
             FROM (SELECT CAST(range AS BIGINT) AS zone_id FROM range(16)) z

@@ -106,8 +106,9 @@ def main() -> None:
         "tfidf_search", "bm25_search", "viewport_tfidf",
         "postings", "cooccur_pmi", "service_area",
         "kcore", "link_jaccard",
-        # r6: public connected-components (sidewalk islands)
-        "connected_components",
+        # r6: public connected-components (sidewalk islands) + the
+        # ST_Contains predicate path
+        "connected_components", "zone_contains_count",
     ]
 
     # input size for throughput: rows entering the spatial suite

@@ -163,7 +163,7 @@ def parse_expression(s: str):
 # ---------------------------------------------------------------------------
 
 _SPATIAL_FUNCS = {"st_intersects", "st_buffer", "st_dwithin", "st_distance",
-                  "st_angle", "degrees"}
+                  "st_angle", "degrees", "st_contains", "st_within"}
 
 
 @dataclass
@@ -175,7 +175,8 @@ class SpatialPredicate:
     ast: tuple
     bound_m: float
     text: str = ""
-    needs: set[str] = field(default_factory=set)  # {'dist', 'angle'}
+    needs: set[str] = field(default_factory=set)
+    # {'dist', 'angle', 'contains_ts', 'contains_st'}
 
 
 def _validate_spatial(node, needs: set[str]) -> None:
@@ -194,6 +195,8 @@ def _validate_spatial(node, needs: set[str]) -> None:
             needs.add("dist")
         if name == "st_angle":
             needs.add("angle")
+        if name in ("st_contains", "st_within"):
+            needs.add(_contains_key(name, args))
         for a in args:
             _validate_spatial(a, needs)
     elif kind == "ident":
@@ -204,6 +207,22 @@ def _validate_spatial(node, needs: set[str]) -> None:
         pass
     else:  # pragma: no cover
         raise InputException(f"bad node {kind}")
+
+
+def _contains_key(name: str, args) -> str:
+    """Which ctx array ST_Contains/ST_Within reads: the container must
+    be one bare geometry side and the contained the other (the engine's
+    scope is polygon-side-contains-point-side; PostGIS ST_Within(a, b)
+    == ST_Contains(b, a), interfaces.ts:278-279 accepts any boolean)."""
+    if (len(args) != 2 or any(a[0] != "ident" for a in args)
+            or sorted(a[1].lower() for a in args)
+            != ["geometry_source", "geometry_target"]):
+        raise InputException(
+            "ST_Contains/ST_Within take exactly (geometry_target, "
+            "geometry_source) or (geometry_source, geometry_target)")
+    container = (args[0] if name == "st_contains" else args[1])[1].lower()
+    return ("contains_ts" if container == "geometry_target"
+            else "contains_st")
 
 
 def _bound_of(node) -> float:
@@ -229,6 +248,8 @@ def _bound_of(node) -> float:
         name, args = node[1], node[2]
         if name == "st_dwithin" and len(args) == 3 and args[2][0] == "num":
             return args[2][1]
+        if name in ("st_contains", "st_within"):
+            return 0.0
         if name == "st_intersects" and len(args) == 2:
             d = 0.0
             for a in args:
@@ -282,6 +303,8 @@ def eval_spatial(node, ctx: dict):
             return ctx["dist"] <= d + 1e-9
         if name == "st_dwithin":
             return ctx["dist"] <= args[2][1] + 1e-9
+        if name in ("st_contains", "st_within"):
+            return ctx[_contains_key(name, args)]
         if name == "st_distance":
             return ctx["dist"]
         if name == "st_angle":

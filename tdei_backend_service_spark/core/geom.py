@@ -239,6 +239,27 @@ def point_in_polygon(px: np.ndarray, py: np.ndarray, geom_idx: np.ndarray,
     return (flips % 2) == 1
 
 
+def pair_contains(cont_idx: np.ndarray, cont: RaggedGeoms,
+                  pt_idx: np.ndarray, pts: RaggedGeoms) -> np.ndarray:
+    """Per pair: polygon ``cont[cont_idx[i]]`` contains the point
+    ``pts[pt_idx[i]]`` (ray-cast parity; boundary semantics undefined,
+    same as point_in_polygon — fixtures keep points interior). Only
+    polygons can contain; any other container kind contains nothing.
+    The contained side must be single points — the engine's ST_Contains
+    scope (zone-contains-point); anything else raises."""
+    npts = pts.n_points()[pt_idx]
+    if npts.size and (npts != 1).any():
+        raise ValueError(
+            "ST_Contains/ST_Within: the contained side must be points")
+    p = pts.coords[pts.offsets[:-1][pt_idx]]
+    out = np.zeros(pt_idx.size, dtype=bool)
+    sub = np.flatnonzero(cont.kinds[cont_idx] == WKB_POLYGON)
+    if sub.size:
+        out[sub] = point_in_polygon(p[sub, 0], p[sub, 1], cont_idx[sub],
+                                    cont)
+    return out
+
+
 def polyline_orientation(geoms: RaggedGeoms) -> np.ndarray:
     """Bearing (degrees in [0, 180)) of each geometry's first->last vertex
     chord — the segment-orientation notion behind the reference's

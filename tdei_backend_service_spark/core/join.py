@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from . import cells, geom
-from .compiler import SpatialPredicate, eval_spatial
+from .compiler import InputException, SpatialPredicate, eval_spatial
 
 DEFAULT_MAX_DEPTH = cells.RES_GRID[10]   # 19: ~76 m cells
 DEFAULT_MIN_DEPTH = cells.RES_GRID[7]    # 15: ~1.2 km cells
@@ -275,6 +275,10 @@ def refine_pairs(pairs: DataFrame, pred: SpatialPredicate,
             ctx["angle"] = geom.angle_between_deg(
                 geom.polyline_orientation(tg)[t_idx],
                 geom.polyline_orientation(sg)[s_idx])
+        if "contains_ts" in pred.needs:
+            ctx["contains_ts"] = geom.pair_contains(t_idx, tg, s_idx, sg)
+        if "contains_st" in pred.needs:
+            ctx["contains_st"] = geom.pair_contains(s_idx, sg, t_idx, tg)
         res = eval_spatial(pred.ast, ctx)
         return pd.Series(np.asarray(res, dtype=bool))
 
@@ -439,6 +443,7 @@ def _fused_point_probe(t: GeomSide, s: GeomSide, pred: SpatialPredicate,
         [T.StructField(f"t_{t.pk}", t.df.schema[t.pk].dataType)]
         + [T.StructField(f"s_{c}", sdf.schema[c].dataType) for c in in_cols])
     ast, needs_dist = pred.ast, "dist" in pred.needs
+    needs_cts = "contains_ts" in pred.needs
     lon_name, lat_name = s.lon_col, s.lat_col
     t_pk_name = f"t_{t.pk}"
 
@@ -470,6 +475,9 @@ def _fused_point_probe(t: GeomSide, s: GeomSide, pred: SpatialPredicate,
                     ctx = {}
                     if needs_dist:
                         ctx["dist"] = geom.pair_min_dist(
+                            cand, gg, offs[:-1], sgg)
+                    if needs_cts:
+                        ctx["contains_ts"] = geom.pair_contains(
                             cand, gg, offs[:-1], sgg)
                     ok = np.asarray(eval_spatial(ast, ctx), dtype=bool)
                     pair_pt, cand = pair_pt[ok], cand[ok]
@@ -540,6 +548,18 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
         if target_filter is not None else target
     s = GeomSide(**{**source.__dict__, "df": source.df.filter(source_filter)}) \
         if source_filter is not None else source
+
+    # ST_Contains/ST_Within scope: the contained side must be a point
+    # table (zone-contains-point); a vector contained side would need
+    # full geometry-in-geometry tests the refine kernel does not claim
+    if "contains_ts" in pred.needs and not s.is_point():
+        raise InputException(
+            "ST_Contains/ST_Within: the contained side (source) must be "
+            "a point dimension")
+    if "contains_st" in pred.needs and not t.is_point():
+        raise InputException(
+            "ST_Contains/ST_Within: the contained side (target) must be "
+            "a point dimension")
 
     # small vector sides: geometry served from an executor-resident
     # broadcast dict; candidate rows carry only ids + lon/lat

@@ -87,3 +87,31 @@ def test_aggregate_errors():
     for bad in ["not an agg", "ARRAY_AGG(", "median(x)", "sum(a+b)"]:
         with pytest.raises(C.InputException):
             C.compile_aggregate(bad)
+
+
+def test_st_contains_compiles_bound_zero_and_needs():
+    from tdei_backend_service_spark.core.compiler import (
+        compile_join_condition)
+    p = compile_join_condition(
+        "ST_Contains(geometry_target, geometry_source)")
+    assert p.bound_m == 0.0
+    assert p.needs == {"contains_ts"}
+    p2 = compile_join_condition(
+        "ST_Within(geometry_target, geometry_source)")
+    assert p2.bound_m == 0.0 and p2.needs == {"contains_st"}
+    # conjunct with a distance bound keeps the tighter bound (min)
+    p3 = compile_join_condition(
+        "ST_Contains(geometry_target, geometry_source) and "
+        "ST_DWithin(geometry_target, geometry_source, 500)")
+    assert p3.bound_m == 0.0 and p3.needs == {"contains_ts", "dist"}
+
+
+def test_st_contains_arg_validation():
+    from tdei_backend_service_spark.core.compiler import (
+        InputException, compile_join_condition)
+    for bad in ("ST_Contains(geometry_target)",
+                "ST_Contains(geometry_source, geometry_source)",
+                "ST_Within(ST_Buffer(geometry_target, 5), geometry_source)",
+                "ST_Contains(geometry_target, 7)"):
+        with pytest.raises(InputException):
+            compile_join_condition(bad)

@@ -454,3 +454,96 @@ def test_fused_probe_cover_gate_falls_back(spark, monkeypatch):
                          pred, ["count(*) as n"]).collect()
     key = lambda rows: {r["edge_id"]: r["props"].get("ext:n") for r in rows}
     assert key(base) == key(gated)
+
+
+def test_st_contains_and_within_zone_point(spark):
+    """ST_Contains(zone, point) / ST_Within(point, zone): interior
+    points match, outside points don't, and both spellings agree
+    (PostGIS: ST_Within(a, b) == ST_Contains(b, a),
+    reference interfaces.ts:278-279 accepts any boolean predicate)."""
+    from tdei_backend_service_spark.core.schema import ZONES_SCHEMA
+    from tdei_backend_service_spark.datagen import synth_zones_pandas
+
+    zones = spark.createDataFrame(synth_zones_pandas(9, dataset_id="ds-z"),
+                                  schema=ZONES_SCHEMA)
+    zp = synth_zones_pandas(9)
+    g = geom.parse_wkb_batch(zp.geometry)
+    centers = []
+    for i in (0, 4):
+        c = g.coords[g.offsets[i]:g.offsets[i + 1]][:4]
+        centers.append(c.mean(axis=0))
+
+    def pt(iid, lon, lat, ph):
+        return {"image_id": iid, "bytes": None, "w": 1, "h": 1,
+                "fmt": "png", "caption": "", "phash": ph, "lon": lon,
+                "lat": lat, "props": {}, "dataset_id": "ds-p"}
+
+    pts = spark.createDataFrame(pd.DataFrame([
+        pt("in-z0", centers[0][0], centers[0][1], 0),
+        pt("in-z4", centers[1][0], centers[1][1], 1),
+        pt("outside", -100.0, 10.0, 2)]), schema=IMAGES_SCHEMA)
+
+    def run(cond):
+        out = spatial_join(zones, "zone", "ds-z", pts, "point", "ds-p",
+                           cond, ["ARRAY_AGG(image_id) as imgs"])
+        return {r["zone_id"]: sorted(json.loads(
+                    r["props"].get("ext:imgs", "[]")))
+                for r in out.collect()}
+
+    got_c = run("ST_Contains(geometry_target, geometry_source)")
+    got_w = run("ST_Within(geometry_source, geometry_target)")
+    assert got_c == got_w
+    assert got_c[0] == ["in-z0"] and got_c[4] == ["in-z4"]
+    assert all(v == [] for z, v in got_c.items() if z not in (0, 4))
+
+
+def test_st_contains_matches_intersects_on_interior_points(spark):
+    """On a fixture with no boundary points, ST_Contains(zone, pt)
+    must equal unbuffered ST_Intersects(zone, pt) — randomized parity
+    over the quad zones."""
+    from tdei_backend_service_spark.core.schema import ZONES_SCHEMA
+    from tdei_backend_service_spark.datagen import synth_zones_pandas
+
+    rng = np.random.default_rng(5)
+    zones = spark.createDataFrame(synth_zones_pandas(9, dataset_id="zz"),
+                                  schema=ZONES_SCHEMA)
+    zp = synth_zones_pandas(9)
+    g = geom.parse_wkb_batch(zp.geometry)
+    lo = g.coords.min(axis=0) - 0.02
+    hi = g.coords.max(axis=0) + 0.02
+    n = 250
+    pdf = pd.DataFrame({
+        "image_id": [f"p{k}" for k in range(n)], "bytes": None,
+        "w": 1, "h": 1, "fmt": "png", "caption": "", "phash": 0,
+        "lon": rng.uniform(lo[0], hi[0], n),
+        "lat": rng.uniform(lo[1], hi[1], n),
+        "props": [{} for _ in range(n)], "dataset_id": "pp"})
+    pts = spark.createDataFrame(pdf, schema=IMAGES_SCHEMA)
+
+    def run(cond):
+        out = spatial_join(zones, "zone", "zz", pts, "point", "pp", cond,
+                           ["ARRAY_AGG(image_id) as imgs"])
+        return {r["zone_id"]: sorted(json.loads(
+                    r["props"].get("ext:imgs", "[]")))
+                for r in out.collect()}
+
+    assert run("ST_Contains(geometry_target, geometry_source)") == \
+        run("ST_Intersects(geometry_target, geometry_source)")
+
+
+def test_st_contains_validation_errors(tables):
+    """Contained side must be points; args must be the two bare
+    geometry sides."""
+    edges, images = tables
+    with pytest.raises(InputException, match="contained side"):
+        _run(edges, images,
+             "ST_Within(geometry_target, geometry_source)",
+             ["count(*) as n"]).collect()
+    with pytest.raises(InputException):
+        _run(edges, images,
+             "ST_Contains(geometry_target, geometry_target)",
+             ["count(*) as n"])
+    with pytest.raises(InputException):
+        _run(edges, images,
+             "ST_Contains(ST_Buffer(geometry_target, 5), geometry_source)",
+             ["count(*) as n"])
