@@ -74,11 +74,16 @@ def cell_lat_m(depth: int) -> float:
 
 def depth_for_radius_m(radius_m: float, lat: float = 0.0) -> int:
     """Deepest grid depth whose cell extent is >= ``radius_m`` meters on
-    BOTH axes (the lat axis is the tighter one at the equator), so one
-    neighbor ring always covers a distance predicate of ``radius_m``
-    (no false-negative candidates)."""
-    depth = int(np.floor(np.log2(180.0 * M_PER_DEG_LAT / max(radius_m, 1e-9))))
-    return int(np.clip(depth, 1, MAX_DEPTH))
+    BOTH axes, so one neighbor ring always covers a distance predicate
+    of ``radius_m`` (no false-negative candidates). At the equator the
+    lat axis is the tighter one; under the opt-in local metric
+    (``lat`` != 0) the lon axis shrinks by cos(lat) and takes over past
+    ~60 deg, so both axes are checked."""
+    r = max(radius_m, 1e-9)
+    d_lat = np.floor(np.log2(180.0 * M_PER_DEG_LAT / r))
+    coslat = max(np.cos(np.radians(lat)), 1e-6)
+    d_lon = np.floor(np.log2(360.0 * M_PER_DEG_LON_EQ * coslat / r))
+    return int(np.clip(min(d_lat, d_lon), 1, MAX_DEPTH))
 
 
 # ---------------------------------------------------------------------------

@@ -67,13 +67,14 @@ class GeomSide:
 
 
 def pick_depth(bound_m: float, min_depth: int = DEFAULT_MIN_DEPTH,
-               max_depth: int = DEFAULT_MAX_DEPTH) -> int:
+               max_depth: int = DEFAULT_MAX_DEPTH,
+               lat: float = 0.0) -> int:
     """Join-cell resolution: deep enough for selectivity, shallow enough
     that a pad of ``bound_m`` only grows covers by ~1 cell. Clamped to the
     r7..r10 ladder so ingest-time cover columns can be reused."""
     if not math.isfinite(bound_m):
         return min_depth
-    return int(np.clip(cells.depth_for_radius_m(max(bound_m, 1.0)),
+    return int(np.clip(cells.depth_for_radius_m(max(bound_m, 1.0), lat),
                        min_depth, max_depth))
 
 
@@ -137,13 +138,15 @@ def _side_cells(side: GeomSide, depth: int, pad_m: float, tag: str,
 
 
 def envelope_prefilter(pairs: DataFrame, bound_m: float,
-                       t_side: GeomSide, s_side: GeomSide) -> DataFrame:
+                       t_side: GeomSide, s_side: GeomSide,
+                       lat0: float = 0.0) -> DataFrame:
     """Whole-stage-codegen candidate cut BEFORE the Python refine: a pair
     can only satisfy a distance-bounded predicate if the point (or the
     other envelope) lies within the geometry's bbox expanded by the
     bound. Slightly over-padded (1e-6 relative + 1e-9 deg) so FP rounding
     can never reject a true match; the exact refine still decides."""
-    pad_lon = bound_m / cells.M_PER_DEG_LON_EQ * (1 + 1e-6) + 1e-9
+    coslat = max(math.cos(math.radians(lat0)), 1e-6)
+    pad_lon = bound_m / (cells.M_PER_DEG_LON_EQ * coslat) * (1 + 1e-6) + 1e-9
     pad_lat = bound_m / cells.M_PER_DEG_LAT * (1 + 1e-6) + 1e-9
 
     def env(tag):
@@ -242,7 +245,8 @@ def _maybe_broadcast_geoms(side: GeomSide):
 
 def refine_pairs(pairs: DataFrame, pred: SpatialPredicate,
                  target: GeomSide, source: GeomSide,
-                 t_lookup=None, s_lookup=None) -> DataFrame:
+                 t_lookup=None, s_lookup=None,
+                 lat0: float = 0.0) -> DataFrame:
     """Filter candidate pairs by exactly evaluating the predicate.
 
     The UDF closes over plain strings/bools plus optional geometry
@@ -270,7 +274,7 @@ def refine_pairs(pairs: DataFrame, pred: SpatialPredicate,
         s_idx, sg = _side_geoms(st, s_cols, s_point, s_lookup, s_cache)
         ctx: dict = {}
         if "dist" in pred.needs:
-            ctx["dist"] = geom.pair_min_dist(t_idx, tg, s_idx, sg)
+            ctx["dist"] = geom.pair_min_dist(t_idx, tg, s_idx, sg, lat0)
         if "angle" in pred.needs:
             ctx["angle"] = geom.angle_between_deg(
                 geom.polyline_orientation(tg)[t_idx],
@@ -405,7 +409,8 @@ def build_cover_index(g: geom.RaggedGeoms, box: np.ndarray, depth: int,
 
 
 def _fused_point_probe(t: GeomSide, s: GeomSide, pred: SpatialPredicate,
-                       t_lookup, d: int, pad_m: float) -> DataFrame | None:
+                       t_lookup, d: int, pad_m: float,
+                       lat0: float = 0.0) -> DataFrame | None:
     """Zero-shuffle candidate+refine for (broadcastable vector target) x
     (point source): the join-side analogue of tag_road._tag_map_only.
 
@@ -423,7 +428,7 @@ def _fused_point_probe(t: GeomSide, s: GeomSide, pred: SpatialPredicate,
     g = geom.parse_wkb_batch([t_lookup.value[k] for k in keys])
     box = geom.geom_bbox(g)
     pad_deg = max(cells.meters_to_deg_lat(pad_m),
-                  cells.meters_to_deg_lon(pad_m)) if pad_m else 0.0
+                  cells.meters_to_deg_lon(pad_m, lat0)) if pad_m else 0.0
     cell_index = build_cover_index(g, box, d, pad_deg,
                                    COVER_INDEX_MAX_ENTRIES)
     if cell_index is None:
@@ -434,7 +439,8 @@ def _fused_point_probe(t: GeomSide, s: GeomSide, pred: SpatialPredicate,
         "box": box, "pks": np.array(keys, dtype=object),
     })
     # same over-padded envelope prefilter as envelope_prefilter
-    pad_lon = pred.bound_m / cells.M_PER_DEG_LON_EQ * (1 + 1e-6) + 1e-9
+    _cosl = max(math.cos(math.radians(lat0)), 1e-6)
+    pad_lon = pred.bound_m / (cells.M_PER_DEG_LON_EQ * _cosl) * (1 + 1e-6) + 1e-9
     pad_lat = pred.bound_m / cells.M_PER_DEG_LAT * (1 + 1e-6) + 1e-9
 
     in_cols = [s.pk, s.lon_col, s.lat_col] + s.carry
@@ -475,7 +481,7 @@ def _fused_point_probe(t: GeomSide, s: GeomSide, pred: SpatialPredicate,
                     ctx = {}
                     if needs_dist:
                         ctx["dist"] = geom.pair_min_dist(
-                            cand, gg, offs[:-1], sgg)
+                            cand, gg, offs[:-1], sgg, lat0)
                     if needs_cts:
                         ctx["contains_ts"] = geom.pair_contains(
                             cand, gg, offs[:-1], sgg)
@@ -527,7 +533,8 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
                    adaptive_skew: bool | str = "auto",
                    skew_threshold_rows: int = 2_000_000,
                    skew_sample_frac: float = 0.01,
-                   skew_extra_depth: int = 2) -> DataFrame:
+                   skew_extra_depth: int = 2,
+                   metric_lat: float | None = None) -> DataFrame:
     """Matched (t_<pk>, s_<pk>, s_<carry>...) pairs satisfying ``pred``.
 
     Filters are applied to each side *before* the join — equivalent to the
@@ -543,7 +550,17 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
     knowing the flag. The probe samples the SOURCE ROWS before the cell
     encode (the UDF runs on the sample only, one tiny aggregation job).
     Pass ``False`` to disable, ``True`` to force the probe.
+
+    ``metric_lat`` opts into the cos(lat) local equirectangular metric:
+    distances refine with lon meters scaled by cos(metric_lat) (the
+    right local metric away from the equator; default 0 keeps the
+    reference's equator convention, which every pinned oracle row
+    uses), and every candidate pad / cell depth widens by 1/cos so the
+    superset-cover guarantee holds. Distance only — ST_Angle stays in
+    lon/lat degree space under either metric.
     """
+    lat0 = float(metric_lat) if metric_lat is not None else 0.0
+    _pad_scale = 1.0 / max(math.cos(math.radians(lat0)), 1e-6)
     t = GeomSide(**{**target.__dict__, "df": target.df.filter(target_filter)}) \
         if target_filter is not None else target
     s = GeomSide(**{**source.__dict__, "df": source.df.filter(source_filter)}) \
@@ -579,9 +596,9 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
         if broadcast_source is not False:
             sdf = F.broadcast(sdf)
         pairs = t.df.select(*tcols).crossJoin(sdf)
-        return refine_pairs(pairs, pred, t, s, t_lookup, s_lookup)
+        return refine_pairs(pairs, pred, t, s, t_lookup, s_lookup, lat0)
 
-    d = depth if depth is not None else pick_depth(pred.bound_m)
+    d = depth if depth is not None else pick_depth(pred.bound_m, lat=lat0)
 
     if (s.is_point() and not t.is_point() and t_lookup is not None
             and "angle" not in pred.needs):
@@ -590,7 +607,8 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
         # and the compiled refine all run in one map over the points.
         # Declines (None) when the padded cover index exceeds the entry
         # cap, in which case the distributed path below runs instead.
-        fused = _fused_point_probe(t, s, pred, t_lookup, d, pred.bound_m)
+        fused = _fused_point_probe(t, s, pred, t_lookup, d,
+                                   pred.bound_m, lat0)
         if fused is not None:
             return fused
 
@@ -600,9 +618,12 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
     # layer, pad the source instead — point tables are the big side and
     # must never be exploded (a padded point covers ~4-9 cells, a padded
     # geometry cover grows by ~1 ring).
-    pad_t, pad_s = pred.bound_m, 0.0
+    # cover pads convert meters->degrees at the equator internally;
+    # under the local metric the lon axis needs 1/cos more degrees, so
+    # scale the meter pad (over-pads lat slightly — a safe superset)
+    pad_t, pad_s = pred.bound_m * _pad_scale, 0.0
     if t.is_point() and not s.is_point():
-        pad_t, pad_s = 0.0, pred.bound_m
+        pad_t, pad_s = 0.0, pred.bound_m * _pad_scale
     tc = _side_cells(t, d, pad_t, "t", skip_geom=t_lookup is not None,
                      with_envelope=True)
     sc = _side_cells(s, d, pad_s, "s", skip_geom=s_lookup is not None,
@@ -648,7 +669,7 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
         if broadcast_source:
             sc = F.broadcast(sc)
         pairs = tc.join(sc, "cell").drop("cell")
-    pairs = envelope_prefilter(pairs, pred.bound_m, t, s)
+    pairs = envelope_prefilter(pairs, pred.bound_m, t, s, lat0)
 
     # multi-cell covers on both sides create duplicate (t,s) pairs; a
     # point source is a single cell, so pairs are already unique then.
@@ -657,7 +678,7 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
         others = [c for c in pairs.columns if c not in keys]
         pairs = pairs.groupBy(*keys).agg(*[F.first(c).alias(c) for c in others])
 
-    return refine_pairs(pairs, pred, t, s, t_lookup, s_lookup)
+    return refine_pairs(pairs, pred, t, s, t_lookup, s_lookup, lat0)
 
 # Skew handling beyond AQE's skew-join lives in core/skew.py: salted
 # repartitioning and adaptive cell-splitting driven by cell histograms.

@@ -75,7 +75,8 @@ def spatial_join(target_df: DataFrame, target_dimension: str, target_dataset_id:
                  depth: int | None = None,
                  broadcast_source: bool | None = None,
                  adaptive_skew: bool | str = "auto",
-                 skew_threshold_rows: int = 2_000_000) -> DataFrame:
+                 skew_threshold_rows: int = 2_000_000,
+                 metric_lat: float | None = None) -> DataFrame:
     t_info = _resolve_dimension(target_dimension, as_target=True)
     s_info = _resolve_dimension(source_dimension, as_target=False)
     pred = compile_join_condition(join_condition)
@@ -114,7 +115,8 @@ def spatial_join(target_df: DataFrame, target_dimension: str, target_dataset_id:
     pairs = two_phase_join(t_side, s_side, pred, depth=depth,
                            broadcast_source=broadcast_source,
                            adaptive_skew=adaptive_skew,
-                           skew_threshold_rows=skew_threshold_rows)
+                           skew_threshold_rows=skew_threshold_rows,
+                           metric_lat=metric_lat)
 
     agg_exprs = []
     for i, a in enumerate(aggs):

@@ -547,3 +547,64 @@ def test_st_contains_validation_errors(tables):
         _run(edges, images,
              "ST_Contains(ST_Buffer(geometry_target, 5), geometry_source)",
              ["count(*) as n"])
+
+
+def test_metric_lat_local_scaling_known_geometry(spark):
+    """Opt-in cos(lat) local metric on a known geometry at 47.6N: two
+    points 0.01 deg of lon apart are 1113.2 m under the pinned equator
+    convention but 1113.2*cos(47.6) = 750.6 m locally — an 800 m
+    ST_DWithin matches only under metric_lat. Both paths exercised:
+    the fused broadcast probe AND the distributed join (broadcast
+    probe monkeypatched off via the row cap)."""
+    from tdei_backend_service_spark.core import cells as C
+    from tdei_backend_service_spark.core import join as J
+    from tdei_backend_service_spark.core.schema import EDGES_SCHEMA
+
+    lat = 47.6
+    # one short horizontal edge; one point 0.01 deg east of its end
+    edges = spark.createDataFrame(pd.DataFrame([{
+        "edge_id": 1, "orig_node_id": 1, "dest_node_id": 2,
+        "geometry": geom.wkb_linestring([(-122.31, lat), (-122.309, lat)]),
+        "props": {}, "dataset_id": "dl"}]), schema=EDGES_SCHEMA)
+    img = pd.DataFrame([{
+        "image_id": "p", "bytes": None, "w": 1, "h": 1, "fmt": "png",
+        "caption": "", "phash": 0, "lon": -122.299, "lat": lat,
+        "props": {}, "dataset_id": "dp"}])
+    pts = spark.createDataFrame(img, schema=IMAGES_SCHEMA)
+    cond = ("ST_Intersects(ST_Buffer(geometry_target, 800), "
+            "geometry_source)")
+
+    def n_matched(metric_lat, **kw):
+        out = spatial_join(edges, "edge", "dl", pts, "point", "dp", cond,
+                           ["count(*) as n"], metric_lat=metric_lat, **kw)
+        return int(out.collect()[0]["props"].get("ext:n", "0"))
+
+    # kernel-level check of both metrics on the same pair
+    g = geom.parse_wkb_batch(
+        [geom.wkb_linestring([(-122.31, lat), (-122.309, lat)])])
+    import numpy as np
+    d_eq = geom.point_polyline_dist(
+        np.array([-122.299]), np.array([lat]),
+        np.array([0]), g, 0.0)[0]
+    d_loc = geom.point_polyline_dist(
+        np.array([-122.299]), np.array([lat]),
+        np.array([0]), g, lat)[0]
+    assert abs(d_eq - 0.01 * C.M_PER_DEG_LON_EQ) < 1e-6
+    assert abs(d_loc - 0.01 * C.M_PER_DEG_LON_EQ
+               * np.cos(np.radians(lat))) < 1e-6
+
+    # fused-probe path (tiny vector side broadcasts)
+    assert n_matched(None) == 0
+    assert n_matched(lat) == 1
+    # distributed path (broadcast gated off): same answers
+    old = J.BROADCAST_GEOM_MAX_ROWS
+    try:
+        J.BROADCAST_GEOM_MAX_ROWS = 0
+        assert n_matched(None) == 0
+        assert n_matched(lat) == 1
+    finally:
+        J.BROADCAST_GEOM_MAX_ROWS = old
+
+    # depth picker honors the lat axis takeover past ~60 deg
+    assert C.depth_for_radius_m(100.0, 75.0) <= \
+        C.depth_for_radius_m(100.0, 0.0)
