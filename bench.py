@@ -109,6 +109,7 @@ def main() -> None:
         # r6: public connected-components (sidewalk islands) + the
         # ST_Contains predicate path
         "connected_components", "zone_contains_count",
+        "dwithin_local_count",
     ]
 
     # input size for throughput: rows entering the spatial suite

@@ -96,6 +96,26 @@ def quad_zones(spark: SparkSession, side: int = 4,
     return spark.createDataFrame(pd.DataFrame(rows), schema=ZONES_SCHEMA)
 
 
+def vgrid_edges(spark: SparkSession,
+                dataset_id: str = "tpch-vedges") -> DataFrame:
+    """Ten full-height VERTICAL edges at lon LON0 + k*0.01 — the
+    local-metric fixture: every point's lat falls inside the edge span,
+    so point-edge distance is purely longitudinal, |dlon| * 111320 *
+    cos(lat) under the opt-in local metric (one cos factor, closed
+    form; horizontal grid_edges distances are purely latitudinal and
+    would not see the metric at all)."""
+    rows = []
+    for k in range(N_EDGES):
+        lo = LON0 + k * EDGE_SPACING
+        rows.append({
+            "edge_id": k, "orig_node_id": 2 * k, "dest_node_id": 2 * k + 1,
+            "geometry": geom.wkb_linestring([(lo, LAT0), (lo, LAT0 + 0.1)]),
+            "props": {"highway": "footway"},
+            "dataset_id": dataset_id,
+        })
+    return spark.createDataFrame(pd.DataFrame(rows), schema=EDGES_SCHEMA)
+
+
 def supplier_edges(spark: SparkSession, sf_dir: str,
                    dataset_id: str = "tpch-sedges") -> DataFrame:
     """supplier -> one horizontal 0.01-deg WKB segment per s_suppkey
