@@ -255,6 +255,21 @@ COMMENTARY = {
     "service_area": "Composition: the kNN zero-shuffle map path feeds a "
                     "broadcast join against the 7-row BFS edge-hop "
                     "relation — no new exchange beyond the kernels'.",
+    "connected_components": "Iterative min-label + pointer jumping: per "
+                            "round one equi-join + partial-agg min and a "
+                            "label self-join, lineage cut by "
+                            "localCheckpoint — the displayed plan is the "
+                            "converged labels scan (iterations already "
+                            "materialized).",
+    "zone_contains_count": "ST_Contains rides the fused zero-shuffle "
+                           "probe: the 16-zone side broadcasts as a cell "
+                           "cover index, one MapInPandas evaluates the "
+                           "containment refine inline; only the per-zone "
+                           "partial aggregate exchanges.",
+    "dwithin_local_count": "Same fused probe under metric_lat: pads and "
+                           "depth widen by 1/cos(47.6), the refine "
+                           "scales lon meters by cos — plan shape "
+                           "identical to the equator row.",
 }
 
 
