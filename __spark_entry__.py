@@ -796,6 +796,28 @@ def _q_dwithin_local(spark: SparkSession, sf: str) -> DataFrame:
                       F.col("props").getItem("ext:n").cast("bigint").alias("n"))
 
 
+def _q_knn_local_tag(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN tagging under the opt-in cos(lat) LOCAL metric (r6,
+    dataset_tag_road metric_lat): nearest vertical grid edge per order
+    point. Lats always fall inside the edge span, so the distance is
+    purely longitudinal and the winner is pure integer arithmetic on
+    the lon hash — round to the nearest 10000-unit edge, exact-midpoint
+    ties (u = 5000 mod 10000, float-ulp order) excluded. The 800 m
+    cutoff pins the metric: every point is within 750.5 m locally, but
+    up to 1113 m under the equator convention, so a wrong metric leaves
+    nulls the oracle never produces."""
+    pts = FX.orders_points(spark, sf)
+    u = (F.col("o_orderkey") * 2654435761) % 100000
+    pts = pts.filter(u % 10000 != 5000)
+    edges = FX.vgrid_edges(spark)
+    out = dataset_tag_road(pts, "tpch", edges, "tpch-vedges",
+                           attrs=["highway"], cutoff_m=800.0,
+                           pk="o_orderkey", metric_lat=FX.LAT0)
+    return out.select("o_orderkey",
+                      F.col("nearest_edge_id").cast("long")
+                      .alias("nearest_edge_id"))
+
+
 def _q_angle_join(spark: SparkSession, sf: str) -> DataFrame:
     """PURE-ANGLE join condition — unbounded predicate, so this drives
     the dataset cross-join path (core/join.py:435), the reference's
@@ -1922,7 +1944,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: of driver-coverage staleness — the 41 rows never driver-hashed, this
 #: round's new rows, then the oldest (r4-verified) rows; everything else
 #: keeps its r4/r5 green plus the check_oracle sweep. Rotate per round.
-_LEAD_ROWS = ['corpus_report', 'hamming_cluster_dedup', 'cluster_keep_best', 'embedding_cluster_dedup', 'ivf_quantized_topk', 'ivf_indexed_topk', 'augment_meta', 'cross_modal_dedup', 'incremental_phash_dedup', 'store_phash_dedup', 'incremental_embedding_dedup', 'store_embedding_dedup', 'incremental_union', 'incremental_minhash_dedup', 'mix_domains', 'decontam_hits', 'decontam_survivors', 'line_dedup', 'zonal_image_stats', 'curate_corpus', 'pii_redact', 'corpus_shuffle', 'tile_raster', 'raster_pyramid', 'tile_mosaic', 'raster_extract', 'raster_focal', 'raster_algebra', 'zonal_raster', 'zonal_brightness', 'raster_hotspots', 'zone_burnin', 'viewport_similar', 'viewport_caption_similar', 'geo_visual_dedup', 'incremental_geo_visual', 'tile_viewport', 'incremental_raster', 'session_windows', 'streaming_tiles', 'streaming_zones', 'connected_components', 'zone_contains_count', 'dwithin_local_count', 'bbox_edges', 'zone_pip_count', 'tri_zone_pip', 'angle_join', 'angle_buffer_join', 'osm_ways']
+_LEAD_ROWS = ['corpus_report', 'hamming_cluster_dedup', 'cluster_keep_best', 'embedding_cluster_dedup', 'ivf_quantized_topk', 'ivf_indexed_topk', 'augment_meta', 'cross_modal_dedup', 'incremental_phash_dedup', 'store_phash_dedup', 'incremental_embedding_dedup', 'store_embedding_dedup', 'incremental_union', 'incremental_minhash_dedup', 'mix_domains', 'decontam_hits', 'decontam_survivors', 'line_dedup', 'zonal_image_stats', 'curate_corpus', 'pii_redact', 'corpus_shuffle', 'tile_raster', 'raster_pyramid', 'tile_mosaic', 'raster_extract', 'raster_focal', 'raster_algebra', 'zonal_raster', 'zonal_brightness', 'raster_hotspots', 'zone_burnin', 'viewport_similar', 'viewport_caption_similar', 'geo_visual_dedup', 'incremental_geo_visual', 'tile_viewport', 'incremental_raster', 'session_windows', 'streaming_tiles', 'streaming_zones', 'connected_components', 'zone_contains_count', 'dwithin_local_count', 'knn_local_tag', 'bbox_edges', 'zone_pip_count', 'tri_zone_pip', 'angle_join', 'angle_buffer_join', 'osm_ways']
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2008,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_pip_count": _q_zone_pip,
         "zone_contains_count": _q_zone_contains,
         "dwithin_local_count": _q_dwithin_local,
+        "knn_local_tag": _q_knn_local_tag,
         "bbox_edges": _q_bbox_edges,
         "tri_zone_pip": _q_tri_zone_pip,
         # angle predicate (cross-join + bounded combined paths) and the
@@ -3061,6 +3084,17 @@ def oracle_sql() -> dict[str, str]:
                 ON ABS(p.u - ed.edge_id * 10000)
                    * (111320 * COS(RADIANS(47.6))) <= 600 * 1000000
               GROUP BY ed.edge_id) c USING (edge_id)
+        """,
+        # nearest vertical edge = lon hash rounded to the 10000-unit
+        # lattice (midpoint ties excluded; lower-id tie-break never
+        # fires); the 800 m local cutoff tags every surviving point
+        "knn_local_tag": """
+            SELECT o_orderkey,
+                   LEAST((u + 4999) // 10000, 9) AS nearest_edge_id
+            FROM (SELECT o_orderkey,
+                         (o_orderkey * 2654435761) % 100000 AS u
+                  FROM orders)
+            WHERE u % 10000 <> 5000
         """,
         # same closed form as zone_pip_count: every fixture point is
         # interior, where contains == unbuffered intersects

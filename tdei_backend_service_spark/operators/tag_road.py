@@ -53,10 +53,14 @@ def _disk_cells_udf(depth: int, k: int):
     return _disk.asNondeterministic()
 
 
-def _guaranteed_radius_udf(depth: int, k: int):
+def _guaranteed_radius_udf(depth: int, k: int, lat0: float = 0.0):
     """Exact distance (m) from each point to the boundary of its searched
-    disk(k) square — any edge outside the square is farther than this."""
+    disk(k) square — any edge outside the square is farther than this.
+    Under the opt-in cos(lat) local metric the lon axis is worth fewer
+    meters, so gx scales by cos(lat0): still the exact boundary distance
+    in that metric."""
     size = cells.cell_size_deg(depth)
+    coslat = max(math.cos(math.radians(lat0)), 1e-6)
 
     @F.pandas_udf(T.DoubleType())
     def _gr(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -67,14 +71,14 @@ def _guaranteed_radius_udf(depth: int, k: int):
         east = (x + k + 1) * size - (lo + 180.0)
         south = (la + 90.0) - (y - k) * (size / 2)
         north = (y + k + 1) * (size / 2) - (la + 90.0)
-        gx = np.minimum(west, east) * cells.M_PER_DEG_LON_EQ
+        gx = np.minimum(west, east) * cells.M_PER_DEG_LON_EQ * coslat
         gy = np.minimum(south, north) * cells.M_PER_DEG_LAT
         return pd.Series(np.minimum(gx, gy))
 
     return _gr.asNondeterministic()
 
 
-def _dist_udf(lookup=None):
+def _dist_udf(lookup=None, lat0: float = 0.0):
     """Point-to-edge distance. With ``lookup`` (a broadcast {edge_id: wkb}
     dict) the third column is the edge id: candidate rows never carry WKB
     bytes, and the dict is parsed once per worker (core/join.py
@@ -92,7 +96,8 @@ def _dist_udf(lookup=None):
             g = geom.parse_wkb_batch(geo)
             idx = np.arange(len(g), dtype=np.int64)
         return pd.Series(geom.point_polyline_dist(
-            lon.to_numpy(np.float64), lat.to_numpy(np.float64), idx, g))
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), idx, g,
+            lat0))
     # evaluate once: the dist column feeds both a filter and the argmin
     # struct — without this marker Catalyst inlines the UDF into each
     # (two ArrowEvalPython nodes = distance computed twice per candidate)
@@ -100,7 +105,8 @@ def _dist_udf(lookup=None):
 
 
 def _tag_map_only(targets: DataFrame, edges: DataFrame, attr_cols: list[str],
-                  cutoff_m: float, depth: int, pk: str) -> DataFrame | None:
+                  cutoff_m: float, depth: int, pk: str,
+                  lat0: float = 0.0) -> DataFrame | None:
     """Zero-shuffle kNN tagging for a broadcastable edge side.
 
     The DataFrame path costs two 16M-row exchanges at scale (the
@@ -123,7 +129,7 @@ def _tag_map_only(targets: DataFrame, edges: DataFrame, attr_cols: list[str],
     attr_vals = {c: np.array([r[c] for r in rows], dtype=object)
                  for c in attr_cols}
     pad_deg = max(cells.meters_to_deg_lat(cutoff_m),
-                  cells.meters_to_deg_lon(cutoff_m))
+                  cells.meters_to_deg_lon(cutoff_m, lat0))
     # vectorized build; None when the padded cover exceeds the entry cap
     # — the caller then runs the distributed candidate-join path
     cell_index = _J.build_cover_index(g, box, depth, pad_deg,
@@ -137,7 +143,8 @@ def _tag_map_only(targets: DataFrame, edges: DataFrame, attr_cols: list[str],
         "box": box, "edge_ids": edge_ids, "attr_vals": attr_vals,
     })
     # same over-padded envelope prefilter as core/join.envelope_prefilter
-    pad_lon = cutoff_m / cells.M_PER_DEG_LON_EQ * (1 + 1e-6) + 1e-9
+    coslat = max(math.cos(math.radians(lat0)), 1e-6)
+    pad_lon = cutoff_m / (cells.M_PER_DEG_LON_EQ * coslat) * (1 + 1e-6) + 1e-9
     pad_lat = cutoff_m / cells.M_PER_DEG_LAT * (1 + 1e-6) + 1e-9
 
     schema = T.StructType(list(targets.schema.fields) + [
@@ -169,7 +176,7 @@ def _tag_map_only(targets: DataFrame, edges: DataFrame, attr_cols: list[str],
                     pair_pt, cand = pair_pt[keep], cand[keep]
                     if pair_pt.size:
                         d = geom.point_polyline_dist(px[pair_pt], py[pair_pt],
-                                                     cand, gg)
+                                                     cand, gg, lat0)
                         ok = d <= cutoff_m
                         pair_pt, cand, d = pair_pt[ok], cand[ok], d[ok]
                     if pair_pt.size:
@@ -200,7 +207,8 @@ def knn_join(target_df: DataFrame, target_dataset_id: str,
              source_df: DataFrame, source_dataset_id: str,
              k: int = 3, attrs: list[str] | None = None,
              cutoff_m: float = 50.0, depth: int | None = None,
-             pk: str = "image_id") -> DataFrame:
+             pk: str = "image_id",
+             metric_lat: float | None = None) -> DataFrame:
     """k-nearest-edges join: one row per (target, rank) for the ``k``
     nearest source edges within ``cutoff_m`` — the k>1 generalization
     of dataset_tag_road's nearest-edge transfer (reference semantics:
@@ -220,11 +228,20 @@ def knn_join(target_df: DataFrame, target_dataset_id: str,
     shape of dataset_tag_road's common case — the big table is never
     exploded, and there is no per-k iteration: top-k falls out of the
     same candidate set that argmin uses, because the padded cover is
-    complete for EVERY edge within the cutoff, not just the nearest."""
+    complete for EVERY edge within the cutoff, not just the nearest.
+
+    ``metric_lat`` opts into the cos(lat) local metric (same contract
+    as ``two_phase_join``): distances refine with lon meters scaled by
+    cos(metric_lat); cover pads / envelope pads / cell depth widen by
+    1/cos so candidate completeness is preserved. Default keeps the
+    pinned equator convention."""
     from pyspark.sql.window import Window
     attrs = attrs if attrs is not None else []
+    lat0 = float(metric_lat) if metric_lat is not None else 0.0
+    coslat = max(math.cos(math.radians(lat0)), 1e-6)
     if depth is None:
-        depth = int(np.clip(cells.depth_for_radius_m(max(cutoff_m, 1.0)),
+        depth = int(np.clip(cells.depth_for_radius_m(max(cutoff_m, 1.0),
+                                                     lat0),
                             cells.RES_GRID[7], cells.RES_GRID[10]))
 
     targets = target_df.filter(F.col("dataset_id") == target_dataset_id)
@@ -242,13 +259,15 @@ def knn_join(target_df: DataFrame, target_dataset_id: str,
                                         geom_col="geometry"))
     geo_col = "edge_id" if lookup is not None else "geometry"
     env_cols = ["gmin_lon", "gmin_lat", "gmax_lon", "gmax_lat"]
-    padded_edges = (cover_geometry(edges, depth, cutoff_m, out_col="_cov",
-                                   with_envelope=True)
+    # cover pads convert meters->degrees at the equator internally; the
+    # local metric needs 1/cos more lon degrees (safe lat over-pad)
+    padded_edges = (cover_geometry(edges, depth, cutoff_m / coslat,
+                                   out_col="_cov", with_envelope=True)
                     .withColumn("cell", F.explode("_cov"))
                     .select("cell", "edge_id", *env_cols,
                             *([] if lookup is not None else ["geometry"]),
                             *attr_cols))
-    pad_lon = cutoff_m / cells.M_PER_DEG_LON_EQ * (1 + 1e-6) + 1e-9
+    pad_lon = cutoff_m / (cells.M_PER_DEG_LON_EQ * coslat) * (1 + 1e-6) + 1e-9
     pad_lat = cutoff_m / cells.M_PER_DEG_LAT * (1 + 1e-6) + 1e-9
 
     @F.pandas_udf(T.LongType())
@@ -256,7 +275,7 @@ def knn_join(target_df: DataFrame, target_dataset_id: str,
         return pd.Series(cells.encode(lon.to_numpy(np.float64),
                                       lat.to_numpy(np.float64), depth))
 
-    dist = _dist_udf(lookup)
+    dist = _dist_udf(lookup, lat0)
     cand = (targets.select(pk, "lon", "lat")
             .withColumn("cell", _enc.asNondeterministic()(
                 F.col("lon"), F.col("lat")))
@@ -281,19 +300,33 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
                      attrs: list[str] | None = None,
                      cutoff_m: float = 50.0,
                      depth: int | None = None,
-                     pk: str = "image_id") -> DataFrame:
+                     pk: str = "image_id",
+                     metric_lat: float | None = None) -> DataFrame:
     """Tag every target point feature with its nearest source edge.
 
     Returns the full target dataset with ``props`` extended by
     ``tag:<attr>`` keys plus ``nearest_edge_id`` / ``nearest_dist_m``
     columns (null when nothing lies within ``cutoff_m``).
+
+    ``metric_lat`` opts into the cos(lat) local metric on all three
+    plans (map-only probe, one-candidate-join, ring expansion); pads,
+    depth and guaranteed radii widen/shrink consistently so the
+    nearest-edge answer is exact in that metric. Default keeps the
+    pinned equator convention every oracle row uses.
     """
     attrs = attrs if attrs is not None else ["highway"]
+    lat0 = float(metric_lat) if metric_lat is not None else 0.0
+    coslat = max(math.cos(math.radians(lat0)), 1e-6)
     if depth is None:
         # cell edge ~= cutoff: disk(1) usually resolves round one
-        depth = int(np.clip(cells.depth_for_radius_m(max(cutoff_m, 1.0)),
+        depth = int(np.clip(cells.depth_for_radius_m(max(cutoff_m, 1.0),
+                                                     lat0),
                             cells.RES_GRID[7], cells.RES_GRID[10]))
-    cell_m = cells.cell_lat_m(depth)  # tighter axis (lat) in meters
+    # tighter cell axis in LOCAL meters (lat at the equator; the lon
+    # axis shrinks by cos and takes over past ~60 deg)
+    cell_m = min(cells.cell_lat_m(depth),
+                 cells.cell_size_deg(depth) * cells.M_PER_DEG_LON_EQ
+                 * coslat)
 
     targets = target_df.filter(F.col("dataset_id") == target_dataset_id)
     edges = source_df.filter(F.col("dataset_id") == source_dataset_id)
@@ -321,7 +354,7 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
         """disk(k) candidate join -> exact distance -> per-target argmin
         (deterministic tie-break: lowest edge_id rides in the min struct)."""
         disk = _disk_cells_udf(depth, k)
-        dist = _dist_udf(lookup)
+        dist = _dist_udf(lookup, lat0)
         cand = (pts.withColumn("cell", F.explode(disk(F.col("lon"), F.col("lat"))))
                 .join(edge_cells, "cell").drop("cell")
                 .withColumn("dist", dist(F.col("lon"), F.col("lat"), F.col(geo_col)))
@@ -343,7 +376,8 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
         # emitted inline with the target rows (no argmin exchange, no
         # tag-back join; see _tag_map_only). May decline (None) when the
         # padded cover index exceeds the broadcast entry cap.
-        out = _tag_map_only(targets, edges, attr_cols, cutoff_m, depth, pk)
+        out = _tag_map_only(targets, edges, attr_cols, cutoff_m, depth, pk,
+                            lat0)
     if out is None and k_cover <= 2:
         # common case: the cutoff fits a small neighborhood -> ONE
         # candidate join. The pad goes on the SMALL side: edge covers are
@@ -351,8 +385,8 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
         # table is never exploded (9x fewer shuffle rows than padding the
         # point side with disk(1)).
         env_cols = ["gmin_lon", "gmin_lat", "gmax_lon", "gmax_lat"]
-        padded_edges = (cover_geometry(edges, depth, cutoff_m, out_col="_cov",
-                                       with_envelope=True)
+        padded_edges = (cover_geometry(edges, depth, cutoff_m / coslat,
+                                       out_col="_cov", with_envelope=True)
                         .withColumn("cell", F.explode("_cov"))
                         .select("cell", "edge_id", *env_cols,
                                 *([] if lookup is not None else ["geometry"]),
@@ -361,7 +395,8 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
         # JVM-side envelope prefilter: a point farther than cutoff from the
         # edge bbox can never be within cutoff of the edge (over-padded so
         # FP rounding never rejects a true match)
-        pad_lon = cutoff_m / cells.M_PER_DEG_LON_EQ * (1 + 1e-6) + 1e-9
+        pad_lon = (cutoff_m / (cells.M_PER_DEG_LON_EQ * coslat)
+                   * (1 + 1e-6) + 1e-9)
         pad_lat = cutoff_m / cells.M_PER_DEG_LAT * (1 + 1e-6) + 1e-9
         # Arrow UDF, not encode_expr: cell is a join key (see
         # cells._part1by1_expr on the inferred-filter tree blowup)
@@ -370,7 +405,7 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
             return pd.Series(cells.encode(lon.to_numpy(np.float64),
                                           lat.to_numpy(np.float64), depth))
 
-        dist = _dist_udf(lookup)
+        dist = _dist_udf(lookup, lat0)
         cand = (points.withColumn("cell", _enc.asNondeterministic()(
                     F.col("lon"), F.col("lat")))
                 .join(padded_edges, "cell").drop("cell")
@@ -400,7 +435,7 @@ def dataset_tag_road(target_df: DataFrame, target_dataset_id: str,
             if k >= k_cover:
                 best_parts.append(best)
                 break
-            gr = _guaranteed_radius_udf(depth, k)
+            gr = _guaranteed_radius_udf(depth, k, lat0)
             best = (best.join(remaining, pk)
                     .withColumn("_gr", gr(F.col("lon"), F.col("lat"))))
             settled = (best.filter(F.col("nearest_dist_m") <= F.col("_gr"))

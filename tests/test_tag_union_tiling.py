@@ -606,3 +606,89 @@ def test_incremental_tile_terms_flips_winner(spark):
     assert sorted(v[0] for v in got.values()) == ["dog", "zebra"]
     a = next(v for v in got.values() if v[0] == "zebra")
     assert (a[1], a[2]) == (3, 5)
+
+
+def test_tag_road_metric_lat_winner_flip_all_paths(spark, monkeypatch):
+    """cos(lat) local metric on kNN tagging: a vertical edge (lon
+    displacement, distance scales by cos) vs a horizontal edge (lat
+    displacement, metric-invariant) chosen so the NEAREST edge flips
+    between the equator convention and the local metric at 47.6N --
+    900 m-equator lon offset reads 606.9 m locally, beating the 750 m
+    lat edge. A second point sits past the cutoff at the equator but
+    inside it locally. All three plans must agree: map-only probe
+    (broadcastable edges), distributed candidate join (broadcast gated
+    off), and ring expansion (deep cells force k_cover > 2); knn_join
+    rank-1 must match too."""
+    from tdei_backend_service_spark.core import cells as C
+    from tdei_backend_service_spark.core import join as J
+    from tdei_backend_service_spark.operators.tag_road import knn_join
+
+    lat = 47.6
+    coslat = np.cos(np.radians(lat))
+    x0, y0 = -122.30, lat
+    dx = 900.0 / C.M_PER_DEG_LON_EQ          # 900 m equator / 606.9 m local
+    dy = 750.0 / C.M_PER_DEG_LAT             # 750 m in both metrics
+    edges = pd.DataFrame([
+        {"edge_id": 0, "orig_node_id": 0, "dest_node_id": 1,   # vertical
+         "geometry": geom.wkb_linestring([(x0 + dx, y0 - 0.01),
+                                          (x0 + dx, y0 + 0.01)]),
+         "props": {"highway": "footway"}, "dataset_id": "ds-e"},
+        {"edge_id": 1, "orig_node_id": 2, "dest_node_id": 3,   # horizontal
+         "geometry": geom.wkb_linestring([(x0 - 0.01, y0 + dy),
+                                          (x0 + 0.01, y0 + dy)]),
+         "props": {"highway": "residential"}, "dataset_id": "ds-e"},
+    ])
+    imgs = pd.DataFrame([
+        _img_row(0, x0, y0),                       # the winner-flip point
+        # 2.2 km east of the vertical edge at the equator (beyond the
+        # 1.6 km cutoff; edge 1 reads 2124 m), 1484 m locally (inside
+        # it, and 52 m nearer than edge 1's local 1536 m)
+        _img_row(1, x0 + dx + 2200.0 / C.M_PER_DEG_LON_EQ, y0),
+    ])
+    e = spark.createDataFrame(edges, schema=EDGES_SCHEMA)
+    im = spark.createDataFrame(imgs, schema=IMAGES_SCHEMA)
+
+    def run(metric_lat, **kw):
+        out = dataset_tag_road(im, "ds-a", e, "ds-e", attrs=["highway"],
+                               cutoff_m=1600.0, metric_lat=metric_lat, **kw)
+        return {r.image_id: r for r in out.collect()}
+
+    def check_equator(rows):
+        assert rows["img-0000"].nearest_edge_id == 1
+        assert abs(rows["img-0000"].nearest_dist_m - 750.0) < 0.05
+        assert rows["img-0000"].props["tag:highway"] == "residential"
+        assert rows["img-0001"].nearest_edge_id is None
+
+    def check_local(rows):
+        assert rows["img-0000"].nearest_edge_id == 0
+        assert abs(rows["img-0000"].nearest_dist_m - 900.0 * coslat) < 0.05
+        assert rows["img-0000"].props["tag:highway"] == "footway"
+        assert rows["img-0001"].nearest_edge_id == 0
+        assert abs(rows["img-0001"].nearest_dist_m - 2200.0 * coslat) < 0.05
+
+    # path 1: map-only broadcast probe (tiny edge side)
+    check_equator(run(None))
+    check_local(run(lat))
+    # path 2: distributed one-candidate join
+    monkeypatch.setattr(J, "BROADCAST_GEOM_MAX_ROWS", 0)
+    check_equator(run(None))
+    check_local(run(lat))
+    # path 3: ring expansion (deep cells: cell_m << cutoff -> k_cover > 2)
+    deep = C.depth_for_radius_m(1600.0, lat) + 3
+    check_equator(run(None, depth=deep))
+    check_local(run(lat, depth=deep))
+    monkeypatch.undo()
+
+    # knn_join rank-1 agrees with tag_road under both metrics
+    for ml in (None, lat):
+        want = {k: r.nearest_edge_id for k, r in run(ml).items()
+                if r.nearest_edge_id is not None}
+        got = {r["image_id"]: r["edge_id"]
+               for r in knn_join(im, "ds-a", e, "ds-e", k=1, cutoff_m=1600.0,
+                                 metric_lat=ml).collect()}
+        assert got == want
+    # and rank-2 under the local metric is the 750 m lat edge
+    k2 = knn_join(im, "ds-a", e, "ds-e", k=2, cutoff_m=1600.0,
+                  metric_lat=lat).collect()
+    r2 = {(r["image_id"], r["knn_rank"]): r["edge_id"] for r in k2}
+    assert r2[("img-0000", 1)] == 0 and r2[("img-0000", 2)] == 1
