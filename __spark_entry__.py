@@ -818,6 +818,19 @@ def _q_knn_local_tag(spark: SparkSession, sf: str) -> DataFrame:
                       .alias("nearest_edge_id"))
 
 
+def _q_union_local(spark: SparkSession, sf: str) -> DataFrame:
+    """union_dataset under the opt-in cos(lat) LOCAL metric (r6,
+    union_dataset metric_lat): B-side duplicates are lon-shifted 6e-6
+    deg = 0.668 m under the pinned equator convention (NO merge at
+    proximity 0.5) but 0.450 m under cos(47.6 deg) (merge, 5 cm
+    margin). The survivor set itself pins which metric ran: the local
+    metric drops all 299 planted dups, the equator metric drops none."""
+    a = FX.customer_images(spark, sf, "A")
+    b = FX.customer_images(spark, sf, "B", dup_dlon=6e-6, dup_dlat=0.0)
+    return union_dataset(a, "ds-A", b, "ds-B",
+                         metric_lat=FX.LAT0).select("image_id")
+
+
 def _q_angle_join(spark: SparkSession, sf: str) -> DataFrame:
     """PURE-ANGLE join condition — unbounded predicate, so this drives
     the dataset cross-join path (core/join.py:435), the reference's
@@ -1944,7 +1957,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: of driver-coverage staleness — the 41 rows never driver-hashed, this
 #: round's new rows, then the oldest (r4-verified) rows; everything else
 #: keeps its r4/r5 green plus the check_oracle sweep. Rotate per round.
-_LEAD_ROWS = ['corpus_report', 'hamming_cluster_dedup', 'cluster_keep_best', 'embedding_cluster_dedup', 'ivf_quantized_topk', 'ivf_indexed_topk', 'augment_meta', 'cross_modal_dedup', 'incremental_phash_dedup', 'store_phash_dedup', 'incremental_embedding_dedup', 'store_embedding_dedup', 'incremental_union', 'incremental_minhash_dedup', 'mix_domains', 'decontam_hits', 'decontam_survivors', 'line_dedup', 'zonal_image_stats', 'curate_corpus', 'pii_redact', 'corpus_shuffle', 'tile_raster', 'raster_pyramid', 'tile_mosaic', 'raster_extract', 'raster_focal', 'raster_algebra', 'zonal_raster', 'zonal_brightness', 'raster_hotspots', 'zone_burnin', 'viewport_similar', 'viewport_caption_similar', 'geo_visual_dedup', 'incremental_geo_visual', 'tile_viewport', 'incremental_raster', 'session_windows', 'streaming_tiles', 'streaming_zones', 'connected_components', 'zone_contains_count', 'dwithin_local_count', 'knn_local_tag', 'bbox_edges', 'zone_pip_count', 'tri_zone_pip', 'angle_join', 'angle_buffer_join', 'osm_ways']
+_LEAD_ROWS = ['corpus_report', 'hamming_cluster_dedup', 'cluster_keep_best', 'embedding_cluster_dedup', 'ivf_quantized_topk', 'ivf_indexed_topk', 'augment_meta', 'cross_modal_dedup', 'incremental_phash_dedup', 'store_phash_dedup', 'incremental_embedding_dedup', 'store_embedding_dedup', 'incremental_union', 'incremental_minhash_dedup', 'mix_domains', 'decontam_hits', 'decontam_survivors', 'line_dedup', 'zonal_image_stats', 'curate_corpus', 'pii_redact', 'corpus_shuffle', 'tile_raster', 'raster_pyramid', 'tile_mosaic', 'raster_extract', 'raster_focal', 'raster_algebra', 'zonal_raster', 'zonal_brightness', 'raster_hotspots', 'zone_burnin', 'viewport_similar', 'viewport_caption_similar', 'geo_visual_dedup', 'incremental_geo_visual', 'tile_viewport', 'incremental_raster', 'session_windows', 'streaming_tiles', 'streaming_zones', 'connected_components', 'zone_contains_count', 'dwithin_local_count', 'knn_local_tag', 'union_local_dedup', 'bbox_edges', 'zone_pip_count', 'tri_zone_pip', 'angle_join', 'angle_buffer_join', 'osm_ways']
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2031,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_contains_count": _q_zone_contains,
         "dwithin_local_count": _q_dwithin_local,
         "knn_local_tag": _q_knn_local_tag,
+        "union_local_dedup": _q_union_local,
         "bbox_edges": _q_bbox_edges,
         "tri_zone_pip": _q_tri_zone_pip,
         # angle predicate (cross-join + bounded combined paths) and the
@@ -2243,6 +2257,16 @@ def oracle_sql() -> dict[str, str]:
             ON r.range = c.k
         """,
         "union_dedup": """
+            SELECT 'A-' || c_custkey AS image_id FROM customer
+            UNION ALL
+            SELECT 'B-' || c_custkey AS image_id FROM customer
+            WHERE c_custkey >= 300
+        """,
+        # same survivor set as union_dedup — but only because the local
+        # metric merges the 0.668 m-equator lon-shifted dups (0.450 m
+        # local < 0.5); under the equator convention every B row
+        # survives and the row count itself fails
+        "union_local_dedup": """
             SELECT 'A-' || c_custkey AS image_id FROM customer
             UNION ALL
             SELECT 'B-' || c_custkey AS image_id FROM customer

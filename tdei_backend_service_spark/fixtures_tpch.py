@@ -745,14 +745,19 @@ def part_images_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def customer_images(spark: SparkSession, sf_dir: str, side: str,
-                    n_dups: int = 300) -> DataFrame:
+                    n_dups: int = 300, dup_dlon: float = 0.0,
+                    dup_dlat: float = 2e-6) -> DataFrame:
     """customer -> image-like point records for the union fixture.
 
     Side 'A': one record per customer, phash = c_custkey,
     caption 'c<custkey>'. Side 'B': same customers where
     c_custkey < n_dups are content-duplicates of A (same phash/caption,
-    lat shifted +2e-6 deg ~ 0.22 m < proximity 0.5 m); the rest carry a
-    distinct phash (offset by 10^7) so they never merge.
+    shifted by (dup_dlon, dup_dlat) deg — default +2e-6 lat ~ 0.22 m <
+    proximity 0.5 m); the rest carry a distinct phash (offset by 10^7)
+    so they never merge. The local-metric union row instead shifts LON
+    by 6e-6 deg: 0.668 m under the equator convention (no merge at
+    0.5) but 0.450 m under cos(47.6 deg) (merge) — the survivor set
+    itself pins which metric ran.
     """
     df = spark.read.parquet(f"{sf_dir}/customer.parquet")
     df = derive_lonlat(df, "c_custkey")
@@ -765,7 +770,8 @@ def customer_images(spark: SparkSession, sf_dir: str, side: str,
         out = (df.withColumn("image_id", F.concat(F.lit("B-"), F.col("c_custkey")))
                .withColumn("phash", F.when(dup, F.col("c_custkey"))
                            .otherwise(F.col("c_custkey") + 10_000_000).cast("long"))
-               .withColumn("lat", F.col("lat") + F.lit(2e-6))
+               .withColumn("lon", F.col("lon") + F.lit(dup_dlon))
+               .withColumn("lat", F.col("lat") + F.lit(dup_dlat))
                .withColumn("dataset_id", F.lit("ds-B")))
     return (out.withColumn("caption", F.concat(F.lit("c"), F.col("c_custkey")))
             .withColumn("bytes", F.lit(None).cast("binary"))

@@ -37,10 +37,12 @@ from ..core.compiler import InputException
 DEFAULT_PROXIMITY_M = 0.5
 
 
-def _cell_cover_udfs(proximity: float):
+def _cell_cover_udfs(proximity: float, lat0: float = 0.0):
     """(cell, padded-cover) Arrow UDFs for a proximity radius — the
     candidate machinery union_dataset and incremental_union_dataset
-    share.
+    share. ``lat0`` != 0 opts into the cos(lat) local metric (same
+    contract as spatial_join/tag_road): the lon pad widens by 1/cos
+    and the depth choice checks both axes in local meters.
 
     Depth from 2*proximity: the 4-corner cover is complete only when the
     padded window (width 2*pad) spans <= 2 cells per axis, i.e. cell
@@ -57,15 +59,22 @@ def _cell_cover_udfs(proximity: float):
     tree (~10x stage slowdown measured; see cells._part1by1_expr).
     The padded cover is the distinct cells of the 4 padded corners —
     valid because the depth choice guarantees cell extent >= 2*pad
-    on both axes, so the padded bbox spans at most 2 cells per axis and
-    the corners land in every spanned cell (incl. the point's own)."""
-    depth = int(np.clip(cells.depth_for_radius_m(2.0 * max(proximity, 0.5)), 1, 23))
-    pad_deg = max(cells.meters_to_deg_lat(proximity), cells.meters_to_deg_lon(proximity))
-    if pad_deg > 90.0 / (1 << depth):  # half the lat extent in degrees
+    PER AXIS (each axis pads by its own degree reach — the proximity
+    disk's bbox is [lon +- pad_lon] x [lat +- pad_lat]; a shared
+    max-pad would overflow the lat half-extent once the local metric
+    inflates the lon pad), so the padded bbox spans at most 2 cells
+    per axis and the corners land in every spanned cell (incl. the
+    point's own)."""
+    depth = int(np.clip(cells.depth_for_radius_m(2.0 * max(proximity, 0.5),
+                                                 lat0), 1, 23))
+    pad_lon = cells.meters_to_deg_lon(proximity, lat0)
+    pad_lat = cells.meters_to_deg_lat(proximity)
+    if pad_lat > 90.0 / (1 << depth) or pad_lon > 180.0 / (1 << depth):
         raise RuntimeError(
-            f"union_dataset cover invariant violated: pad {pad_deg} deg > "
-            f"half-cell {90.0 / (1 << depth)} deg at depth {depth} — the "
-            "4-corner cover would miss candidate cells")
+            f"union_dataset cover invariant violated: pads "
+            f"({pad_lon}, {pad_lat}) deg exceed the half-cell extents "
+            f"({180.0 / (1 << depth)}, {90.0 / (1 << depth)}) at depth "
+            f"{depth} — the 4-corner cover would miss candidate cells")
 
     @F.pandas_udf("long")
     def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -77,8 +86,8 @@ def _cell_cover_udfs(proximity: float):
         lo = lon.to_numpy(np.float64)
         la = lat.to_numpy(np.float64)
         corners = np.stack([cells.encode(lo + dx, la + dy, depth)
-                            for dx in (-pad_deg, pad_deg)
-                            for dy in (-pad_deg, pad_deg)])
+                            for dx in (-pad_lon, pad_lon)
+                            for dy in (-pad_lat, pad_lat)])
         return pd.Series([[int(v) for v in np.unique(corners[:, i])]
                           for i in range(lo.size)])
 
@@ -90,7 +99,8 @@ def union_dataset(df_one: DataFrame, dataset_id_one: str,
                   proximity: float | None = None,
                   pk: str = "image_id",
                   match_on: tuple = ("phash", "caption"),
-                  collapse: str = "min_winner") -> DataFrame:
+                  collapse: str = "min_winner",
+                  metric_lat: float | None = None) -> DataFrame:
     """``match_on`` lists the equality keys a pair must share besides
     proximity. Default (phash, caption) implements the image-payload
     invariants from BASELINE.json; pass ``()`` for the reference's pure
@@ -107,6 +117,11 @@ def union_dataset(df_one: DataFrame, dataset_id_one: str,
       exactly one survivor (the minimum) per transitive cluster.
       Iterative (duplicate clusters are tiny, so a handful of rounds),
       for workloads needing strict cluster semantics.
+
+    ``metric_lat`` opts into the cos(lat) local metric (the
+    spatial_join/tag_road contract): pair distances scale lon meters
+    by cos(metric_lat), candidate pads widen by 1/cos. Default keeps
+    the pinned equator convention.
     """
     if proximity is None:
         proximity = DEFAULT_PROXIMITY_M
@@ -137,7 +152,8 @@ def union_dataset(df_one: DataFrame, dataset_id_one: str,
             F.coalesce(num, F.lit(0).cast("decimal(38,0)")).alias("n"),
             F.col(pk).cast("string").alias("s")))
 
-    _cell_once, _cover_once = _cell_cover_udfs(proximity)
+    lat0 = float(metric_lat) if metric_lat is not None else 0.0
+    _cell_once, _cover_once = _cell_cover_udfs(proximity, lat0)
 
     keys = [k for k in match_on if k in both.columns]
     narrow = both.select(pk, *keys, "lon", "lat", "_rank")
@@ -152,7 +168,7 @@ def union_dataset(df_one: DataFrame, dataset_id_one: str,
                      F.col("lon").alias("r_lon"), F.col("lat").alias("r_lat"),
                      F.col("_rank").alias("r_rank"), "cell"))
 
-    sx = cells.M_PER_DEG_LON_EQ
+    sx = cells.M_PER_DEG_LON_EQ * float(np.cos(np.radians(lat0)))
     sy = cells.M_PER_DEG_LAT
     cond = (left.cell == right.cell) & (left.l_rank > right.r_rank)
     for k in keys:
@@ -176,7 +192,8 @@ def incremental_union_dataset(batch: DataFrame, corpus: DataFrame,
                               proximity: float | None = None,
                               pk: str = "image_id",
                               match_on: tuple = ("phash", "caption"),
-                              release_cache: bool = True) -> DataFrame:
+                              release_cache: bool = True,
+                              metric_lat: float | None = None) -> DataFrame:
     """Admit a NEW drop into an already-unioned dataset without
     re-pairing history — the O4 analogue of
     pipeline/dedup.incremental_hash_neardup for the geospatial tier.
@@ -200,14 +217,19 @@ def incremental_union_dataset(batch: DataFrame, corpus: DataFrame,
     cells). Duplicate floods cannot make a corpus cell hot on the
     match keys because the corpus is itself a union survivor set:
     within ``proximity``, its records differ in payload keys by
-    invariant."""
+    invariant.
+
+    ``metric_lat`` opts into the cos(lat) local metric on both the
+    cross (batch-vs-corpus) and within-batch rules, same contract as
+    union_dataset."""
     if proximity is None:
         proximity = DEFAULT_PROXIMITY_M
     if isinstance(proximity, str) or not isinstance(proximity, (int, float)):
         raise InputException("proximity must be a number")
     proximity = float(proximity)
 
-    cell_u, cover_u = _cell_cover_udfs(proximity)
+    lat0 = float(metric_lat) if metric_lat is not None else 0.0
+    cell_u, cover_u = _cell_cover_udfs(proximity, lat0)
     keys = [k for k in match_on
             if k in batch.columns and k in corpus.columns]
     # persist the narrow batch projection: the cross path, the
@@ -230,7 +252,7 @@ def incremental_union_dataset(batch: DataFrame, corpus: DataFrame,
     joined = b.join(c, "cell")
     for k in keys:
         joined = joined.filter(F.col(f"l_{k}") == F.col(f"r_{k}"))
-    sx = cells.M_PER_DEG_LON_EQ
+    sx = cells.M_PER_DEG_LON_EQ * float(np.cos(np.radians(lat0)))
     sy = cells.M_PER_DEG_LAT
     cross = (joined.filter(
         F.sqrt(F.pow((F.col("l_lon") - F.col("r_lon")) * sx, 2)
@@ -243,7 +265,8 @@ def incremental_union_dataset(batch: DataFrame, corpus: DataFrame,
     b_ds = narrow.withColumn("dataset_id", F.lit("_batch"))
     within_surv = union_dataset(b_ds, "_batch", b_ds, "_batch",
                                 proximity=proximity, pk=pk,
-                                match_on=match_on).select(pk)
+                                match_on=match_on,
+                                metric_lat=metric_lat).select(pk)
     within = narrow.select(pk).join(within_surv, pk, "left_anti")
 
     losers = cross.unionByName(within).distinct()

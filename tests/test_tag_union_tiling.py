@@ -692,3 +692,37 @@ def test_tag_road_metric_lat_winner_flip_all_paths(spark, monkeypatch):
                   metric_lat=lat).collect()
     r2 = {(r["image_id"], r["knn_rank"]): r["edge_id"] for r in k2}
     assert r2[("img-0000", 1)] == 0 and r2[("img-0000", 2)] == 1
+
+
+def test_union_dedup_metric_lat_flip(spark):
+    """cos(lat) local metric on proximity dedup: duplicate pairs are
+    lon-separated so the SAME pair reads 0.668 m at the equator (no
+    merge at proximity 0.5) and 0.450 m locally at 47.6N (merge); a
+    control pair at 0.30 m equator merges under both. The incremental
+    path must agree with the batch path under both metrics."""
+    from tdei_backend_service_spark.operators.union_dataset import (
+        incremental_union_dataset)
+
+    lat = 47.6
+    flip = 6e-6            # deg lon: 0.668 m equator / 0.450 m local
+    both = 2.7e-6          # deg lon: 0.300 m equator / 0.203 m local
+    A = spark.createDataFrame(pd.DataFrame([
+        _img_row(0, -122.30, lat, "ds-A", phash=7, caption="x"),
+        _img_row(1, -122.20, lat, "ds-A", phash=8, caption="y"),
+    ]), schema=IMAGES_SCHEMA)
+    B = spark.createDataFrame(pd.DataFrame([
+        _img_row(100, -122.30 + flip, lat, "ds-B", phash=7, caption="x"),
+        _img_row(101, -122.20 + both, lat, "ds-B", phash=8, caption="y"),
+    ]), schema=IMAGES_SCHEMA)
+
+    def ids(df):
+        return sorted(r.image_id for r in df.select("image_id").collect())
+
+    assert ids(union_dataset(A, "ds-A", B, "ds-B")) == [
+        "img-0000", "img-0001", "img-0100"]
+    assert ids(union_dataset(A, "ds-A", B, "ds-B", metric_lat=lat)) == [
+        "img-0000", "img-0001"]
+
+    corpus = A.select("lon", "lat", "phash", "caption")
+    assert ids(incremental_union_dataset(B, corpus)) == ["img-0100"]
+    assert ids(incremental_union_dataset(B, corpus, metric_lat=lat)) == []
