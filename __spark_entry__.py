@@ -1411,6 +1411,21 @@ def _q_mix_domains(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("copy").cast("long").alias("copy")))
 
 
+def _q_geo_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-aware geo holdout (pipeline/curation.geo_split, r6):
+    every record in the same depth-20 grid cell (~343 m lon x 172 m
+    lat blocks) gets the same train/val/test label, so co-located
+    near-duplicates never straddle an eval boundary. Pure narrow map —
+    two JVM floors + the affine scramble hash + a CASE; zero shuffle.
+    The oracle replays the identical closed form (pow-2 cell divisions
+    are exact exponent shifts, so the floors are engine-identical)."""
+    from tdei_backend_service_spark.pipeline.curation import geo_split
+    pts = FX.orders_points(spark, sf)
+    out = geo_split(pts, {"train": 0.8, "val": 0.1, "test": 0.1},
+                    depth=20, method="scramble")
+    return out.select("o_orderkey", "split")
+
+
 def _q_ngram_top(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus bigram statistics (pipeline/text.ngram_counts): top 50
     bigrams with counts — transform-over-sequence n-gram build on the
@@ -1957,7 +1972,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: of driver-coverage staleness — the 41 rows never driver-hashed, this
 #: round's new rows, then the oldest (r4-verified) rows; everything else
 #: keeps its r4/r5 green plus the check_oracle sweep. Rotate per round.
-_LEAD_ROWS = ['corpus_report', 'hamming_cluster_dedup', 'cluster_keep_best', 'embedding_cluster_dedup', 'ivf_quantized_topk', 'ivf_indexed_topk', 'augment_meta', 'cross_modal_dedup', 'incremental_phash_dedup', 'store_phash_dedup', 'incremental_embedding_dedup', 'store_embedding_dedup', 'incremental_union', 'incremental_minhash_dedup', 'mix_domains', 'decontam_hits', 'decontam_survivors', 'line_dedup', 'zonal_image_stats', 'curate_corpus', 'pii_redact', 'corpus_shuffle', 'tile_raster', 'raster_pyramid', 'tile_mosaic', 'raster_extract', 'raster_focal', 'raster_algebra', 'zonal_raster', 'zonal_brightness', 'raster_hotspots', 'zone_burnin', 'viewport_similar', 'viewport_caption_similar', 'geo_visual_dedup', 'incremental_geo_visual', 'tile_viewport', 'incremental_raster', 'session_windows', 'streaming_tiles', 'streaming_zones', 'connected_components', 'zone_contains_count', 'dwithin_local_count', 'knn_local_tag', 'union_local_dedup', 'bbox_edges', 'zone_pip_count', 'tri_zone_pip', 'angle_join', 'angle_buffer_join', 'osm_ways']
+_LEAD_ROWS = ['corpus_report', 'hamming_cluster_dedup', 'cluster_keep_best', 'embedding_cluster_dedup', 'ivf_quantized_topk', 'ivf_indexed_topk', 'augment_meta', 'cross_modal_dedup', 'incremental_phash_dedup', 'store_phash_dedup', 'incremental_embedding_dedup', 'store_embedding_dedup', 'incremental_union', 'incremental_minhash_dedup', 'mix_domains', 'decontam_hits', 'decontam_survivors', 'line_dedup', 'zonal_image_stats', 'curate_corpus', 'pii_redact', 'corpus_shuffle', 'tile_raster', 'raster_pyramid', 'tile_mosaic', 'raster_extract', 'raster_focal', 'raster_algebra', 'zonal_raster', 'zonal_brightness', 'raster_hotspots', 'zone_burnin', 'viewport_similar', 'viewport_caption_similar', 'geo_visual_dedup', 'incremental_geo_visual', 'tile_viewport', 'incremental_raster', 'session_windows', 'streaming_tiles', 'streaming_zones', 'connected_components', 'zone_contains_count', 'dwithin_local_count', 'knn_local_tag', 'union_local_dedup', 'geo_split_assign', 'bbox_edges', 'zone_pip_count', 'tri_zone_pip', 'angle_join', 'angle_buffer_join', 'osm_ways']
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2045,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_local_count": _q_dwithin_local,
         "knn_local_tag": _q_knn_local_tag,
         "union_local_dedup": _q_union_local,
+        "geo_split_assign": _q_geo_split,
         "bbox_edges": _q_bbox_edges,
         "tri_zone_pip": _q_tri_zone_pip,
         # angle predicate (cross-join + bounded combined paths) and the
@@ -3999,6 +4015,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source,
                    CAST(unnest(range(copies)) AS BIGINT) AS copy
             FROM c
+        """,
+        # leakage-aware geo holdout: the depth-20 cell (pow-2 divisions
+        # = exact exponent shifts, floors engine-identical on the same
+        # doubles) packed ix*2^32+iy, scrambled mod-prime then bucketed
+        # in ppm; unit is always >= 0 so % == pmod here
+        "geo_split_assign": f"""
+            SELECT o_orderkey,
+                   CASE WHEN bkt < 800000 THEN 'train'
+                        WHEN bkt < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT o_orderkey,
+                         ((CAST(FLOOR(({_LON} + 180.0)
+                                      / (360.0 / 1048576.0)) AS BIGINT)
+                             * 4294967296
+                           + CAST(FLOOR(({_LAT} + 90.0)
+                                        / (180.0 / 1048576.0)) AS BIGINT))
+                          % 999983 + 7) * 2654435761 % 1000000 AS bkt
+                  FROM orders)
         """,
         # bigram build mirrored as a list comprehension over the same
         # whitespace split; deterministic (count desc, ngram asc) top-k

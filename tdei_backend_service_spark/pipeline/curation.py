@@ -243,3 +243,103 @@ def mix_domains(df: DataFrame, key_col: str,
             .withColumn("_copies", copies)
             .withColumn(copy_col, F.explode(reps))
             .drop("_rk", "_num", "_den", "_copies"))
+
+
+# geo_split's scramble pre-reduces the hash unit modulo this prime, so
+# ANY non-negative int64 unit stays inside the int64 multiply envelope
+# ((SPLIT_MOD - 1 + seed) * PACK_SCRAMBLE ~ 2.7e15) with no range guard
+SPLIT_MOD = 999983  # largest prime < 10^6
+SPLIT_PPM = 1_000_000
+
+
+def geo_split(df: DataFrame, splits: dict[str, float],
+              depth: int = 16, lon_col: str = "lon", lat_col: str = "lat",
+              group_col: str | None = None, seed: int = 7,
+              method: str = "xxhash64", out_col: str = "split") -> DataFrame:
+    """Leakage-aware train/val/test assignment by SPATIAL BLOCK (or any
+    grouping key): every record in the same depth-``depth`` grid cell —
+    or with the same ``group_col`` value — gets the same split label,
+    so co-located records (the same scene photographed twice, near-
+    duplicate crops of one storefront) can never straddle an eval
+    boundary. Random per-row splitting leaks exactly those pairs; a
+    geotagged training corpus needs the split unit to be the PLACE.
+
+    The unit is the (ix, iy) grid cell at ``depth`` (same axis
+    geometry as core/cells.py: 360/2^d deg lon x 180/2^d deg lat;
+    depth 16 ~ 611 m x 306 m blocks at the equator), packed as
+    ix * 2^32 + iy — no Morton interleave, so the unit is replicable
+    in plain SQL. Cell-level blocking is a guarantee about cells, not
+    radii: a duplicate pair straddling a cell border can still split.
+    For strict pair-level guarantees pass the near-dup CLUSTER id
+    (pipeline/dedup.hash_cluster_dedup et al.) as ``group_col`` —
+    then the split unit is the transitive duplicate class itself.
+
+    ``splits`` maps name -> fraction; fractions must be positive and
+    sum to 1. They convert to cumulative parts-per-million thresholds
+    with the LAST split absorbing float rounding (mix_domains'
+    telescoping rule), so the buckets partition [0, 1e6) exactly and
+    every row gets exactly one label.
+
+    ``method`` as in sample_per_key: ``xxhash64`` (default) is the
+    production path — a real avalanche hash of (unit, seed), so split
+    membership is uncorrelated with geography at every scale above the
+    block size; ``scramble`` is the affine
+    ``((unit % 999983 + seed) * 2654435761) % 1e6`` — bit-identical in
+    any SQL engine (what the DuckDB contract row pins), with the usual
+    affine caveat that regular unit strides map to regular bucket
+    strides. With ``group_col`` + scramble the column must be integral
+    (pmod keeps negatives consistent; mirror as ((x % m) + m) % m in
+    ANSI SQL).
+
+    Scale shape: a PURE NARROW MAP — two JVM floor ops (or the group
+    column) + one hash + a CASE chain; no shuffle, no Python, no
+    state, nothing driver-side. At 10^12 rows this is a projection
+    fused into the scan, and the assignment is reproducible from
+    (depth, seed, splits) alone — no split manifest to store."""
+    if not splits:
+        raise ValueError("geo_split: splits must be non-empty")
+    names = list(splits)
+    fracs = [float(splits[n]) for n in names]
+    if any(f <= 0 for f in fracs):
+        raise ValueError("geo_split: every split fraction must be > 0")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(
+            f"geo_split: fractions must sum to 1, got {sum(fracs)}")
+    cuts, acc = [], 0.0
+    for i, f in enumerate(fracs):
+        acc += f
+        cuts.append(SPLIT_PPM if i == len(fracs) - 1
+                    else int(round(acc * SPLIT_PPM)))
+    if any(b <= a for a, b in zip(cuts, cuts[1:])) or cuts[0] <= 0:
+        raise ValueError(
+            f"geo_split: a split rounds to zero width in ppm: "
+            f"{dict(zip(names, fracs))}")
+
+    if group_col is not None:
+        unit = F.col(group_col)
+        if method == "scramble":
+            kind = df.schema[group_col].dataType.typeName()
+            if kind not in ("byte", "short", "integer", "long"):
+                raise ValueError(
+                    "geo_split(method='scramble') needs an integral "
+                    f"group_col, got {kind}; use method='xxhash64'")
+            unit = unit.cast("long")
+    else:
+        size = 360.0 / (1 << int(depth))
+        ix = F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(size))
+        iy = F.floor((F.col(lat_col) + F.lit(90.0)) / F.lit(size / 2.0))
+        unit = ix * F.lit(1 << 32) + iy
+
+    if method == "xxhash64":
+        bkt = F.pmod(F.xxhash64(unit, F.lit(seed)), F.lit(SPLIT_PPM))
+    elif method == "scramble":
+        bkt = (((F.pmod(unit, F.lit(SPLIT_MOD)) + F.lit(seed))
+                * F.lit(PACK_SCRAMBLE)) % F.lit(SPLIT_PPM))
+    else:
+        raise ValueError(f"unknown sample method {method!r}")
+
+    label = None
+    for name, cut in zip(names, cuts):
+        cond = bkt < F.lit(cut)
+        label = F.when(cond, name) if label is None else label.when(cond, name)
+    return df.withColumn(out_col, label)
