@@ -1426,6 +1426,22 @@ def _q_geo_split(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("o_orderkey", "split")
 
 
+def _q_split_leak(spark: SparkSession, sf: str) -> DataFrame:
+    """Split leakage audit (pipeline/curation.split_leak_audit, r6):
+    planted A/B duplicate pairs (0.22 m apart, equal phash+caption)
+    where side A is all 'train' and side B is labeled by phash parity
+    — exactly the odd-custkey dup pairs leak. Same banded candidate
+    shape as union_dataset (cover explode + (cell, payload) equi-join
+    + refine); never all-pairs."""
+    from tdei_backend_service_spark.pipeline.curation import split_leak_audit
+    a = (FX.customer_images(spark, sf, "A")
+         .withColumn("split", F.lit("train")))
+    b = (FX.customer_images(spark, sf, "B")
+         .withColumn("split", F.when(F.col("phash") % 2 == 0,
+                                     F.lit("train")).otherwise(F.lit("test"))))
+    return split_leak_audit(a.unionByName(b))
+
+
 def _q_ngram_top(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus bigram statistics (pipeline/text.ngram_counts): top 50
     bigrams with counts — transform-over-sequence n-gram build on the
@@ -1972,7 +1988,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: of driver-coverage staleness — the 41 rows never driver-hashed, this
 #: round's new rows, then the oldest (r4-verified) rows; everything else
 #: keeps its r4/r5 green plus the check_oracle sweep. Rotate per round.
-_LEAD_ROWS = ['corpus_report', 'hamming_cluster_dedup', 'cluster_keep_best', 'embedding_cluster_dedup', 'ivf_quantized_topk', 'ivf_indexed_topk', 'augment_meta', 'cross_modal_dedup', 'incremental_phash_dedup', 'store_phash_dedup', 'incremental_embedding_dedup', 'store_embedding_dedup', 'incremental_union', 'incremental_minhash_dedup', 'mix_domains', 'decontam_hits', 'decontam_survivors', 'line_dedup', 'zonal_image_stats', 'curate_corpus', 'pii_redact', 'corpus_shuffle', 'tile_raster', 'raster_pyramid', 'tile_mosaic', 'raster_extract', 'raster_focal', 'raster_algebra', 'zonal_raster', 'zonal_brightness', 'raster_hotspots', 'zone_burnin', 'viewport_similar', 'viewport_caption_similar', 'geo_visual_dedup', 'incremental_geo_visual', 'tile_viewport', 'incremental_raster', 'session_windows', 'streaming_tiles', 'streaming_zones', 'connected_components', 'zone_contains_count', 'dwithin_local_count', 'knn_local_tag', 'union_local_dedup', 'geo_split_assign', 'bbox_edges', 'zone_pip_count', 'tri_zone_pip', 'angle_join', 'angle_buffer_join', 'osm_ways']
+_LEAD_ROWS = ['corpus_report', 'hamming_cluster_dedup', 'cluster_keep_best', 'embedding_cluster_dedup', 'ivf_quantized_topk', 'ivf_indexed_topk', 'augment_meta', 'cross_modal_dedup', 'incremental_phash_dedup', 'store_phash_dedup', 'incremental_embedding_dedup', 'store_embedding_dedup', 'incremental_union', 'incremental_minhash_dedup', 'mix_domains', 'decontam_hits', 'decontam_survivors', 'line_dedup', 'zonal_image_stats', 'curate_corpus', 'pii_redact', 'corpus_shuffle', 'tile_raster', 'raster_pyramid', 'tile_mosaic', 'raster_extract', 'raster_focal', 'raster_algebra', 'zonal_raster', 'zonal_brightness', 'raster_hotspots', 'zone_burnin', 'viewport_similar', 'viewport_caption_similar', 'geo_visual_dedup', 'incremental_geo_visual', 'tile_viewport', 'incremental_raster', 'session_windows', 'streaming_tiles', 'streaming_zones', 'connected_components', 'zone_contains_count', 'dwithin_local_count', 'knn_local_tag', 'union_local_dedup', 'geo_split_assign', 'split_leak_pairs', 'bbox_edges', 'zone_pip_count', 'tri_zone_pip', 'angle_join', 'angle_buffer_join', 'osm_ways']
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2061,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_local_tag": _q_knn_local_tag,
         "union_local_dedup": _q_union_local,
         "geo_split_assign": _q_geo_split,
+        "split_leak_pairs": _q_split_leak,
         "bbox_edges": _q_bbox_edges,
         "tri_zone_pip": _q_tri_zone_pip,
         # angle predicate (cross-join + bounded combined paths) and the
@@ -4033,6 +4050,15 @@ def oracle_sql() -> dict[str, str]:
                                         / (180.0 / 1048576.0)) AS BIGINT))
                           % 999983 + 7) * 2654435761 % 1000000 AS bkt
                   FROM orders)
+        """,
+        # the planted leak set in closed form: dup pairs are custkey<300
+        # (0.22 m apart, equal payload); side B's parity label differs
+        # from side A's 'train' exactly on odd custkeys
+        "split_leak_pairs": """
+            SELECT 'A-' || c_custkey AS pk_a, 'B-' || c_custkey AS pk_b,
+                   'train' AS split_a, 'test' AS split_b
+            FROM customer
+            WHERE c_custkey < 300 AND c_custkey % 2 = 1
         """,
         # bigram build mirrored as a list comprehension over the same
         # whitespace split; deterministic (count desc, ngram asc) top-k

@@ -343,3 +343,62 @@ def geo_split(df: DataFrame, splits: dict[str, float],
         cond = bkt < F.lit(cut)
         label = F.when(cond, name) if label is None else label.when(cond, name)
     return df.withColumn(out_col, label)
+
+
+def split_leak_audit(df: DataFrame, split_col: str = "split",
+                     proximity: float = 0.5, pk: str = "image_id",
+                     match_on: tuple = ("phash", "caption"),
+                     metric_lat: float | None = None) -> DataFrame:
+    """Audit a split assignment for train/eval leakage: emit every
+    near-duplicate pair — union_dataset's merge rule: within
+    ``proximity`` meters AND equal on every ``match_on`` payload key —
+    whose two sides carry DIFFERENT ``split_col`` labels. An empty
+    result certifies the split is leak-free under that duplicate
+    notion; a non-empty one lists exactly which records to move.
+    geo_split's cell blocking makes leaks impossible for intra-cell
+    duplicates, but a pair straddling a cell border (or a split made
+    by any other tool) can leak — this is the check a training
+    pipeline runs before freezing an eval set.
+
+    Output: one row per unordered offending pair
+    (pk_a, pk_b, split_a, split_b), pk_a < pk_b as strings
+    (deterministic).
+
+    Scale shape: identical to union_dataset's candidate stage — a
+    padded-cover explode on one side, a (cell, *match_on) equi-join,
+    exact distance refine. Candidates are banded by cell + payload
+    keys, never all-pairs; ``metric_lat`` opts into the cos(lat)
+    local metric with the same contract as union_dataset."""
+    from ..operators.union_dataset import _cell_cover_udfs
+
+    lat0 = float(metric_lat) if metric_lat is not None else 0.0
+    cell_u, cover_u = _cell_cover_udfs(float(proximity), lat0)
+    keys = [k for k in match_on if k in df.columns]
+    narrow = df.select(pk, split_col, *keys, "lon", "lat")
+    left = (narrow.withColumn("cell",
+                              F.explode(cover_u(F.col("lon"), F.col("lat"))))
+            .select(F.col(pk).cast("string").alias("pk_a"),
+                    F.col(split_col).alias("split_a"),
+                    *[F.col(k).alias(f"l_{k}") for k in keys],
+                    F.col("lon").alias("l_lon"), F.col("lat").alias("l_lat"),
+                    "cell"))
+    right = (narrow.withColumn("cell", cell_u(F.col("lon"), F.col("lat")))
+             .select(F.col(pk).cast("string").alias("pk_b"),
+                     F.col(split_col).alias("split_b"),
+                     *[F.col(k).alias(f"r_{k}") for k in keys],
+                     F.col("lon").alias("r_lon"), F.col("lat").alias("r_lat"),
+                     "cell"))
+    import numpy as np
+    from ..core import cells as _cells
+    sx = _cells.M_PER_DEG_LON_EQ * float(np.cos(np.radians(lat0)))
+    sy = _cells.M_PER_DEG_LAT
+    cond = (left.cell == right.cell) & (left.pk_a < right.pk_b)
+    for k in keys:
+        cond = cond & (F.col(f"l_{k}") == F.col(f"r_{k}"))
+    return (left.join(right, cond)
+            .filter(F.sqrt(F.pow((F.col("l_lon") - F.col("r_lon")) * sx, 2)
+                           + F.pow((F.col("l_lat") - F.col("r_lat")) * sy, 2))
+                    <= float(proximity))
+            .filter(F.col("split_a") != F.col("split_b"))
+            .select("pk_a", "pk_b", "split_a", "split_b")
+            .distinct())

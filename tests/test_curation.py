@@ -449,3 +449,40 @@ def test_geo_split_scramble_matches_duckdb(spark):
               FROM pdf)
     """).fetchall())
     assert got == want
+
+
+def test_split_leak_audit_flags_cross_split_dups(spark):
+    """Near-dup pairs (within proximity + equal payload keys) whose
+    splits differ are flagged; same-split dups, far pairs, and
+    payload-mismatched neighbors are not. The metric_lat option flips
+    a 0.668 m-equator / 0.450 m-local pair in and out of scope."""
+    from tdei_backend_service_spark.pipeline.curation import split_leak_audit
+    lat = 47.6
+    rows = pd.DataFrame([
+        # leak: 0.22 m apart, same payload, different splits
+        {"image_id": "a0", "lon": -122.30, "lat": lat, "phash": 1,
+         "caption": "x", "split": "train"},
+        {"image_id": "b0", "lon": -122.30, "lat": lat + 2e-6, "phash": 1,
+         "caption": "x", "split": "test"},
+        # same-split dup: not a leak
+        {"image_id": "a1", "lon": -122.20, "lat": lat, "phash": 2,
+         "caption": "y", "split": "train"},
+        {"image_id": "b1", "lon": -122.20, "lat": lat + 2e-6, "phash": 2,
+         "caption": "y", "split": "train"},
+        # payload mismatch at zero distance: not a dup at all
+        {"image_id": "a2", "lon": -122.10, "lat": lat, "phash": 3,
+         "caption": "z", "split": "train"},
+        {"image_id": "b2", "lon": -122.10, "lat": lat, "phash": 4,
+         "caption": "z", "split": "test"},
+        # metric-flip pair: 6e-6 deg lon apart, different splits
+        {"image_id": "a3", "lon": -122.00, "lat": lat, "phash": 5,
+         "caption": "w", "split": "train"},
+        {"image_id": "b3", "lon": -122.00 + 6e-6, "lat": lat, "phash": 5,
+         "caption": "w", "split": "test"},
+    ])
+    df = spark.createDataFrame(rows)
+    eq = split_leak_audit(df)
+    assert [(r.pk_a, r.pk_b) for r in eq.collect()] == [("a0", "b0")]
+    loc = split_leak_audit(df, metric_lat=lat)
+    assert sorted((r.pk_a, r.pk_b) for r in loc.collect()) == [
+        ("a0", "b0"), ("a3", "b3")]
