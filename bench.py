@@ -110,7 +110,15 @@ def main() -> None:
         # ST_Contains predicate path
         "connected_components", "zone_contains_count",
         "dwithin_local_count",
+        # r6 continuation: local metric on kNN tagging + union dedup,
+        # leakage-aware geo holdout + split leak audit
+        "knn_local_tag", "union_local_dedup",
+        "geo_split_assign", "split_leak_pairs",
     ]
+    # every contract row gets a wall-time row (VERDICT r3 missing #3) —
+    # self-maintaining: rows added to queries() but not listed above
+    # are appended instead of silently dropping out of the bench
+    headline += sorted(k for k in qs if k not in headline)
 
     # input size for throughput: rows entering the spatial suite
     n_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()

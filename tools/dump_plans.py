@@ -270,6 +270,26 @@ COMMENTARY = {
                            "depth widen by 1/cos(47.6), the refine "
                            "scales lon meters by cos — plan shape "
                            "identical to the equator row.",
+    "knn_local_tag": "Zero-shuffle map-only kNN under metric_lat: the "
+                     "10-edge side broadcasts as a padded cover index "
+                     "(pads widened by 1/cos), one MapInPandas emits the "
+                     "argmin inline with the target rows — no exchange "
+                     "at all before the output projection.",
+    "union_local_dedup": "union_dataset plan unchanged under metric_lat: "
+                         "per-axis padded 4-corner cover explode, "
+                         "(cell, phash, caption) equi-join, JVM distance "
+                         "refine with lon scaled by cos, anti-join of "
+                         "min-winner losers.",
+    "geo_split_assign": "PURE NARROW MAP: two JVM floors + the affine "
+                        "scramble + a CASE chain inside one "
+                        "WholeStageCodegen span over the parquet scan — "
+                        "no exchange, no Python; at 10^12 rows this is "
+                        "a projection fused into the scan.",
+    "split_leak_pairs": "Same banded candidate shape as union_dedup: "
+                        "cover explode on one side, (cell, phash, "
+                        "caption) equi-join, distance refine, then the "
+                        "split-label inequality filter and a distinct on "
+                        "the pair ids — never all-pairs.",
 }
 
 
