@@ -78,7 +78,18 @@ def depth_for_radius_m(radius_m: float, lat: float = 0.0) -> int:
     of ``radius_m`` (no false-negative candidates). At the equator the
     lat axis is the tighter one; under the opt-in local metric
     (``lat`` != 0) the lon axis shrinks by cos(lat) and takes over past
-    ~60 deg, so both axes are checked."""
+    ~60 deg, so both axes are checked.
+
+    Envelope (pinned by the property test): the result clips to
+    [1, MAX_DEPTH], so the extent guarantee SATURATES at the ends —
+    radii above half the world's local lon span (~20,000 km * cos(lat),
+    e.g. ~4,800 km at 76 deg) still return depth 1, whose extent is
+    below the radius. No caller's CORRECTNESS rests on the guarantee
+    there: join/trajectory covers pad by explicit degrees (complete at
+    any depth), tag_road's ring expansion settles on the exact
+    guaranteed radius, and union's 4-corner cover hard-fails its
+    invariant check rather than missing candidates. Sub-centimeter
+    radii likewise pin at MAX_DEPTH."""
     r = max(radius_m, 1e-9)
     d_lat = np.floor(np.log2(180.0 * M_PER_DEG_LAT / r))
     coslat = max(np.cos(np.radians(lat)), 1e-6)

@@ -158,3 +158,73 @@ def test_audio_feature_invariants_prop(samples):
     assert 0 <= zc < s.size
     if len(set(samples)) == 1:
         assert zc == 0 and peak == abs(samples[0]) and rms == peak
+
+
+metric_lats = st.floats(min_value=0.0, max_value=85.0, allow_nan=False)
+
+
+@given(coords, st.floats(min_value=-0.5, max_value=0.5),
+       st.floats(min_value=-0.5, max_value=0.5), metric_lats)
+@settings(max_examples=200, deadline=None)
+def test_point_polyline_dist_local_metric_transform_equivalence(
+        pts, px, py, lat0):
+    """The cos(lat0) local metric equals the equator metric applied to
+    lon-pre-scaled coordinates: d_lat0(p, g) == d_0(scale(p), scale(g))
+    where scale multiplies every lon by cos(lat0). Pins that the metric
+    touches ONLY the lon axis and does so uniformly across the
+    single-segment and reduceat kernel specializations."""
+    c = np.cos(np.radians(lat0))
+    g = geom.parse_wkb_batch([geom.wkb_linestring(pts)])
+    gs = geom.parse_wkb_batch(
+        [geom.wkb_linestring([(x * c, y) for x, y in pts])])
+    idx = np.zeros(1, dtype=np.int64)
+    d_local = geom.point_polyline_dist(
+        np.array([px]), np.array([py]), idx, g, lat0)
+    d_scaled = geom.point_polyline_dist(
+        np.array([px * c]), np.array([py]), idx, gs, 0.0)
+    assert np.allclose(d_local, d_scaled, rtol=1e-9, atol=1e-9)
+
+
+@given(coords, coords, metric_lats)
+@settings(max_examples=150, deadline=None)
+def test_pair_min_dist_local_metric_transform_equivalence(a, b, lat0):
+    """Same transform-equivalence for the geometry-geometry kernel
+    (segment-pair expansion + polygon-interior rule: axis scaling
+    preserves containment, so the zero-distance cases agree too)."""
+    c = np.cos(np.radians(lat0))
+
+    def ls(ptset, scale):
+        return geom.wkb_linestring([(x * (c if scale else 1.0), y)
+                                    for x, y in ptset])
+    ga = geom.parse_wkb_batch([ls(a, False)])
+    gb = geom.parse_wkb_batch([ls(b, False)])
+    gas = geom.parse_wkb_batch([ls(a, True)])
+    gbs = geom.parse_wkb_batch([ls(b, True)])
+    idx = np.zeros(1, dtype=np.int64)
+    d_local = geom.pair_min_dist(idx, ga, idx, gb, lat0)
+    d_scaled = geom.pair_min_dist(idx, gas, idx, gbs, 0.0)
+    assert np.allclose(d_local, d_scaled, rtol=1e-9, atol=1e-9)
+
+
+@given(st.floats(min_value=0.1, max_value=5e6, allow_nan=False),
+       metric_lats)
+@settings(max_examples=300, deadline=None)
+def test_depth_for_radius_local_extent_guarantee(radius_m, lat0):
+    """depth_for_radius_m's contract under the local metric: at the
+    returned depth, the cell extent is >= radius on BOTH axes in local
+    meters (lon meters scaled by cos), so one neighbor ring always
+    covers the predicate radius."""
+    d = cells.depth_for_radius_m(radius_m, lat0)
+    coslat = max(np.cos(np.radians(lat0)), 1e-6)
+    lat_m = 180.0 / (1 << d) * cells.M_PER_DEG_LAT
+    lon_m = 360.0 / (1 << d) * cells.M_PER_DEG_LON_EQ * coslat
+    # the guarantee saturates at both clip ends (see the docstring):
+    # continental radii pin at depth 1, sub-cm radii at MAX_DEPTH
+    raw = min(np.floor(np.log2(180.0 * cells.M_PER_DEG_LAT / radius_m)),
+              np.floor(np.log2(360.0 * cells.M_PER_DEG_LON_EQ * coslat
+                               / radius_m)))
+    if 1 <= raw and d < cells.MAX_DEPTH:
+        assert lat_m >= radius_m * (1 - 1e-12)
+        assert lon_m >= radius_m * (1 - 1e-12)
+    elif raw < 1:
+        assert d == 1  # saturated, documented
