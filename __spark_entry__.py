@@ -1426,6 +1426,20 @@ def _q_geo_split(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("o_orderkey", "split")
 
 
+def _q_domain_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-holdout split (geo_split group_col mode, r6): the split
+    unit is the SOURCE domain (integer suffix of 'src<k>'), so entire
+    domains land in one split — the held-out-domain eval practice.
+    Same pure narrow map as the cell path; scramble keeps it
+    SQL-exact."""
+    from tdei_backend_service_spark.pipeline.curation import geo_split
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .withColumn("_gid", F.substring("source", 4, 10).cast("long")))
+    out = geo_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                    group_col="_gid", method="scramble")
+    return out.select("doc_id", "source", "split")
+
+
 def _q_split_leak(spark: SparkSession, sf: str) -> DataFrame:
     """Split leakage audit (pipeline/curation.split_leak_audit, r6):
     planted A/B duplicate pairs (0.22 m apart, equal phash+caption)
@@ -1988,7 +2002,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: of driver-coverage staleness — the 41 rows never driver-hashed, this
 #: round's new rows, then the oldest (r4-verified) rows; everything else
 #: keeps its r4/r5 green plus the check_oracle sweep. Rotate per round.
-_LEAD_ROWS = ['corpus_report', 'hamming_cluster_dedup', 'cluster_keep_best', 'embedding_cluster_dedup', 'ivf_quantized_topk', 'ivf_indexed_topk', 'augment_meta', 'cross_modal_dedup', 'incremental_phash_dedup', 'store_phash_dedup', 'incremental_embedding_dedup', 'store_embedding_dedup', 'incremental_union', 'incremental_minhash_dedup', 'mix_domains', 'decontam_hits', 'decontam_survivors', 'line_dedup', 'zonal_image_stats', 'curate_corpus', 'pii_redact', 'corpus_shuffle', 'tile_raster', 'raster_pyramid', 'tile_mosaic', 'raster_extract', 'raster_focal', 'raster_algebra', 'zonal_raster', 'zonal_brightness', 'raster_hotspots', 'zone_burnin', 'viewport_similar', 'viewport_caption_similar', 'geo_visual_dedup', 'incremental_geo_visual', 'tile_viewport', 'incremental_raster', 'session_windows', 'streaming_tiles', 'streaming_zones', 'connected_components', 'zone_contains_count', 'dwithin_local_count', 'knn_local_tag', 'union_local_dedup', 'geo_split_assign', 'split_leak_pairs', 'bbox_edges', 'zone_pip_count', 'tri_zone_pip', 'angle_join', 'angle_buffer_join', 'osm_ways']
+_LEAD_ROWS = ['corpus_report', 'hamming_cluster_dedup', 'cluster_keep_best', 'embedding_cluster_dedup', 'ivf_quantized_topk', 'ivf_indexed_topk', 'augment_meta', 'cross_modal_dedup', 'incremental_phash_dedup', 'store_phash_dedup', 'incremental_embedding_dedup', 'store_embedding_dedup', 'incremental_union', 'incremental_minhash_dedup', 'mix_domains', 'decontam_hits', 'decontam_survivors', 'line_dedup', 'zonal_image_stats', 'curate_corpus', 'pii_redact', 'corpus_shuffle', 'tile_raster', 'raster_pyramid', 'tile_mosaic', 'raster_extract', 'raster_focal', 'raster_algebra', 'zonal_raster', 'zonal_brightness', 'raster_hotspots', 'zone_burnin', 'viewport_similar', 'viewport_caption_similar', 'geo_visual_dedup', 'incremental_geo_visual', 'tile_viewport', 'incremental_raster', 'session_windows', 'streaming_tiles', 'streaming_zones', 'connected_components', 'zone_contains_count', 'dwithin_local_count', 'knn_local_tag', 'union_local_dedup', 'geo_split_assign', 'domain_split_assign', 'split_leak_pairs', 'bbox_edges', 'zone_pip_count', 'tri_zone_pip', 'angle_join', 'angle_buffer_join', 'osm_ways']
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2077,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_local_tag": _q_knn_local_tag,
         "union_local_dedup": _q_union_local,
         "geo_split_assign": _q_geo_split,
+        "domain_split_assign": _q_domain_split,
         "split_leak_pairs": _q_split_leak,
         "bbox_edges": _q_bbox_edges,
         "tri_zone_pip": _q_tri_zone_pip,
@@ -4050,6 +4065,18 @@ def oracle_sql() -> dict[str, str]:
                                         / (180.0 / 1048576.0)) AS BIGINT))
                           % 999983 + 7) * 2654435761 % 1000000 AS bkt
                   FROM orders)
+        """,
+        # domain-holdout split: the scramble bucket of the integer
+        # domain suffix, bucketed in ppm
+        "domain_split_assign": """
+            SELECT doc_id, source,
+                   CASE WHEN bkt < 800000 THEN 'train'
+                        WHEN bkt < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, source,
+                         ((CAST(SUBSTR(source, 4) AS BIGINT) % 999983 + 7)
+                          * 2654435761) % 1000000 AS bkt
+                  FROM documents)
         """,
         # the planted leak set in closed form: dup pairs are custkey<300
         # (0.22 m apart, equal payload); side B's parity label differs
