@@ -818,6 +818,22 @@ def _q_knn_local_tag(spark: SparkSession, sf: str) -> DataFrame:
                       .alias("nearest_edge_id"))
 
 
+def _q_gaps_local(spark: SparkSession, sf: str) -> DataFrame:
+    """coverage_gaps under the cos(lat) LOCAL metric (r6, trajectory
+    tier): order points vs the vertical-edge lattice, 300 m local
+    cutoff. Distance to the nearest edge is purely longitudinal —
+    d units of 1e-6 deg -> d * 0.111320 * cos(47.6) meters — so the
+    gap set is an integer-threshold residue query (d >= 3997; the
+    boundary has ~4 cm slack on both sides, 7 orders above fp noise).
+    Under the equator convention the threshold would be 2695, so the
+    row count itself pins the metric."""
+    pts = FX.orders_points(spark, sf)
+    edges = FX.vgrid_edges(spark)
+    out = TJ.coverage_gaps(pts, edges, "tpch-vedges", pk="o_orderkey",
+                        cutoff_m=300.0, metric_lat=FX.LAT0)
+    return out.select("o_orderkey")
+
+
 def _q_union_local(spark: SparkSession, sf: str) -> DataFrame:
     """union_dataset under the opt-in cos(lat) LOCAL metric (r6,
     union_dataset metric_lat): B-side duplicates are lon-shifted 6e-6
@@ -2002,7 +2018,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: of driver-coverage staleness — the 41 rows never driver-hashed, this
 #: round's new rows, then the oldest (r4-verified) rows; everything else
 #: keeps its r4/r5 green plus the check_oracle sweep. Rotate per round.
-_LEAD_ROWS = ['corpus_report', 'hamming_cluster_dedup', 'cluster_keep_best', 'embedding_cluster_dedup', 'ivf_quantized_topk', 'ivf_indexed_topk', 'augment_meta', 'cross_modal_dedup', 'incremental_phash_dedup', 'store_phash_dedup', 'incremental_embedding_dedup', 'store_embedding_dedup', 'incremental_union', 'incremental_minhash_dedup', 'mix_domains', 'decontam_hits', 'decontam_survivors', 'line_dedup', 'zonal_image_stats', 'curate_corpus', 'pii_redact', 'corpus_shuffle', 'tile_raster', 'raster_pyramid', 'tile_mosaic', 'raster_extract', 'raster_focal', 'raster_algebra', 'zonal_raster', 'zonal_brightness', 'raster_hotspots', 'zone_burnin', 'viewport_similar', 'viewport_caption_similar', 'geo_visual_dedup', 'incremental_geo_visual', 'tile_viewport', 'incremental_raster', 'session_windows', 'streaming_tiles', 'streaming_zones', 'connected_components', 'zone_contains_count', 'dwithin_local_count', 'knn_local_tag', 'union_local_dedup', 'geo_split_assign', 'domain_split_assign', 'split_leak_pairs', 'bbox_edges', 'zone_pip_count', 'tri_zone_pip', 'angle_join', 'angle_buffer_join', 'osm_ways']
+_LEAD_ROWS = ['corpus_report', 'hamming_cluster_dedup', 'cluster_keep_best', 'embedding_cluster_dedup', 'ivf_quantized_topk', 'ivf_indexed_topk', 'augment_meta', 'cross_modal_dedup', 'incremental_phash_dedup', 'store_phash_dedup', 'incremental_embedding_dedup', 'store_embedding_dedup', 'incremental_union', 'incremental_minhash_dedup', 'mix_domains', 'decontam_hits', 'decontam_survivors', 'line_dedup', 'zonal_image_stats', 'curate_corpus', 'pii_redact', 'corpus_shuffle', 'tile_raster', 'raster_pyramid', 'tile_mosaic', 'raster_extract', 'raster_focal', 'raster_algebra', 'zonal_raster', 'zonal_brightness', 'raster_hotspots', 'zone_burnin', 'viewport_similar', 'viewport_caption_similar', 'geo_visual_dedup', 'incremental_geo_visual', 'tile_viewport', 'incremental_raster', 'session_windows', 'streaming_tiles', 'streaming_zones', 'connected_components', 'zone_contains_count', 'dwithin_local_count', 'knn_local_tag', 'union_local_dedup', 'geo_split_assign', 'domain_split_assign', 'split_leak_pairs', 'coverage_gaps_local', 'bbox_edges', 'zone_pip_count', 'tri_zone_pip', 'angle_join', 'angle_buffer_join', 'osm_ways']
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2089,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_contains_count": _q_zone_contains,
         "dwithin_local_count": _q_dwithin_local,
         "knn_local_tag": _q_knn_local_tag,
+        "coverage_gaps_local": _q_gaps_local,
         "union_local_dedup": _q_union_local,
         "geo_split_assign": _q_geo_split,
         "domain_split_assign": _q_domain_split,
@@ -3167,6 +3184,20 @@ def oracle_sql() -> dict[str, str]:
                          (o_orderkey * 2654435761) % 100000 AS u
                   FROM orders)
             WHERE u % 10000 <> 5000
+        """,
+        # trajectory local metric: gap iff the lattice distance (units
+        # of 1e-6 deg lon) exceeds 300 m / (0.111320 * cos(47.6)) =
+        # 3996.45 -> integer threshold 3997 (equator would be 2695)
+        "coverage_gaps_local": """
+            SELECT o_orderkey FROM (
+              SELECT o_orderkey,
+                     CASE WHEN u > 90000 THEN u - 90000
+                          ELSE LEAST(u % 10000, 10000 - u % 10000)
+                     END AS d
+              FROM (SELECT o_orderkey,
+                           (o_orderkey * 2654435761) % 100000 AS u
+                    FROM orders))
+            WHERE d >= 3997
         """,
         # same closed form as zone_pip_count: every fixture point is
         # interior, where contains == unbuffered intersects

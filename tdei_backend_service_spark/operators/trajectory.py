@@ -57,13 +57,24 @@ __all__ = ["map_match", "trip_geo_stats", "od_matrix", "coverage_gaps",
            "edge_usage", "co_travelers", "zone_visits"]
 
 
+def _metric(metric_lat: float | None) -> tuple[float, float]:
+    """(lat0, cos) for the opt-in cos(lat) local metric — the same
+    contract as spatial_join/tag_road/union_dataset. Every
+    meter-denominated operator in this module takes ``metric_lat``;
+    the tile/PIP operators (co_travelers, od_matrix, zone_visits)
+    carry no meters and deliberately do not."""
+    lat0 = float(metric_lat) if metric_lat is not None else 0.0
+    return lat0, max(float(np.cos(np.radians(lat0))), 1e-6)
+
+
 # ---------------------------------------------------------------------------
 # candidate generation: per-ping sorted (dist, edge) arrays
 # ---------------------------------------------------------------------------
 
 def _cand_arrays_map_only(pings: DataFrame, edges: DataFrame,
                           cutoff_m: float, depth: int,
-                          lon_col: str, lat_col: str) -> DataFrame | None:
+                          lon_col: str, lat_col: str,
+                          lat0: float = 0.0) -> DataFrame | None:
     """Zero-shuffle candidate stage: broadcast a padded cell->edge cover
     index (core/join.build_cover_index, the same structure
     tag_road._tag_map_only probes) and emit per ping the edge ids and
@@ -80,7 +91,7 @@ def _cand_arrays_map_only(pings: DataFrame, edges: DataFrame,
     box = geom.geom_bbox(g)
     edge_ids = np.array([r[0] for r in rows], dtype=np.int64)
     pad_deg = max(cells.meters_to_deg_lat(cutoff_m),
-                  cells.meters_to_deg_lon(cutoff_m))
+                  cells.meters_to_deg_lon(cutoff_m, lat0))
     cell_index = _J.build_cover_index(g, box, depth, pad_deg,
                                       _J.COVER_INDEX_MAX_ENTRIES)
     if cell_index is None:
@@ -91,7 +102,8 @@ def _cand_arrays_map_only(pings: DataFrame, edges: DataFrame,
         "coords": g.coords, "offsets": g.offsets, "kinds": g.kinds,
         "box": box, "edge_ids": edge_ids,
     })
-    pad_lon = cutoff_m / cells.M_PER_DEG_LON_EQ * (1 + 1e-6) + 1e-9
+    coslat = max(float(np.cos(np.radians(lat0))), 1e-6)
+    pad_lon = cutoff_m / (cells.M_PER_DEG_LON_EQ * coslat) * (1 + 1e-6) + 1e-9
     pad_lat = cutoff_m / cells.M_PER_DEG_LAT * (1 + 1e-6) + 1e-9
     schema = T.StructType(list(pings.schema.fields) + [
         T.StructField("cand_edges", T.ArrayType(T.LongType())),
@@ -117,7 +129,8 @@ def _cand_arrays_map_only(pings: DataFrame, edges: DataFrame,
                             & (py[pt] <= bx[cand, 3] + pad_lat))
                     pt, cand = pt[keep], cand[keep]
                 if pt.size:
-                    d = geom.point_polyline_dist(px[pt], py[pt], cand, gg)
+                    d = geom.point_polyline_dist(px[pt], py[pt], cand, gg,
+                                                 lat0)
                     ok = d <= cutoff_m
                     pt, cand, d = pt[ok], cand[ok], d[ok]
                 if pt.size:
@@ -138,19 +151,21 @@ def _cand_arrays_map_only(pings: DataFrame, edges: DataFrame,
 
 def _cand_arrays_distributed(pings: DataFrame, edges: DataFrame,
                              cutoff_m: float, depth: int, pk: str,
-                             lon_col: str, lat_col: str) -> DataFrame:
+                             lon_col: str, lat_col: str,
+                             lat0: float = 0.0) -> DataFrame:
     """Distributed candidate stage (tag_road's one-candidate-join shape):
     the EDGE covers take the ``cutoff_m`` pad, pings encode to one cell
     each, a single equi-join + JVM envelope prefilter + exact distance,
     then one groupBy(pk) collects the sorted candidate arrays. Pings
     with no candidate re-attach by left join (empty arrays)."""
     from .tag_road import _dist_udf
+    coslat = max(float(np.cos(np.radians(lat0))), 1e-6)
     env_cols = ["gmin_lon", "gmin_lat", "gmax_lon", "gmax_lat"]
-    padded = (cover_geometry(edges, depth, cutoff_m, out_col="_cov",
+    padded = (cover_geometry(edges, depth, cutoff_m / coslat, out_col="_cov",
                              with_envelope=True)
               .withColumn("cell", F.explode("_cov"))
               .select("cell", "edge_id", *env_cols, "geometry"))
-    pad_lon = cutoff_m / cells.M_PER_DEG_LON_EQ * (1 + 1e-6) + 1e-9
+    pad_lon = cutoff_m / (cells.M_PER_DEG_LON_EQ * coslat) * (1 + 1e-6) + 1e-9
     pad_lat = cutoff_m / cells.M_PER_DEG_LAT * (1 + 1e-6) + 1e-9
 
     @F.pandas_udf(T.LongType())
@@ -158,7 +173,7 @@ def _cand_arrays_distributed(pings: DataFrame, edges: DataFrame,
         return pd.Series(cells.encode(lon.to_numpy(np.float64),
                                       lat.to_numpy(np.float64), depth))
 
-    dist = _dist_udf(None)
+    dist = _dist_udf(None, lat0)
     cand = (pings.select(pk, F.col(lon_col).alias("_lon"),
                          F.col(lat_col).alias("_lat"))
             .withColumn("cell", _enc.asNondeterministic()(
@@ -197,7 +212,8 @@ def map_match(pings: DataFrame, edges_df: DataFrame,
               lon_col: str = "lon", lat_col: str = "lat",
               cutoff_m: float = 600.0,
               keep_within_m: float | None = None,
-              depth: int | None = None) -> DataFrame:
+              depth: int | None = None,
+              metric_lat: float | None = None) -> DataFrame:
     """Snap each ping of a per-``key_col`` trajectory (ordered by
     ``ts_col`` then ``id_col``) to a road edge.
 
@@ -211,24 +227,31 @@ def map_match(pings: DataFrame, edges_df: DataFrame,
     one window pass, no sequential scan — while still absorbing the
     flap between parallel edges. Determinism: argmin and candidate
     order tie-break on (dist, edge_id), a total order.
+
+    ``metric_lat`` opts into the cos(lat) local metric (the engine-wide
+    contract): candidate distances scale lon meters by cos, pads/depth
+    widen by 1/cos.
     """
     if keep_within_m is None:
         keep_within_m = cutoff_m
     if keep_within_m > cutoff_m:
         raise ValueError("keep_within_m must be <= cutoff_m (candidate "
                          "sets are only complete within the cutoff)")
+    lat0, _ = _metric(metric_lat)
     if depth is None:
-        depth = int(np.clip(cells.depth_for_radius_m(max(cutoff_m, 1.0)),
+        depth = int(np.clip(cells.depth_for_radius_m(max(cutoff_m, 1.0),
+                                                     lat0),
                             cells.RES_GRID[7], cells.RES_GRID[10]))
     edges = edges_df
     if edge_dataset_id is not None:
         edges = edges.filter(F.col("dataset_id") == edge_dataset_id)
 
     with_cand = _cand_arrays_map_only(pings, edges, cutoff_m, depth,
-                                      lon_col, lat_col)
+                                      lon_col, lat_col, lat0)
     if with_cand is None:
         with_cand = _cand_arrays_distributed(pings, edges, cutoff_m, depth,
-                                             id_col, lon_col, lat_col)
+                                             id_col, lon_col, lat_col,
+                                             lat0)
 
     us = _us(pings, ts_col)
     w = Window.partitionBy(key_col).orderBy(us.asc(), F.col(id_col).asc())
@@ -257,7 +280,8 @@ def trip_geo_stats(pings: DataFrame, *,
                    key_col: str = "user_id", ts_col: str = "ts",
                    id_col: str = "event_id",
                    lon_col: str = "lon", lat_col: str = "lat",
-                   gap_s: int = 21600) -> DataFrame:
+                   gap_s: int = 21600,
+                   metric_lat: float | None = None) -> DataFrame:
     """Gap-sessionized trips with exact-integer geometry rollups.
 
     Output: (key, session_seq, n_pings, first_ping, span_us, len_mm) —
@@ -272,11 +296,12 @@ def trip_geo_stats(pings: DataFrame, *,
     lag columns, and the (key, session) aggregate (the groupBy keys are
     a superset of the window partition key — no second exchange).
     """
+    _, coslat = _metric(metric_lat)
     s = sessionize(pings, key_col, ts_col, id_col, gap_s)
     us = _us(pings, ts_col)
     w = Window.partitionBy(key_col).orderBy(us.asc(), F.col(id_col).asc())
     dx = (F.col(lon_col) - F.lag(F.col(lon_col)).over(w)) \
-        * F.lit(cells.M_PER_DEG_LON_EQ)
+        * F.lit(cells.M_PER_DEG_LON_EQ * coslat)
     dy = (F.col(lat_col) - F.lag(F.col(lat_col)).over(w)) \
         * F.lit(cells.M_PER_DEG_LAT)
     same = F.lag(F.col("session_seq")).over(w) == F.col("session_seq")
@@ -329,7 +354,8 @@ def speed_pixels(pings: DataFrame, z: int, px: int, *,
                  speed_div: int = 1, gap_s: int = 21600,
                  key_col: str = "user_id", ts_col: str = "ts",
                  id_col: str = "event_id",
-                 lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 metric_lat: float | None = None) -> DataFrame:
     """Mean-step-speed raster: every trip step lands its integer speed
     (mm/s, the trip_geo_stats planar-mm scale over the exact integer
     dt_us) on the DESTINATION ping's lattice pixel; the pixel value is
@@ -352,10 +378,12 @@ def speed_pixels(pings: DataFrame, z: int, px: int, *,
     speed_div = int(speed_div)
     if speed_div < 1:
         raise ValueError("speed_div must be a positive integer")
+    _, coslat = _metric(metric_lat)
     segs = trip_segments(pings, key_col=key_col, ts_col=ts_col,
                          id_col=id_col, lon_col=lon_col, lat_col=lat_col,
                          gap_s=gap_s).filter(F.col("dt_us") > 0)
-    dx = (F.col("lon1") - F.col("lon0")) * F.lit(cells.M_PER_DEG_LON_EQ)
+    dx = (F.col("lon1") - F.col("lon0")) \
+        * F.lit(cells.M_PER_DEG_LON_EQ * coslat)
     dy = (F.col("lat1") - F.col("lat0")) * F.lit(cells.M_PER_DEG_LAT)
     step_mm = F.floor(F.sqrt(dx * dx + dy * dy) * F.lit(1000.0))
     mmps = F.floor((step_mm * F.lit(1000000.0)) / F.col("dt_us"))
@@ -386,7 +414,8 @@ def edge_usage(pings: DataFrame, edges_df: DataFrame,
                id_col: str = "event_id",
                lon_col: str = "lon", lat_col: str = "lat",
                cutoff_m: float = 600.0,
-               keep_within_m: float | None = None) -> DataFrame:
+               keep_within_m: float | None = None,
+               metric_lat: float | None = None) -> DataFrame:
     """Road-segment usage statistics: map-match every ping (the full
     hysteresis rule), then roll up per matched edge — ping count,
     DISTINCT collector count, and the first/last observation epoch.
@@ -403,7 +432,7 @@ def edge_usage(pings: DataFrame, edges_df: DataFrame,
     mm = map_match(pings, edges_df, edge_dataset_id, key_col=key_col,
                    ts_col=ts_col, id_col=id_col, lon_col=lon_col,
                    lat_col=lat_col, cutoff_m=cutoff_m,
-                   keep_within_m=keep_within_m)
+                   keep_within_m=keep_within_m, metric_lat=metric_lat)
     us = _us(mm, ts_col)
     return (mm.filter(F.col("matched_edge_id").isNotNull())
             .groupBy(F.col("matched_edge_id").alias("edge_id"))
@@ -469,7 +498,8 @@ def stay_points(pings: DataFrame, *, radius_m: float = 100.0,
                 min_duration_s: int = 300, max_gap_s: int | None = None,
                 key_col: str = "user_id", ts_col: str = "ts",
                 id_col: str = "event_id",
-                lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+                lon_col: str = "lon", lat_col: str = "lat",
+                metric_lat: float | None = None) -> DataFrame:
     """Dwell (stop) detection: maximal runs of consecutive pings where
     every step stays within ``radius_m`` of its predecessor (and, when
     ``max_gap_s`` is set, within that time gap), kept when the run
@@ -492,12 +522,13 @@ def stay_points(pings: DataFrame, *, radius_m: float = 100.0,
     ping's. Plan: ONE key exchange (the trajectory window) + the
     group-by on the same key (no second exchange needed by semantics;
     Catalyst reuses the partitioning)."""
+    _, coslat = _metric(metric_lat)
     radius_mm = int(round(float(radius_m) * 1000.0))
     dur_us = int(min_duration_s) * 1_000_000
     us = _us(pings, ts_col)
     w = Window.partitionBy(key_col).orderBy(us.asc(), F.col(id_col).asc())
     dx = (F.col(lon_col) - F.lag(F.col(lon_col)).over(w)) \
-        * F.lit(cells.M_PER_DEG_LON_EQ)
+        * F.lit(cells.M_PER_DEG_LON_EQ * coslat)
     dy = (F.col(lat_col) - F.lag(F.col(lat_col)).over(w)) \
         * F.lit(cells.M_PER_DEG_LAT)
     step_mm = F.floor(F.sqrt(dx * dx + dy * dy) * F.lit(1000.0))
@@ -528,7 +559,8 @@ def co_location(pings: DataFrame, *, radius_m: float = 100.0,
                 window_s: int = 600, key_col: str = "user_id",
                 ts_col: str = "ts", id_col: str = "event_id",
                 lon_col: str = "lon", lat_col: str = "lat",
-                pairs: bool = False) -> DataFrame:
+                pairs: bool = False,
+                metric_lat: float | None = None) -> DataFrame:
     """Space-time encounter join: ping pairs from two DIFFERENT keys
     within ``radius_m`` planar meters AND ``window_s`` seconds of each
     other — companion detection / contact tracing, the trajectory
@@ -554,7 +586,8 @@ def co_location(pings: DataFrame, *, radius_m: float = 100.0,
     quadratic in co-located density), so pick the radius/window the
     analysis needs, not larger."""
     from .union_dataset import _cell_cover_udfs
-    cell_udf, cover_udf = _cell_cover_udfs(float(radius_m))
+    lat0, coslat = _metric(metric_lat)
+    cell_udf, cover_udf = _cell_cover_udfs(float(radius_m), lat0)
     radius_mm = int(round(float(radius_m) * 1000.0))
     w_us = int(window_s) * 1_000_000
     us = _us(pings, ts_col)
@@ -577,7 +610,8 @@ def co_location(pings: DataFrame, *, radius_m: float = 100.0,
          .select(F.col("_k").alias("_kb"), F.col("_id").alias("_idb"),
                  F.col("_lon").alias("_lonb"), F.col("_lat").alias("_latb"),
                  F.col("_us").alias("_usb"), "_cell", "_bkt"))
-    dxm = (F.col("_lonb") - F.col("_lona")) * F.lit(cells.M_PER_DEG_LON_EQ)
+    dxm = (F.col("_lonb") - F.col("_lona")) \
+        * F.lit(cells.M_PER_DEG_LON_EQ * coslat)
     dym = (F.col("_latb") - F.col("_lata")) * F.lit(cells.M_PER_DEG_LAT)
     dist_mm = F.floor(F.sqrt(dxm * dxm + dym * dym) * F.lit(1000.0))
     enc = (a.join(b, (F.col("_jcell") == F.col("_cell"))
@@ -752,7 +786,8 @@ def coverage_gaps(points: DataFrame, edges_df: DataFrame,
                   pk: str = "image_id",
                   lon_col: str = "lon", lat_col: str = "lat",
                   cutoff_m: float = 300.0,
-                  depth: int | None = None) -> DataFrame:
+                  depth: int | None = None,
+                  metric_lat: float | None = None) -> DataFrame:
     """Points with NO edge within ``cutoff_m`` — the spatial anti join.
 
     The candidate stage is dataset_tag_road's one-candidate-join shape
@@ -766,19 +801,21 @@ def coverage_gaps(points: DataFrame, edges_df: DataFrame,
     row.
     """
     from .tag_road import _dist_udf
+    lat0, coslat = _metric(metric_lat)
     if depth is None:
-        depth = int(np.clip(cells.depth_for_radius_m(max(cutoff_m, 1.0)),
+        depth = int(np.clip(cells.depth_for_radius_m(max(cutoff_m, 1.0),
+                                                     lat0),
                             cells.RES_GRID[7], cells.RES_GRID[10]))
     edges = edges_df
     if edge_dataset_id is not None:
         edges = edges.filter(F.col("dataset_id") == edge_dataset_id)
 
     env_cols = ["gmin_lon", "gmin_lat", "gmax_lon", "gmax_lat"]
-    padded = (cover_geometry(edges, depth, cutoff_m, out_col="_cov",
+    padded = (cover_geometry(edges, depth, cutoff_m / coslat, out_col="_cov",
                              with_envelope=True)
               .withColumn("cell", F.explode("_cov"))
               .select("cell", "edge_id", *env_cols, "geometry"))
-    pad_lon = cutoff_m / cells.M_PER_DEG_LON_EQ * (1 + 1e-6) + 1e-9
+    pad_lon = cutoff_m / (cells.M_PER_DEG_LON_EQ * coslat) * (1 + 1e-6) + 1e-9
     pad_lat = cutoff_m / cells.M_PER_DEG_LAT * (1 + 1e-6) + 1e-9
 
     @F.pandas_udf(T.LongType())
@@ -786,7 +823,7 @@ def coverage_gaps(points: DataFrame, edges_df: DataFrame,
         return pd.Series(cells.encode(lon.to_numpy(np.float64),
                                       lat.to_numpy(np.float64), depth))
 
-    dist = _dist_udf(None)
+    dist = _dist_udf(None, lat0)
     covered = (points.select(pk, F.col(lon_col).alias("_lon"),
                              F.col(lat_col).alias("_lat"))
                .withColumn("cell", _enc.asNondeterministic()(

@@ -504,3 +504,75 @@ def test_zone_visits_episodes(spark):
     assert eps[(1, 1, 1)]["enter_us"] - v["enter_us"] == 600_000_000
     assert eps[(1, 1, 2)]["n_pings"] == 1  # 75-min silence splits zone 1
     assert eps[(2, 0, 1)]["n_pings"] == 1
+
+
+# ---------------------------------------------------------------------------
+# cos(lat) local metric across the trajectory tier
+# ---------------------------------------------------------------------------
+
+def test_trajectory_metric_lat_flips(spark, monkeypatch):
+    """metric_lat on the meter-denominated trajectory ops. Fixtures use
+    purely-longitudinal displacements at 60N (cos = 0.5 exactly up to
+    fp), so every local distance is exactly half the equator reading:
+    * map_match / coverage_gaps: a vertical edge 900 m-equator east of
+      the pings (450 m local) against a 600 m cutoff — nearest under
+      the local metric on BOTH candidate paths, a gap at the equator.
+    * trip_geo_stats / speed_pixels: len_mm and speed halve exactly.
+    * stay_points / co_location: a 180 m-equator lon step (90 m local)
+      against a 100 m radius — one dwell/encounter locally, none at
+      the equator."""
+    import numpy as np
+    from tdei_backend_service_spark.operators.trajectory import (
+        co_location, speed_pixels, stay_points)
+
+    lat = 60.0
+    coslat = float(np.cos(np.radians(lat)))
+    dx900 = 900.0 / cells.M_PER_DEG_LON_EQ
+    vedge = spark.createDataFrame(
+        [(0, 0, 1, geom.wkb_linestring([(0.1 + dx900, lat - 0.01),
+                                        (0.1 + dx900, lat + 0.01)]),
+          {}, "t-edges")], EDGES_SCHEMA)
+    rows = [(1, _ts(0), 10, 0.1, lat), (1, _ts(1), 11, 0.1, lat)]
+
+    for patched in (False, True):
+        if patched:
+            monkeypatch.setattr(J, "BROADCAST_GEOM_MAX_ROWS", 0)
+        eq = _mm_rows(spark, rows, vedge, cutoff_m=600.0)
+        lc = _mm_rows(spark, rows, vedge, cutoff_m=600.0, metric_lat=lat)
+        assert eq[10]["nearest_edge_id"] is None
+        assert lc[10]["nearest_edge_id"] == 0 and lc[10]["n_cand"] == 1
+        gaps_eq = coverage_gaps(_pings(spark, rows), vedge, "t-edges",
+                                pk="event_id", cutoff_m=600.0).count()
+        gaps_lc = coverage_gaps(_pings(spark, rows), vedge, "t-edges",
+                                pk="event_id", cutoff_m=600.0,
+                                metric_lat=lat).count()
+        assert (gaps_eq, gaps_lc) == (2, 0)
+        monkeypatch.undo()
+
+    # trip length: one 900 m-equator lon step
+    walk = [(2, _ts(0), 20, 0.1, lat), (2, _ts(1), 21, 0.1 + dx900, lat)]
+    eq_len = trip_geo_stats(_pings(spark, walk)).collect()[0]["len_mm"]
+    lc_len = trip_geo_stats(_pings(spark, walk),
+                            metric_lat=lat).collect()[0]["len_mm"]
+    assert eq_len == math.floor(900.0 * 1000 / 1e-0) // 1  # 900 m in mm
+    assert lc_len == math.floor(900.0 * coslat * 1000)
+    sp_eq = speed_pixels(_pings(spark, walk), 15, 256).collect()[0]
+    sp_lc = speed_pixels(_pings(spark, walk), 15, 256,
+                         metric_lat=lat).collect()[0]
+    assert sp_eq["sum_mmps"] == eq_len * 1_000_000 // (60 * 1_000_000)
+    assert sp_lc["sum_mmps"] == lc_len * 1_000_000 // (60 * 1_000_000)
+
+    # dwell + encounter radius flips: 180 m equator / 90 m local
+    dx180 = 180.0 / cells.M_PER_DEG_LON_EQ
+    drift = [(3, _ts(0), 30, 0.2, lat), (3, _ts(10), 31, 0.2 + dx180, lat)]
+    assert stay_points(_pings(spark, drift), radius_m=100.0,
+                       min_duration_s=300).count() == 0
+    st = stay_points(_pings(spark, drift), radius_m=100.0,
+                     min_duration_s=300, metric_lat=lat).collect()
+    assert len(st) == 1 and st[0]["n_pings"] == 2
+    pair = [(4, _ts(0), 40, 0.3, lat), (5, _ts(1), 41, 0.3 + dx180, lat)]
+    assert co_location(_pings(spark, pair), radius_m=100.0,
+                       window_s=600).count() == 0
+    enc = co_location(_pings(spark, pair), radius_m=100.0, window_s=600,
+                      metric_lat=lat).collect()
+    assert len(enc) == 1 and enc[0]["n_encounters"] == 1
