@@ -114,6 +114,7 @@ def main() -> None:
         # leakage-aware geo holdout + split leak audit
         "knn_local_tag", "union_local_dedup",
         "geo_split_assign", "split_leak_pairs",
+        "domain_split_assign", "coverage_gaps_local",
     ]
     # every contract row gets a wall-time row (VERDICT r3 missing #3) —
     # self-maintaining: rows added to queries() but not listed above

@@ -285,6 +285,15 @@ COMMENTARY = {
                         "WholeStageCodegen span over the parquet scan — "
                         "no exchange, no Python; at 10^12 rows this is "
                         "a projection fused into the scan.",
+    "domain_split_assign": "Group-mode split: one substring+cast, the "
+                           "scramble hash and the CASE chain in a "
+                           "single codegen span over the scan — the "
+                           "same no-exchange shape as the cell path.",
+    "coverage_gaps_local": "Spatial anti join under metric_lat: edge "
+                           "covers pad by cutoff/cos, points encode to "
+                           "one cell, JVM envelope prefilter + Arrow "
+                           "distance refine, then one left-anti join — "
+                           "no aggregation, no tag-back.",
     "split_leak_pairs": "Same banded candidate shape as union_dedup: "
                         "cover explode on one side, (cell, phash, "
                         "caption) equi-join, distance refine, then the "
