@@ -847,6 +847,32 @@ def _q_union_local(spark: SparkSession, sf: str) -> DataFrame:
                          metric_lat=FX.LAT0).select("image_id")
 
 
+def _q_edge_cross(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Crosses line-line join (r6, geom.pair_line_relate): vertical
+    lattice edges x horizontal supplier segments. A supplier segment
+    (span 10000 lon-hash units) properly crosses vertical edge k iff
+    its start u lies strictly inside ((k-1)*10000, k*10000) and its lat
+    is strictly inside the edge span — pure integer arithmetic after
+    excluding the touch-risk residues (u % 10000 == 0: endpoint ON the
+    edge; v == 0: segment through the edge's global endpoint, which is
+    ST_Touches not ST_Crosses — those exact-equality fixtures are FP-
+    fragile cross-engine and are pinned by pytest instead). The
+    axis-aligned fixture keeps every orientation sign exact (the
+    degenerate cross-product subtraction is exactly 0)."""
+    tgt = FX.vgrid_edges(spark)
+    src = FX.supplier_edges(spark, sf)
+    u = (F.col("edge_id") * 2654435761) % 100000
+    v = (F.col("edge_id") * 40503 + 12345) % 100000
+    src = src.filter((u % 10000 != 0) & (v != 0))
+    out = spatial_join(tgt, "edge", "tpch-vedges", src, "line",
+                       "tpch-sedges",
+                       "ST_Crosses(geometry_target, geometry_source)",
+                       ["count(*) as n"])
+    return out.select("edge_id",
+                      F.col("props").getItem("ext:n").cast("bigint")
+                      .alias("n"))
+
+
 def _q_angle_join(spark: SparkSession, sf: str) -> DataFrame:
     """PURE-ANGLE join condition — unbounded predicate, so this drives
     the dataset cross-join path (core/join.py:435), the reference's
@@ -2018,7 +2044,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: of driver-coverage staleness — the 41 rows never driver-hashed, this
 #: round's new rows, then the oldest (r4-verified) rows; everything else
 #: keeps its r4/r5 green plus the check_oracle sweep. Rotate per round.
-_LEAD_ROWS = ['corpus_report', 'hamming_cluster_dedup', 'cluster_keep_best', 'embedding_cluster_dedup', 'ivf_quantized_topk', 'ivf_indexed_topk', 'augment_meta', 'cross_modal_dedup', 'incremental_phash_dedup', 'store_phash_dedup', 'incremental_embedding_dedup', 'store_embedding_dedup', 'incremental_union', 'incremental_minhash_dedup', 'mix_domains', 'decontam_hits', 'decontam_survivors', 'line_dedup', 'zonal_image_stats', 'curate_corpus', 'pii_redact', 'corpus_shuffle', 'tile_raster', 'raster_pyramid', 'tile_mosaic', 'raster_extract', 'raster_focal', 'raster_algebra', 'zonal_raster', 'zonal_brightness', 'raster_hotspots', 'zone_burnin', 'viewport_similar', 'viewport_caption_similar', 'geo_visual_dedup', 'incremental_geo_visual', 'tile_viewport', 'incremental_raster', 'session_windows', 'streaming_tiles', 'streaming_zones', 'connected_components', 'zone_contains_count', 'dwithin_local_count', 'knn_local_tag', 'union_local_dedup', 'geo_split_assign', 'domain_split_assign', 'split_leak_pairs', 'coverage_gaps_local', 'bbox_edges', 'zone_pip_count', 'tri_zone_pip', 'angle_join', 'angle_buffer_join', 'osm_ways']
+_LEAD_ROWS = ['corpus_report', 'hamming_cluster_dedup', 'cluster_keep_best', 'embedding_cluster_dedup', 'ivf_quantized_topk', 'ivf_indexed_topk', 'augment_meta', 'cross_modal_dedup', 'incremental_phash_dedup', 'store_phash_dedup', 'incremental_embedding_dedup', 'store_embedding_dedup', 'incremental_union', 'incremental_minhash_dedup', 'mix_domains', 'decontam_hits', 'decontam_survivors', 'line_dedup', 'zonal_image_stats', 'curate_corpus', 'pii_redact', 'corpus_shuffle', 'tile_raster', 'raster_pyramid', 'tile_mosaic', 'raster_extract', 'raster_focal', 'raster_algebra', 'zonal_raster', 'zonal_brightness', 'raster_hotspots', 'zone_burnin', 'viewport_similar', 'viewport_caption_similar', 'geo_visual_dedup', 'incremental_geo_visual', 'tile_viewport', 'incremental_raster', 'session_windows', 'streaming_tiles', 'streaming_zones', 'connected_components', 'zone_contains_count', 'dwithin_local_count', 'knn_local_tag', 'union_local_dedup', 'geo_split_assign', 'domain_split_assign', 'split_leak_pairs', 'coverage_gaps_local', 'edge_cross_count', 'bbox_edges', 'zone_pip_count', 'tri_zone_pip', 'angle_join', 'angle_buffer_join', 'osm_ways']
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2106,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_local_count": _q_dwithin_local,
         "knn_local_tag": _q_knn_local_tag,
         "coverage_gaps_local": _q_gaps_local,
+        "edge_cross_count": _q_edge_cross,
         "union_local_dedup": _q_union_local,
         "geo_split_assign": _q_geo_split,
         "domain_split_assign": _q_domain_split,
@@ -3184,6 +3211,19 @@ def oracle_sql() -> dict[str, str]:
                          (o_orderkey * 2654435761) % 100000 AS u
                   FROM orders)
             WHERE u % 10000 <> 5000
+        """,
+        # proper-crossing count per vertical lattice edge: one segment
+        # per supplier whose start-u falls strictly inside the previous
+        # lattice interval (touch-risk residues excluded on both sides)
+        "edge_cross_count": """
+            SELECT r.range AS edge_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM range(10) r LEFT JOIN (
+              SELECT u // 10000 + 1 AS k, COUNT(*) AS n
+              FROM (SELECT (s_suppkey * 2654435761) % 100000 AS u,
+                           (s_suppkey * 40503 + 12345) % 100000 AS v
+                    FROM supplier)
+              WHERE u % 10000 <> 0 AND v <> 0 AND u < 90000
+              GROUP BY 1) c ON r.range = c.k
         """,
         # trajectory local metric: gap iff the lattice distance (units
         # of 1e-6 deg lon) exceeds 300 m / (0.111320 * cos(47.6)) =

@@ -115,6 +115,8 @@ def main() -> None:
         "knn_local_tag", "union_local_dedup",
         "geo_split_assign", "split_leak_pairs",
         "domain_split_assign", "coverage_gaps_local",
+        # r6 continuation: line-line relate predicates
+        "edge_cross_count",
     ]
     # every contract row gets a wall-time row (VERDICT r3 missing #3) —
     # self-maintaining: rows added to queries() but not listed above

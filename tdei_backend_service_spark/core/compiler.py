@@ -163,7 +163,8 @@ def parse_expression(s: str):
 # ---------------------------------------------------------------------------
 
 _SPATIAL_FUNCS = {"st_intersects", "st_buffer", "st_dwithin", "st_distance",
-                  "st_angle", "degrees", "st_contains", "st_within"}
+                  "st_angle", "degrees", "st_contains", "st_within",
+                  "st_crosses", "st_touches"}
 
 
 @dataclass
@@ -176,7 +177,7 @@ class SpatialPredicate:
     bound_m: float
     text: str = ""
     needs: set[str] = field(default_factory=set)
-    # {'dist', 'angle', 'contains_ts', 'contains_st'}
+    # {'dist', 'angle', 'contains_ts', 'contains_st', 'crosses', 'touches'}
 
 
 def _validate_spatial(node, needs: set[str]) -> None:
@@ -197,6 +198,9 @@ def _validate_spatial(node, needs: set[str]) -> None:
             needs.add("angle")
         if name in ("st_contains", "st_within"):
             needs.add(_contains_key(name, args))
+        if name in ("st_crosses", "st_touches"):
+            _check_two_geom_args(name, args)
+            needs.add(name[3:])  # crosses / touches
         for a in args:
             _validate_spatial(a, needs)
     elif kind == "ident":
@@ -207,6 +211,19 @@ def _validate_spatial(node, needs: set[str]) -> None:
         pass
     else:  # pragma: no cover
         raise InputException(f"bad node {kind}")
+
+
+def _check_two_geom_args(name: str, args) -> None:
+    """ST_Crosses/ST_Touches take the two bare geometry sides in either
+    order — both are symmetric for the engine's line-line scope
+    (PostGIS line-line crosses/touches are symmetric relations)."""
+    if (len(args) != 2 or any(a[0] != "ident" for a in args)
+            or sorted(a[1].lower() for a in args)
+            != ["geometry_source", "geometry_target"]):
+        pretty = "ST_Crosses" if name == "st_crosses" else "ST_Touches"
+        raise InputException(
+            f"{pretty} takes exactly (geometry_target, geometry_source) "
+            "or (geometry_source, geometry_target)")
 
 
 def _contains_key(name: str, args) -> str:
@@ -248,7 +265,8 @@ def _bound_of(node) -> float:
         name, args = node[1], node[2]
         if name == "st_dwithin" and len(args) == 3 and args[2][0] == "num":
             return args[2][1]
-        if name in ("st_contains", "st_within"):
+        if name in ("st_contains", "st_within", "st_crosses",
+                    "st_touches"):
             return 0.0
         if name == "st_intersects" and len(args) == 2:
             d = 0.0
@@ -305,6 +323,8 @@ def eval_spatial(node, ctx: dict):
             return ctx["dist"] <= args[2][1] + 1e-9
         if name in ("st_contains", "st_within"):
             return ctx[_contains_key(name, args)]
+        if name in ("st_crosses", "st_touches"):
+            return ctx[name[3:]]
         if name == "st_distance":
             return ctx["dist"]
         if name == "st_angle":

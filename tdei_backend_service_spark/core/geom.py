@@ -443,3 +443,137 @@ def segments_intersect_bbox(geom_idx: np.ndarray, geoms: RaggedGeoms,
         res[lone] = ((v[:, 0] >= min_lon) & (v[:, 0] <= max_lon)
                      & (v[:, 1] >= min_lat) & (v[:, 1] <= max_lat))
     return res
+
+
+def pair_line_relate(idx_a: np.ndarray, geoms_a: RaggedGeoms,
+                     idx_b: np.ndarray, geoms_b: RaggedGeoms
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per pair (geoms_a[idx_a[i]], geoms_b[idx_b[i]]) of LINESTRINGS,
+    the three DE-9IM facts ST_Crosses / ST_Touches reduce to for
+    line-line (PostGIS semantics; both are symmetric on lines):
+
+      ii0 — interiors share at least one isolated POINT (a proper
+            segment crossing, or a non-endpoint vertex of one line
+            lying on the other's interior);
+      ii1 — interiors share a 1-dimensional piece (collinear segment
+            overlap of positive length);
+      any — the lines intersect at all.
+
+    Then ``crosses = ii0 & ~ii1`` (dim of the interior intersection is
+    exactly 0) and ``touches = any & ~ii0 & ~ii1`` (they meet only at
+    boundary points — a line's boundary is its two GLOBAL endpoints,
+    so a T-junction endpoint-on-interior contact is touches, while an
+    interior-vertex contact is crosses).
+
+    Orientation tests use double cross products (not exact rational
+    predicates): contacts are classified reliably when coordinates are
+    >= a few ulp apart along each axis, and axis-aligned fixtures are
+    sign-exact (the degenerate subtraction is exactly 0). Raises on
+    non-LineString inputs — point/polygon relate is out of the
+    engine's scope (SURVEY §2.6 vocabulary note).
+    """
+    for idx, g, side in ((idx_a, geoms_a, "a"), (idx_b, geoms_b, "b")):
+        kinds = g.kinds[idx]
+        if kinds.size and (kinds != WKB_LINESTRING).any():
+            raise ValueError(
+                "ST_Crosses/ST_Touches: both sides must be LineStrings")
+
+    n = idx_a.size
+    ii0 = np.zeros(n, dtype=bool)
+    ii1 = np.zeros(n, dtype=bool)
+    anyc = np.zeros(n, dtype=bool)
+    if n == 0:
+        return ii0, ii1, anyc
+
+    # segment-pair expansion (pair_min_dist's combos machinery)
+    npts_a = geoms_a.n_points()[idx_a]
+    npts_b = geoms_b.n_points()[idx_b]
+    na = (npts_a - 1).astype(np.int64)
+    nb = (npts_b - 1).astype(np.int64)
+    combos = na * nb
+    if combos.sum() == 0:
+        return ii0, ii1, anyc
+    pair_of = np.repeat(np.arange(n, dtype=np.int64), combos)
+    local = np.arange(combos.sum(), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(combos)[:-1]]), combos)
+    nb_rep = np.repeat(nb, combos)
+    a_loc = local // nb_rep
+    b_loc = local % nb_rep
+    a_first = np.repeat(geoms_a.offsets[:-1][idx_a], combos) + a_loc
+    b_first = np.repeat(geoms_b.offsets[:-1][idx_b], combos) + b_loc
+    p = geoms_a.coords[a_first]
+    q = geoms_a.coords[a_first + 1]
+    r = geoms_b.coords[b_first]
+    s = geoms_b.coords[b_first + 1]
+
+    def cross(o, a, b):
+        return ((a[:, 0] - o[:, 0]) * (b[:, 1] - o[:, 1])
+                - (a[:, 1] - o[:, 1]) * (b[:, 0] - o[:, 0]))
+
+    d1 = cross(r, s, p)   # p relative to rs
+    d2 = cross(r, s, q)
+    d3 = cross(p, q, r)   # r relative to pq
+    d4 = cross(p, q, s)
+
+    # proper crossing: strictly opposite sides both ways -> an isolated
+    # interior-interior contact of both segments (hence both lines)
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) \
+        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+
+    # collinear overlap: all four orientations zero and the projections
+    # onto the dominant axis overlap in a range of positive length
+    col = (d1 == 0) & (d2 == 0) & (d3 == 0) & (d4 == 0)
+    axis = (np.abs(q[:, 0] - p[:, 0]) + np.abs(s[:, 0] - r[:, 0])
+            < np.abs(q[:, 1] - p[:, 1]) + np.abs(s[:, 1] - r[:, 1])
+            ).astype(np.int64)
+    ax = np.take_along_axis(p, axis[:, None], 1)[:, 0]
+    bx = np.take_along_axis(q, axis[:, None], 1)[:, 0]
+    cx = np.take_along_axis(r, axis[:, None], 1)[:, 0]
+    dx = np.take_along_axis(s, axis[:, None], 1)[:, 0]
+    lo = np.maximum(np.minimum(ax, bx), np.minimum(cx, dx))
+    hi = np.minimum(np.maximum(ax, bx), np.maximum(cx, dx))
+    overlap1 = col & (hi > lo)
+
+    # endpoint-on-segment contacts (includes shared vertices and the
+    # single-point case of collinear contact). For each contact point v
+    # classify: interior-to-line unless v IS that line's global
+    # endpoint (first/last coordinate, exact compare on both axes).
+    def _global_ends(geoms, idx_rep):
+        first = geoms.offsets[:-1][idx_rep]
+        last = geoms.offsets[1:][idx_rep] - 1
+        return geoms.coords[first], geoms.coords[last]
+
+    a_end0, a_end1 = _global_ends(geoms_a, idx_a[pair_of])
+    b_end0, b_end1 = _global_ends(geoms_b, idx_b[pair_of])
+
+    def _is_global_end(v, e0, e1):
+        return (((v[:, 0] == e0[:, 0]) & (v[:, 1] == e0[:, 1]))
+                | ((v[:, 0] == e1[:, 0]) & (v[:, 1] == e1[:, 1])))
+
+    def _on_seg(v, s0, s1, orient_zero):
+        inx = (v[:, 0] >= np.minimum(s0[:, 0], s1[:, 0])) \
+            & (v[:, 0] <= np.maximum(s0[:, 0], s1[:, 0]))
+        iny = (v[:, 1] >= np.minimum(s0[:, 1], s1[:, 1])) \
+            & (v[:, 1] <= np.maximum(s0[:, 1], s1[:, 1]))
+        return orient_zero & inx & iny
+
+    contact_any = proper | overlap1
+    contact_ii0 = proper.copy()
+    # v is an endpoint of one segment lying on the other segment
+    for v, s0, s1, dz, v_ends, o_ends in (
+            (p, r, s, d1, (a_end0, a_end1), (b_end0, b_end1)),
+            (q, r, s, d2, (a_end0, a_end1), (b_end0, b_end1)),
+            (r, p, q, d3, (b_end0, b_end1), (a_end0, a_end1)),
+            (s, p, q, d4, (b_end0, b_end1), (a_end0, a_end1))):
+        on = _on_seg(v, s0, s1, dz == 0)
+        if not on.any():
+            continue
+        contact_any |= on
+        int_own = ~_is_global_end(v, *v_ends)
+        int_other = ~_is_global_end(v, *o_ends)
+        contact_ii0 |= on & int_own & int_other
+
+    np.logical_or.at(ii0, pair_of, contact_ii0)
+    np.logical_or.at(ii1, pair_of, overlap1)
+    np.logical_or.at(anyc, pair_of, contact_any)
+    return ii0, ii1, anyc

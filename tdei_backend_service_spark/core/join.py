@@ -283,6 +283,10 @@ def refine_pairs(pairs: DataFrame, pred: SpatialPredicate,
             ctx["contains_ts"] = geom.pair_contains(t_idx, tg, s_idx, sg)
         if "contains_st" in pred.needs:
             ctx["contains_st"] = geom.pair_contains(s_idx, sg, t_idx, tg)
+        if "crosses" in pred.needs or "touches" in pred.needs:
+            ii0, ii1, anyc = geom.pair_line_relate(t_idx, tg, s_idx, sg)
+            ctx["crosses"] = ii0 & ~ii1
+            ctx["touches"] = anyc & ~ii0 & ~ii1
         res = eval_spatial(pred.ast, ctx)
         return pd.Series(np.asarray(res, dtype=bool))
 
@@ -577,6 +581,13 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
         raise InputException(
             "ST_Contains/ST_Within: the contained side (target) must be "
             "a point dimension")
+
+    # ST_Crosses/ST_Touches scope: line-line relate (the kernel also
+    # rejects non-LineString WKB at refine time)
+    if (("crosses" in pred.needs or "touches" in pred.needs)
+            and (t.is_point() or s.is_point())):
+        raise InputException(
+            "ST_Crosses/ST_Touches: both sides must be line dimensions")
 
     # small vector sides: geometry served from an executor-resident
     # broadcast dict; candidate rows carry only ids + lon/lat

@@ -95,3 +95,74 @@ def test_segments_intersect_bbox_exact():
     assert list(got) == [False, False]
     got2 = geom.segments_intersect_bbox(idx, g, 4.0, 4.0, 6.0, 6.0)
     assert list(got2) == [True, False]
+
+
+# ---------------------------------------------------------------------------
+# pair_line_relate (ST_Crosses / ST_Touches facts)
+# ---------------------------------------------------------------------------
+
+def _relate(a_pts, b_pts):
+    ga = geom.parse_wkb_batch([geom.wkb_linestring(a_pts)])
+    gb = geom.parse_wkb_batch([geom.wkb_linestring(b_pts)])
+    z = np.zeros(1, dtype=np.int64)
+    ii0, ii1, anyc = geom.pair_line_relate(z, ga, z, gb)
+    crosses = bool(ii0[0] and not ii1[0])
+    touches = bool(anyc[0] and not ii0[0] and not ii1[0])
+    return crosses, touches, bool(anyc[0])
+
+
+def test_line_relate_de9im_cases():
+    """Exact-coordinate DE-9IM case table (all coords are small ints or
+    halves — exactly representable, so every orientation sign and
+    equality is exact)."""
+    # proper X crossing -> crosses
+    assert _relate([(0, 0), (2, 2)], [(0, 2), (2, 0)]) == (True, False, True)
+    # T-junction: A's global endpoint on B's interior -> touches
+    assert _relate([(1, 0), (1, 1)], [(0, 1), (2, 1)]) == (False, True, True)
+    # interior VERTEX of A on B's interior -> interiors meet at a point
+    # -> crosses (the bent polyline pivots on B without crossing it)
+    assert _relate([(0, 0), (1, 1), (2, 0)],
+                   [(0, 1), (2, 1)]) == (True, False, True)
+    # shared global endpoint only -> touches
+    assert _relate([(0, 0), (1, 1)], [(1, 1), (2, 0)]) == (False, True, True)
+    # collinear overlap of positive length -> neither (ST_Overlaps)
+    assert _relate([(0, 0), (2, 0)], [(1, 0), (3, 0)]) == (False, False, True)
+    # collinear, meeting at exactly one shared endpoint -> touches
+    assert _relate([(0, 0), (1, 0)], [(1, 0), (2, 0)]) == (False, True, True)
+    # disjoint -> nothing
+    assert _relate([(0, 0), (1, 0)], [(0, 1), (1, 1)]) == (False, False, False)
+    # crossing AND collinear overlap elsewhere -> interior intersection
+    # is 1-dimensional -> neither crosses nor touches
+    assert _relate([(0, 0), (2, 0), (2, -1), (1, -1), (1, 1)],
+                   [(1, 0), (3, 0)]) == (False, False, True)
+    # B's endpoint on A's interior VERTEX: boundary-of-B on interior-of-A
+    # -> touches
+    assert _relate([(0, 0), (1, 1), (2, 0)],
+                   [(1, 1), (1, 3)]) == (False, True, True)
+    # non-LineString input raises
+    import pytest
+    pt = geom.parse_wkb_batch([geom.wkb_point(0.0, 0.0)])
+    ln = geom.parse_wkb_batch([geom.wkb_linestring([(0, 0), (1, 0)])])
+    z = np.zeros(1, dtype=np.int64)
+    with pytest.raises(ValueError, match="LineStrings"):
+        geom.pair_line_relate(z, pt, z, ln)
+
+
+def test_line_relate_symmetry_and_batch():
+    """Symmetric on lines, and the ragged batch path scatters per-pair
+    results independently."""
+    cases = [
+        ([(0, 0), (2, 2)], [(0, 2), (2, 0)]),
+        ([(1, 0), (1, 1)], [(0, 1), (2, 1)]),
+        ([(0, 0), (2, 0)], [(1, 0), (3, 0)]),
+        ([(0, 0), (1, 0)], [(0, 1), (1, 1)]),
+    ]
+    for a_pts, b_pts in cases:
+        assert _relate(a_pts, b_pts) == _relate(b_pts, a_pts)
+    ga = geom.parse_wkb_batch([geom.wkb_linestring(a) for a, _ in cases])
+    gb = geom.parse_wkb_batch([geom.wkb_linestring(b) for _, b in cases])
+    idx = np.arange(4, dtype=np.int64)
+    ii0, ii1, anyc = geom.pair_line_relate(idx, ga, idx, gb)
+    assert list(ii0) == [True, False, False, False]
+    assert list(ii1) == [False, False, True, False]
+    assert list(anyc) == [True, True, True, False]

@@ -608,3 +608,53 @@ def test_metric_lat_local_scaling_known_geometry(spark):
     # depth picker honors the lat axis takeover past ~60 deg
     assert C.depth_for_radius_m(100.0, 75.0) <= \
         C.depth_for_radius_m(100.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# ST_Crosses / ST_Touches (line-line relate)
+# ---------------------------------------------------------------------------
+
+def _lines_df(spark, rows, dataset_id):
+    pdf = pd.DataFrame([
+        {"edge_id": i, "orig_node_id": 2 * i, "dest_node_id": 2 * i + 1,
+         "geometry": geom.wkb_linestring(pts), "props": {},
+         "dataset_id": dataset_id}
+        for i, pts in enumerate(rows)])
+    return spark.createDataFrame(pdf, schema=EDGES_SCHEMA)
+
+
+def test_spatial_join_crosses_touches(spark):
+    """ST_Crosses/ST_Touches through the full public API. Targets: a
+    horizontal line, one ending exactly ON the source (T-junction), one
+    collinear-overlapping, one disjoint. Source: one vertical line.
+    Expected: crosses matches ONLY the proper crossing; touches ONLY
+    the T-junction (collinear overlap is ST_Overlaps -> neither)."""
+    y0 = 47.6505
+    targets = _lines_df(spark, [
+        [(-122.31, y0), (-122.29, y0)],         # proper cross
+        [(-122.31, y0), (-122.30, y0)],         # T-junction (endpoint on)
+        [(-122.30, y0 - 0.002), (-122.30, y0 + 0.002)],  # collinear overlap
+        [(-122.28, y0), (-122.27, y0)],         # disjoint
+    ], "ds-t")
+    source = _lines_df(spark, [
+        [(-122.30, y0 - 0.005), (-122.30, y0 + 0.005)],
+    ], "ds-s")
+
+    def n_of(cond):
+        out = spatial_join(targets, "edge", "ds-t", source, "line", "ds-s",
+                           cond, ["count(*) as n"])
+        return {r["edge_id"]: r["props"].get("ext:n") for r in out.collect()}
+
+    got_c = n_of("ST_Crosses(geometry_target, geometry_source)")
+    assert got_c == {0: "1", 1: "0", 2: "0", 3: "0"}
+    got_t = n_of("ST_Touches(geometry_target, geometry_source)")
+    assert got_t == {0: "0", 1: "1", 2: "0", 3: "0"}
+    # symmetric argument order compiles to the same result
+    got_c2 = n_of("ST_Crosses(geometry_source, geometry_target)")
+    assert got_c2 == got_c
+    # point side rejected
+    imgs = spark.createDataFrame(_images_pdf(), schema=IMAGES_SCHEMA)
+    with pytest.raises(InputException, match="line dimensions"):
+        spatial_join(targets, "edge", "ds-t", imgs, "point", "ds-source",
+                     "ST_Crosses(geometry_target, geometry_source)",
+                     ["count(*) as n"]).collect()

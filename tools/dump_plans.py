@@ -294,6 +294,12 @@ COMMENTARY = {
                            "one cell, JVM envelope prefilter + Arrow "
                            "distance refine, then one left-anti join — "
                            "no aggregation, no tag-back.",
+    "edge_cross_count": "ST_Crosses through the two-phase path at bound "
+                        "0: unpadded cell covers equi-join, then ONE "
+                        "refine UDF evaluating the vectorized line-line "
+                        "relate (orientation quadruples + collinear "
+                        "overlap + endpoint classification); per-edge "
+                        "partial count before one tiny exchange.",
     "split_leak_pairs": "Same banded candidate shape as union_dedup: "
                         "cover explode on one side, (cell, phash, "
                         "caption) equi-join, distance refine, then the "
