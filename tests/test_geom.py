@@ -166,3 +166,74 @@ def test_line_relate_symmetry_and_batch():
     assert list(ii0) == [True, False, False, False]
     assert list(ii1) == [False, False, True, False]
     assert list(anyc) == [True, True, True, False]
+
+
+def test_line_relate_random_vs_exact_fraction_reference():
+    """Randomized differential: pair_line_relate vs a scalar reference
+    computed in EXACT rational arithmetic (fractions.Fraction) on
+    small-integer coordinates — orientation signs, on-segment tests,
+    interior/boundary classification and collinear-overlap length are
+    all exact in the reference, so any disagreement is a kernel bug."""
+    import itertools
+    from fractions import Fraction as Fr
+
+    rng = np.random.default_rng(17)
+
+    def ref_relate(A, B):
+        a_ends = {A[0], A[-1]}
+        b_ends = {B[0], B[-1]}
+
+        def orient(p, q, r):
+            return (Fr(q[0] - p[0]) * Fr(r[1] - p[1])
+                    - Fr(q[1] - p[1]) * Fr(r[0] - p[0]))
+
+        def on_seg(v, s0, s1):
+            return (orient(s0, s1, v) == 0
+                    and min(s0[0], s1[0]) <= v[0] <= max(s0[0], s1[0])
+                    and min(s0[1], s1[1]) <= v[1] <= max(s0[1], s1[1]))
+
+        ii0 = ii1 = anyc = False
+        for (p, q), (r, s) in itertools.product(
+                zip(A, A[1:]), zip(B, B[1:])):
+            d1, d2 = orient(r, s, p), orient(r, s, q)
+            d3, d4 = orient(p, q, r), orient(p, q, s)
+            if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) \
+                    and 0 not in (d1, d2, d3, d4):
+                ii0 = anyc = True
+            if d1 == d2 == d3 == d4 == 0:
+                ax = 0 if max(abs(q[0] - p[0]), abs(s[0] - r[0])) \
+                    >= max(abs(q[1] - p[1]), abs(s[1] - r[1])) else 1
+                lo = max(min(p[ax], q[ax]), min(r[ax], s[ax]))
+                hi = min(max(p[ax], q[ax]), max(r[ax], s[ax]))
+                if hi > lo:
+                    ii1 = anyc = True
+            for v, s0, s1, own, other in ((p, r, s, a_ends, b_ends),
+                                          (q, r, s, a_ends, b_ends),
+                                          (r, p, q, b_ends, a_ends),
+                                          (s, p, q, b_ends, a_ends)):
+                if on_seg(v, s0, s1):
+                    anyc = True
+                    if v not in own and v not in other:
+                        ii0 = True
+        return ii0, ii1, anyc
+
+    n_checked = 0
+    for _ in range(400):
+        na, nb = int(rng.integers(2, 5)), int(rng.integers(2, 5))
+        # small-int grid => collinear/touch/cross configs all occur often
+        A = [tuple(map(int, rng.integers(0, 5, 2))) for _ in range(na)]
+        B = [tuple(map(int, rng.integers(0, 5, 2))) for _ in range(nb)]
+        # drop degenerate zero-length segments (unmodeled input)
+        if any(a == b for a, b in zip(A, A[1:])) or \
+           any(a == b for a, b in zip(B, B[1:])):
+            continue
+        ga = geom.parse_wkb_batch(
+            [geom.wkb_linestring([(float(x), float(y)) for x, y in A])])
+        gb = geom.parse_wkb_batch(
+            [geom.wkb_linestring([(float(x), float(y)) for x, y in B])])
+        z = np.zeros(1, dtype=np.int64)
+        ii0, ii1, anyc = geom.pair_line_relate(z, ga, z, gb)
+        want = ref_relate(A, B)
+        assert (bool(ii0[0]), bool(ii1[0]), bool(anyc[0])) == want, (A, B)
+        n_checked += 1
+    assert n_checked > 300
