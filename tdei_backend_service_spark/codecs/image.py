@@ -64,18 +64,24 @@ def ahash64(img: np.ndarray) -> int:
     """
     g = _to_gray(np.asarray(img))
     h, w = g.shape
-    # integral-free mean pooling onto an 8x8 grid (handles non-multiples)
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    pooled = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            pooled[i, j] = g[ys[i]:max(ys[i + 1], ys[i] + 1),
-                             xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+    if h == 8 and w == 8:
+        # the dominant fixture shape: pooling onto an 8x8 grid is the
+        # identity (each cell is a single pixel), so skip the 64
+        # slice-mean calls — bit-identical, ~20x less per-call overhead
+        pooled = g
+    else:
+        # integral-free mean pooling onto an 8x8 grid (handles non-multiples)
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        pooled = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                pooled[i, j] = g[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                 xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
     bits = (pooled > pooled.mean()).ravel()
-    val = 0
-    for bit in bits:
-        val = (val << 1) | int(bit)
+    # MSB-first pack == the former (val << 1) | bit loop, minus 64
+    # Python-int ops per image
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
     # fold to signed int64 range
     if val >= 1 << 63:
         val -= 1 << 64
