@@ -34,7 +34,9 @@ nothing (Bellman-Ford) terminates the loop, so ``max_hops`` /
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import os
+
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..exceptions import InputException
 
@@ -68,6 +70,70 @@ def _symmetrize(edges: DataFrame, src: str, dst: str,
                      F.col(src).cast("long").alias("_d"), *cols))
 
 
+#: Row bound for the single-task traversal fast path (optimization r7,
+#: guide §2: derive the plan from input size). An edge relation at or
+#: below this many rows runs the identical iterative algorithm inside
+#: ONE executor task on dense numpy arrays instead of paying
+#: per-round shuffle latency; larger graphs take the distributed
+#: rounds unchanged. Env-tunable for cluster profiles; set 0 to force
+#: the distributed path.
+_GRAPH_LOCAL_MAX_EDGES = int(os.environ.get(
+    "TDEI_GRAPH_LOCAL_MAX_EDGES", str(2_000_000)))
+
+
+def _hop_distance_local(sym: DataFrame, seeds: DataFrame, max_hops: int,
+                        node: str) -> DataFrame:
+    """Single-task BFS over the probed-small symmetric edge relation:
+    identical level semantics (hops = minimum traversal count, seeds at
+    0, layers deduplicated), computed with boolean frontier masks. The
+    seed relation rides along as tagged rows (``_d == _s``) so nothing
+    touches the driver."""
+    tagged = (sym.select("_s", "_d", F.lit(False).alias("_seed"))
+              .unionByName(seeds.select(F.col("_n").alias("_s"),
+                                        F.col("_n").alias("_d"),
+                                        F.lit(True).alias("_seed"))))
+    schema = T.StructType([T.StructField(node, T.LongType()),
+                           T.StructField("hops", T.IntegerType())])
+
+    def fold(pdfs):
+        import numpy as np
+        import pandas as pd
+        es, ed, sd = [], [], []
+        for pdf in pdfs:
+            seed_mask = pdf["_seed"].to_numpy()
+            s = pdf["_s"].to_numpy(dtype=np.int64)
+            d = pdf["_d"].to_numpy(dtype=np.int64)
+            es.append(s[~seed_mask])
+            ed.append(d[~seed_mask])
+            sd.append(s[seed_mask])
+        s = np.concatenate(es) if es else np.empty(0, np.int64)
+        d = np.concatenate(ed) if ed else np.empty(0, np.int64)
+        q = np.concatenate(sd) if sd else np.empty(0, np.int64)
+        if q.size == 0:
+            return
+        nodes = np.unique(np.concatenate([s, d, q]))
+        si = np.searchsorted(nodes, s)
+        di = np.searchsorted(nodes, d)
+        qi = np.searchsorted(nodes, q)
+        hops = np.full(nodes.size, -1, np.int64)
+        hops[qi] = 0
+        frontier = np.zeros(nodes.size, bool)
+        frontier[qi] = True
+        for h in range(1, max_hops + 1):
+            new = np.zeros(nodes.size, bool)
+            new[di[frontier[si]]] = True
+            new &= hops < 0
+            if not new.any():
+                break
+            hops[new] = h
+            frontier = new
+        keep = hops >= 0
+        yield pd.DataFrame({node: nodes[keep],
+                            "hops": hops[keep].astype("int32")})
+
+    return tagged.coalesce(1).mapInPandas(fold, schema)
+
+
 def hop_distance(edges: DataFrame, seeds: DataFrame, max_hops: int,
                  src: str = "orig_node_id", dst: str = "dest_node_id",
                  node: str = "node",
@@ -85,6 +151,10 @@ def hop_distance(edges: DataFrame, seeds: DataFrame, max_hops: int,
         raise InputException("max_hops must be a non-negative integer")
     sym = (_symmetrize(edges, src, dst, directed)
            .distinct().localCheckpoint())
+    if sym.count() <= _GRAPH_LOCAL_MAX_EDGES:
+        return _hop_distance_local(
+            sym, seeds.select(F.col(node).cast("long").alias("_n")),
+            max_hops, node)
     layer0 = (seeds.select(F.col(node).cast("long").alias("_n"))
               .distinct().localCheckpoint())
     layers = [layer0.select(F.col("_n"), F.lit(0).alias("hops"))]
@@ -114,6 +184,63 @@ def hop_distance(edges: DataFrame, seeds: DataFrame, max_hops: int,
     return out.select(F.col("_n").alias(node), F.col("hops").cast("int"))
 
 
+def _network_distance_local(sym: DataFrame, seeds: DataFrame,
+                            max_rounds: int, node: str) -> DataFrame:
+    """Single-task synchronous Bellman-Ford over the probed-small
+    weighted edge relation: identical round semantics (dist after
+    round r = exact integer min over walks of <= r edges, early exit
+    when a round improves nothing), via ``np.minimum.at`` on int64
+    arrays. Seeds ride along as tagged zero-weight self rows."""
+    tagged = (sym.select("_s", "_d", "_w", F.lit(False).alias("_seed"))
+              .unionByName(seeds.select(F.col("_n").alias("_s"),
+                                        F.col("_n").alias("_d"),
+                                        F.lit(0).cast("long").alias("_w"),
+                                        F.lit(True).alias("_seed"))))
+    schema = T.StructType([T.StructField(node, T.LongType()),
+                           T.StructField("dist", T.LongType())])
+
+    def fold(pdfs):
+        import numpy as np
+        import pandas as pd
+        es, ed, ew, sd = [], [], [], []
+        for pdf in pdfs:
+            seed_mask = pdf["_seed"].to_numpy()
+            s = pdf["_s"].to_numpy(dtype=np.int64)
+            d = pdf["_d"].to_numpy(dtype=np.int64)
+            w = pdf["_w"].to_numpy(dtype=np.int64)
+            es.append(s[~seed_mask])
+            ed.append(d[~seed_mask])
+            ew.append(w[~seed_mask])
+            sd.append(s[seed_mask])
+        s = np.concatenate(es) if es else np.empty(0, np.int64)
+        d = np.concatenate(ed) if ed else np.empty(0, np.int64)
+        w = np.concatenate(ew) if ew else np.empty(0, np.int64)
+        q = np.concatenate(sd) if sd else np.empty(0, np.int64)
+        if q.size == 0:
+            return
+        nodes = np.unique(np.concatenate([s, d, q]))
+        si = np.searchsorted(nodes, s)
+        di = np.searchsorted(nodes, d)
+        qi = np.searchsorted(nodes, q)
+        # sentinel: undiscovered nodes sit at int64 max; relaxation only
+        # ever reads DISCOVERED sources, so no arithmetic touches it
+        inf = np.iinfo(np.int64).max
+        dist = np.full(nodes.size, inf, np.int64)
+        dist[qi] = 0
+        for _ in range(max_rounds):
+            m = dist[si] < inf
+            new = dist.copy()
+            np.minimum.at(new, di[m], dist[si[m]] + w[m])
+            improved = bool((new < dist).any())
+            dist = new
+            if not improved:
+                break
+        disc = dist < inf
+        yield pd.DataFrame({node: nodes[disc], "dist": dist[disc]})
+
+    return tagged.coalesce(1).mapInPandas(fold, schema)
+
+
 def network_distance(edges: DataFrame, seeds: DataFrame, max_rounds: int,
                      src: str = "orig_node_id", dst: str = "dest_node_id",
                      weight: str = "w", node: str = "node",
@@ -135,6 +262,10 @@ def network_distance(edges: DataFrame, seeds: DataFrame, max_rounds: int,
     sym = (_symmetrize(edges, src, dst, directed,
                        extra=[F.col(weight).cast("long").alias("_w")])
            .localCheckpoint())
+    if sym.count() <= _GRAPH_LOCAL_MAX_EDGES:
+        return _network_distance_local(
+            sym, seeds.select(F.col(node).cast("long").alias("_n")),
+            max_rounds, node)
     dist = (seeds.select(F.col(node).cast("long").alias("_n"))
             .distinct()
             .select("_n", F.lit(0).cast("long").alias("_dist"))
@@ -257,12 +388,15 @@ def pagerank(edges: DataFrame, n_iter: int,
     e = (edges.select(F.col(src).cast("long").alias("_s"),
                       F.col(dst).cast("long").alias("_d"))
          .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
-         .distinct())
+         .distinct().localCheckpoint())
+    local = e.count() <= _GRAPH_LOCAL_MAX_EDGES
     nodes = (e.select(F.col("_s").alias("_n"))
              .unionAll(e.select(F.col("_d").alias("_n")))
              .distinct().localCheckpoint())
-    ej = (e.join(e.groupBy("_s").agg(F.count("*").alias("_od")), "_s")
-          .localCheckpoint())
+    ej = None
+    if not local:
+        ej = (e.join(e.groupBy("_s").agg(F.count("*").alias("_od")), "_s")
+              .localCheckpoint())
     # int64 envelope guard (ADVICE r5 low #1): the fixed-point update can
     # exceed int64 on funnel graphs (every node feeding one hub). Two
     # sound per-iteration caps, replayed as an exact Python-int scalar
@@ -285,6 +419,38 @@ def pagerank(edges: DataFrame, n_iter: int,
                 f"in-degree {max_indeg}, {n_iter} iterations overflow the "
                 f"fixed-point scale {PR_SCALE}; lower PR_SCALE or n_iter")
         r_max = base + (damping_num * in_sum_cap) // damping_den
+    if local:
+        # single-task iteration over the probed-small edge relation
+        # (guide §2): identical integer recurrence on dense arrays, the
+        # envelope guard above having already run driver-side
+        schema = T.StructType([T.StructField(node, T.LongType()),
+                               T.StructField("pr", T.LongType())])
+        iters, dnum, dden = n_iter, damping_num, damping_den
+
+        def fold(pdfs):
+            import numpy as np
+            import pandas as pd
+            ss, dd = [], []
+            for pdf in pdfs:
+                ss.append(pdf["_s"].to_numpy(dtype=np.int64))
+                dd.append(pdf["_d"].to_numpy(dtype=np.int64))
+            s = np.concatenate(ss) if ss else np.empty(0, np.int64)
+            d = np.concatenate(dd) if dd else np.empty(0, np.int64)
+            if s.size == 0:
+                return
+            nds = np.unique(np.concatenate([s, d]))
+            si = np.searchsorted(nds, s)
+            di = np.searchsorted(nds, d)
+            od = np.bincount(si, minlength=nds.size).astype(np.int64)
+            pr = np.full(nds.size, PR_SCALE, np.int64)
+            for _ in range(iters):
+                contrib = pr[si] // od[si]
+                in_sum = np.zeros(nds.size, np.int64)
+                np.add.at(in_sum, di, contrib)
+                pr = base + (dnum * in_sum) // dden
+            yield pd.DataFrame({node: nds, "pr": pr})
+
+        return e.coalesce(1).mapInPandas(fold, schema)
     ranks = nodes.select("_n", F.lit(PR_SCALE).cast("long").alias("_r"))
     for _ in range(n_iter):
         sums = (ranks.join(ej, ranks["_n"] == ej["_s"])
@@ -334,6 +500,45 @@ def connected_components(edges: DataFrame, src: str = "orig_node_id",
     return labels.select("node", F.col("label").alias("component"))
 
 
+def _kcore_local(cur: DataFrame, k: int, max_rounds: int,
+                 node: str) -> DataFrame:
+    """Single-task peeling over the probed-small canonical edge set:
+    identical fixpoint semantics (drop degree-<k nodes, induce, repeat;
+    bounded by ``max_rounds``; final degree-filter pass), via bincount
+    on remapped endpoints."""
+    schema = T.StructType([T.StructField(node, T.LongType())])
+
+    def fold(pdfs):
+        import numpy as np
+        import pandas as pd
+        aa, bb = [], []
+        for pdf in pdfs:
+            aa.append(pdf["_a"].to_numpy(dtype=np.int64))
+            bb.append(pdf["_b"].to_numpy(dtype=np.int64))
+        a = np.concatenate(aa) if aa else np.empty(0, np.int64)
+        b = np.concatenate(bb) if bb else np.empty(0, np.int64)
+        if a.size == 0:
+            return
+        nodes = np.unique(np.concatenate([a, b]))
+        ai = np.searchsorted(nodes, a)
+        bi = np.searchsorted(nodes, b)
+        alive = np.ones(a.size, bool)
+        for _ in range(max_rounds):
+            deg = (np.bincount(ai[alive], minlength=nodes.size)
+                   + np.bincount(bi[alive], minlength=nodes.size))
+            keep = deg >= k
+            nxt = alive & keep[ai] & keep[bi]
+            if nxt.sum() == alive.sum():
+                alive = nxt
+                break
+            alive = nxt
+        deg = (np.bincount(ai[alive], minlength=nodes.size)
+               + np.bincount(bi[alive], minlength=nodes.size))
+        yield pd.DataFrame({node: nodes[deg >= k]})
+
+    return cur.coalesce(1).mapInPandas(fold, schema)
+
+
 def kcore(edges: DataFrame, k: int, src: str = "orig_node_id",
           dst: str = "dest_node_id", node: str = "node",
           max_rounds: int = 1000) -> DataFrame:
@@ -357,6 +562,8 @@ def kcore(edges: DataFrame, k: int, src: str = "orig_node_id",
                         F.greatest(s, d).alias("_b"))
            .filter(F.col("_a").isNotNull() & (F.col("_a") != F.col("_b")))
            .distinct().localCheckpoint())
+    if cur.count() <= _GRAPH_LOCAL_MAX_EDGES:
+        return _kcore_local(cur, k, max_rounds, node)
     for _ in range(max_rounds):
         deg = (cur.select(F.col("_a").alias("_n"))
                .unionAll(cur.select(F.col("_b").alias("_n")))
