@@ -1822,6 +1822,8 @@ def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import types as T
 
     from tdei_backend_service_spark.streaming.dedup import start_dedup_ingest
+    from tdei_backend_service_spark.streaming.state import \
+        stream_state_partitions
     base = tempfile.mkdtemp(prefix="stream_dedup_q_")
     landing = os.path.join(base, "landing")
     out = os.path.join(base, "out")
@@ -1843,15 +1845,22 @@ def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # each drop lands as ONE file: the min-doc_id winner rule is
     # per-micro-batch, so a drop must not be chunked across batches
     docs.coalesce(1).write.mode("overwrite").parquet(landing)
-    _drain(start_dedup_ingest(spark, landing, out, ckpt, schema), "first")
-    dups = (docs.filter(F.col("doc_id") % 5 == 0)
-            .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
-    fresh = (docs.filter(F.col("doc_id") % 11 == 0)
-             .select((F.col("doc_id") + 3_000_000).alias("doc_id"),
-                     F.concat(F.col("text"), F.lit(" v2")).alias("text")))
-    (dups.unionByName(fresh).coalesce(1)
-         .write.mode("append").parquet(landing))
-    _drain(start_dedup_ingest(spark, landing, out, ckpt, schema), "second")
+    # state partitions pinned for the query's lifetime at first start
+    # (streaming/state.py); the restart reuses the checkpoint's value
+    with stream_state_partitions(spark):
+        _drain(start_dedup_ingest(spark, landing, out, ckpt, schema),
+               "first")
+        dups = (docs.filter(F.col("doc_id") % 5 == 0)
+                .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                        "text"))
+        fresh = (docs.filter(F.col("doc_id") % 11 == 0)
+                 .select((F.col("doc_id") + 3_000_000).alias("doc_id"),
+                         F.concat(F.col("text"), F.lit(" v2"))
+                         .alias("text")))
+        (dups.unionByName(fresh).coalesce(1)
+             .write.mode("append").parquet(landing))
+        _drain(start_dedup_ingest(spark, landing, out, ckpt, schema),
+               "second")
     return spark.read.parquet(out).select("doc_id")
 
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .state import stream_state_partitions
+
 from ..core import cells
 
 
@@ -49,12 +51,13 @@ def run_tile_counts(spark, landing_dir: str, out_dir: str,
     """Drive the streaming tile aggregation over available files to a
     parquet sink (append mode: only watermark-sealed windows land)."""
     stream = spark.readStream.schema(schema).parquet(landing_dir)
-    q = (windowed_tile_counts(stream, z, window_size, watermark_delay)
-         .writeStream.outputMode("append").format("parquet")
-         .option("path", out_dir)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    with stream_state_partitions(spark):
+        q = (windowed_tile_counts(stream, z, window_size, watermark_delay)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(timeout_s)
     if q.isActive:
         # an availableNow run that has not drained by the deadline means
         # the sink is INCOMPLETE — stopping silently would surface as an

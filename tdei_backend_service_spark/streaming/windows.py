@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .state import stream_state_partitions
+
 
 def windowed_event_counts(stream: DataFrame, window_size: str = "1 hour",
                           watermark_delay: str = "30 minutes",
@@ -41,12 +43,13 @@ def run_windowed_counts(spark, landing_dir: str, out_dir: str,
     """Drive the windowed aggregation over available files to a parquet
     sink (append mode: only watermark-sealed windows land)."""
     stream = spark.readStream.schema(schema).parquet(landing_dir)
-    q = (windowed_event_counts(stream, window_size, watermark_delay)
-         .writeStream.outputMode("append").format("parquet")
-         .option("path", out_dir)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    with stream_state_partitions(spark):
+        q = (windowed_event_counts(stream, window_size, watermark_delay)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(timeout_s)
     if q.isActive:
         # an availableNow run that has not drained by the deadline means
         # the sink is INCOMPLETE — stopping silently would surface as an
@@ -93,12 +96,13 @@ def run_session_counts(spark, landing_dir: str, out_dir: str,
     """Drive the session-window aggregation over available files to a
     parquet sink (append mode: only watermark-sealed sessions land)."""
     stream = spark.readStream.schema(schema).parquet(landing_dir)
-    q = (session_window_counts(stream, gap, watermark_delay)
-         .writeStream.outputMode("append").format("parquet")
-         .option("path", out_dir)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    with stream_state_partitions(spark):
+        q = (session_window_counts(stream, gap, watermark_delay)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
         raise TimeoutError(

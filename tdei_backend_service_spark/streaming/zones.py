@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from .state import stream_state_partitions
 from ..core import cells, geom
 from ..core.join import (BROADCAST_GEOM_MAX_BYTES, BROADCAST_GEOM_MAX_ROWS,
                          COVER_INDEX_MAX_ENTRIES, build_cover_index)
@@ -157,12 +158,14 @@ def run_zone_counts(spark, landing_dir: str, out_dir: str,
     parquet sink (append mode: only watermark-sealed windows land)."""
     zids = zone_membership_udf(spark, zones_df, zone_dataset_id)
     stream = spark.readStream.schema(schema).parquet(landing_dir)
-    q = (windowed_zone_counts(stream, zids, window_size, watermark_delay)
-         .writeStream.outputMode("append").format("parquet")
-         .option("path", out_dir)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    with stream_state_partitions(spark):
+        q = (windowed_zone_counts(stream, zids, window_size,
+                                  watermark_delay)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
         raise TimeoutError(
