@@ -471,6 +471,14 @@ def pair_line_relate(idx_a: np.ndarray, geoms_a: RaggedGeoms,
     sign-exact (the degenerate subtraction is exactly 0). Raises on
     non-LineString inputs — point/polygon relate is out of the
     engine's scope (SURVEY §2.6 vocabulary note).
+
+    Documented divergence from OGC/PostGIS (ADVICE r6 low #1): a
+    CLOSED LineString (first coord == last coord) has an EMPTY
+    boundary under the OGC mod-2 rule, so PostGIS classifies another
+    line passing through the ring's anchor vertex as ST_Crosses; this
+    kernel treats the anchor like any other global endpoint and
+    reports ST_Touches. Geometries with no segments (< 2 points)
+    contact nothing.
     """
     for idx, g, side in ((idx_a, geoms_a, "a"), (idx_b, geoms_b, "b")):
         kinds = g.kinds[idx]
@@ -488,8 +496,12 @@ def pair_line_relate(idx_a: np.ndarray, geoms_a: RaggedGeoms,
     # segment-pair expansion (pair_min_dist's combos machinery)
     npts_a = geoms_a.n_points()[idx_a]
     npts_b = geoms_b.n_points()[idx_b]
-    na = (npts_a - 1).astype(np.int64)
-    nb = (npts_b - 1).astype(np.int64)
+    # degenerate LineStrings (ADVICE r6 low #3): a 0- or 1-point
+    # geometry has no segments — clamp so combos stays non-negative
+    # (np.repeat would otherwise raise an uninformative ValueError).
+    # Documented rule: segment-free geometries contact nothing here.
+    na = np.maximum(npts_a - 1, 0).astype(np.int64)
+    nb = np.maximum(npts_b - 1, 0).astype(np.int64)
     combos = na * nb
     if combos.sum() == 0:
         return ii0, ii1, anyc

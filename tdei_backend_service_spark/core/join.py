@@ -65,6 +65,9 @@ class GeomSide:
     def is_point(self) -> bool:
         return self.kind == "point"
 
+    def is_polygon(self) -> bool:
+        return self.kind == "polygon"
+
 
 def pick_depth(bound_m: float, min_depth: int = DEFAULT_MIN_DEPTH,
                max_depth: int = DEFAULT_MAX_DEPTH,
@@ -582,10 +585,13 @@ def two_phase_join(target: GeomSide, source: GeomSide, pred: SpatialPredicate,
             "ST_Contains/ST_Within: the contained side (target) must be "
             "a point dimension")
 
-    # ST_Crosses/ST_Touches scope: line-line relate (the kernel also
-    # rejects non-LineString WKB at refine time)
+    # ST_Crosses/ST_Touches scope: line-line relate only — reject point
+    # AND polygon sides up front (ADVICE r6 low #2: a polygon side used
+    # to sail past this check and die deep inside the executor kernel
+    # as an opaque task failure instead of an InputException)
     if (("crosses" in pred.needs or "touches" in pred.needs)
-            and (t.is_point() or s.is_point())):
+            and (t.is_point() or s.is_point()
+                 or t.is_polygon() or s.is_polygon())):
         raise InputException(
             "ST_Crosses/ST_Touches: both sides must be line dimensions")
 

@@ -94,14 +94,16 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     stopwords present; argmax wins (ties broken by language-code order);
     no hit at all -> 'und'. Pure Catalyst via array_intersect."""
     words = F.array_distinct(words_col(F.col(text_col)))
-    entries = [F.struct(
-        F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in STOPWORDS[c]]))).alias("hits"),
-        F.lit(c).alias("code")) for c in sorted(STOPWORDS)]
-    arr = F.array(*entries)
-    # argmax with ties going to the alphabetically-first language (the
-    # entries array is built in sorted-code order and filter preserves it)
-    best_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
-    first_best = F.filter(arr, lambda s: s["hits"] == best_hits)[0]["code"]
+    codes = sorted(STOPWORDS)
+    hits = {c: F.size(F.array_intersect(
+        words, F.array(*[F.lit(w) for w in STOPWORDS[c]]))) for c in codes}
+    # argmax with ties going to the alphabetically-first language: a
+    # flat greatest + first-match CASE (same result as the former
+    # array-of-structs filter, but plain codegen-friendly columns
+    # instead of nested higher-order functions)
+    best_hits = F.greatest(*[hits[c] for c in codes])
+    first_best = F.coalesce(
+        *[F.when(hits[c] == best_hits, F.lit(c)) for c in codes])
     return df.withColumn(
         "lang_pred", F.when(best_hits > 0, first_best).otherwise(F.lit("und")))
 

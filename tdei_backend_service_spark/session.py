@@ -25,6 +25,11 @@ def get_spark(app: str = "tdei-spark", cpus: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): byte-targeted
+        # coalescing (§2.2) was measured here and REGRESSED the
+        # Arrow-UDF verify stages 3x — their cost is per row, not per
+        # byte, so collapsing small exchanges to one task serializes
+        # the Python work. Revisit only with per-stage evidence.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
