@@ -59,14 +59,16 @@ def decode_metadata(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, fmts, hashes = [], [], [], [], []
-            for i in range(len(pdf)):
-                fmt = pdf["fmt"].iloc[i]
+            # zip over columns, not .iloc per cell — same rows, ~2x
+            # less per-row indexing overhead in the decode hot loop
+            for rid, blob, fmt in zip(pdf[id_col].to_numpy(),
+                                      pdf["bytes"], pdf["fmt"]):
                 try:
-                    img = decode_image(pdf["bytes"].iloc[i], fmt)
+                    img = decode_image(blob, fmt)
                 except (NotImplementedError, ValueError):
                     continue
                 h, w = img.shape[:2]
-                ids.append(pdf[id_col].iloc[i])
+                ids.append(rid)
                 ws.append(w)
                 hs.append(h)
                 fmts.append(fmt)
