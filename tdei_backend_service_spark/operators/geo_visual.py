@@ -48,16 +48,17 @@ def decode_phash_points(df: DataFrame, pk: str = "image_id") -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes, lons, lats = [], [], [], []
-            for i in range(len(pdf)):
+            for rid, blob, fmt, lo, la in zip(pdf[pk], pdf["bytes"],
+                                              pdf["fmt"], pdf["lon"],
+                                              pdf["lat"]):
                 try:
-                    img = decode_image(pdf["bytes"].iloc[i],
-                                       pdf["fmt"].iloc[i])
+                    img = decode_image(blob, fmt)
                 except (NotImplementedError, ValueError):
                     continue
-                ids.append(pdf[pk].iloc[i])
+                ids.append(rid)
                 hashes.append(ahash64(img))
-                lons.append(float(pdf["lon"].iloc[i]))
-                lats.append(float(pdf["lat"].iloc[i]))
+                lons.append(float(lo))
+                lats.append(float(la))
             yield pd.DataFrame({
                 pk: ids,
                 "phash": pd.array(hashes, dtype="int64"),
@@ -91,14 +92,14 @@ def brightness_pixel_sums(images: DataFrame, z: int, px: int, *,
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             lons, lats, sums, ns = [], [], [], []
-            for i in range(len(pdf)):
+            for blob, fmt, lo, la in zip(pdf["bytes"], pdf["fmt"],
+                                         pdf[lon_col], pdf[lat_col]):
                 try:
-                    img = decode_image(pdf["bytes"].iloc[i],
-                                       pdf["fmt"].iloc[i])
+                    img = decode_image(blob, fmt)
                 except (NotImplementedError, ValueError):
                     continue
-                lons.append(float(pdf[lon_col].iloc[i]))
-                lats.append(float(pdf[lat_col].iloc[i]))
+                lons.append(float(lo))
+                lats.append(float(la))
                 sums.append(int(img.astype(np.int64).sum()))
                 ns.append(int(img.size))
             yield pd.DataFrame({
@@ -260,10 +261,11 @@ def _render_tile_thumbs(picked: DataFrame, z: int, px: int,
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             txs, tys, ids, blobs = [], [], [], []
-            for i in range(len(pdf)):
+            for blob, rfmt, tx, ty, rid in zip(pdf["bytes"], pdf["fmt"],
+                                               pdf["_tx"], pdf["_ty"],
+                                               pdf[id_col]):
                 try:
-                    img = decode_image(pdf["bytes"].iloc[i],
-                                       pdf["fmt"].iloc[i])
+                    img = decode_image(blob, rfmt)
                 except (NotImplementedError, ValueError):
                     continue
                 if img.ndim == 3:
@@ -272,9 +274,9 @@ def _render_tile_thumbs(picked: DataFrame, z: int, px: int,
                 ri = (np.arange(px) * h) // px
                 ci = (np.arange(px) * w) // px
                 thumb = np.ascontiguousarray(img[np.ix_(ri, ci)])
-                txs.append(int(pdf["_tx"].iloc[i]))
-                tys.append(int(pdf["_ty"].iloc[i]))
-                ids.append(int(pdf[id_col].iloc[i]))
+                txs.append(int(tx))
+                tys.append(int(ty))
+                ids.append(int(rid))
                 blobs.append(encode_image(thumb, fmt))
             yield pd.DataFrame({
                 "z": pd.array([z] * len(txs), dtype="int32"),
@@ -390,10 +392,10 @@ def gallery_pyramid(images: DataFrame, z_base: int, z_min: int, px: int, *,
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, blobs = [], []
-            for i in range(len(pdf)):
+            for blob, rfmt, rid in zip(pdf["bytes"], pdf["fmt"],
+                                       pdf[id_col]):
                 try:
-                    img = decode_image(pdf["bytes"].iloc[i],
-                                       pdf["fmt"].iloc[i])
+                    img = decode_image(blob, rfmt)
                 except (NotImplementedError, ValueError):
                     continue
                 if img.ndim == 3:
@@ -401,7 +403,7 @@ def gallery_pyramid(images: DataFrame, z_base: int, z_min: int, px: int, *,
                 h, w = img.shape
                 ri = (np.arange(px) * h) // px
                 ci = (np.arange(px) * w) // px
-                ids.append(int(pdf[id_col].iloc[i]))
+                ids.append(int(rid))
                 blobs.append(encode_image(
                     np.ascontiguousarray(img[np.ix_(ri, ci)]), fmt))
             yield pd.DataFrame({id_col: pd.array(ids, dtype="int64"),
