@@ -171,13 +171,17 @@ def _finalize_losers(losers: DataFrame, caches: list[DataFrame],
     return losers
 
 
-def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  threshold: float = 0.8, num_hashes: int = 64,
-                  bands: int = 8, shingle_k: int = 5,
-                  broadcast_texts: bool | None = None,
-                  release_cache: bool = True,
-                  sigs: DataFrame | None = None) -> DataFrame:
-    """Near-dedup: MinHash LSH candidates -> exact n-gram Jaccard verify
+def _minhash_losers(df: DataFrame, text_col: str, id_col: str,
+                    threshold: float, num_hashes: int, bands: int,
+                    shingle_k: int, broadcast_texts: bool | None,
+                    sigs: DataFrame | None):
+    """Shared core of minhash_dedup and incremental_minhash_dedup's
+    within-batch rule: returns ``(losers_lazy, own_caches, bcast)`` so
+    callers finalize ONCE — the within-batch loser set of a drop IS the
+    plain dedup's loser set, so the incremental path no longer pays a
+    second eager checkpoint plus a double anti-join to recover it.
+
+    Near-dedup: MinHash LSH candidates -> exact n-gram Jaccard verify
     (>= threshold) -> drop the larger id of each verified pair.
 
     Verification needs both texts per candidate pair. Small corpora ship
@@ -223,12 +227,18 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         # row probe passes the corpus is known small, so the byte bound
         # is an EXACT length sum — a head-of-table estimate would
         # underestimate size-skewed corpora (ADVICE r2 low #4)
-        probe = (df.select(id_col).limit(BROADCAST_TEXTS_MAX_ROWS + 1).count())
-        broadcast_texts = probe <= BROADCAST_TEXTS_MAX_ROWS
-        if broadcast_texts:
-            total = (df.select(F.length(F.col(text_col)).alias("sz"))
-                     .agg(F.sum("sz")).first()[0]) or 0
-            broadcast_texts = total <= BROADCAST_TEXTS_MAX_BYTES
+        # ONE bounded probe job (the core/join.py shape): scan at most
+        # cap+1 rows, counting and summing text lengths in the same
+        # aggregation — when the row cap passes, the limited frame IS
+        # the whole corpus, so the byte sum is exact
+        probe = (df.select(F.length(F.col(text_col)).alias("sz"))
+                 .limit(BROADCAST_TEXTS_MAX_ROWS + 1)
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("sz").alias("total"))
+                 .first())
+        broadcast_texts = (probe["n"] <= BROADCAST_TEXTS_MAX_ROWS
+                           and (probe["total"] or 0)
+                           <= BROADCAST_TEXTS_MAX_BYTES)
 
     bcast = None
     if broadcast_texts:
@@ -261,6 +271,18 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         verified = pairs.filter(jac(F.col("l_text"), F.col("r_text")) >= threshold)
 
     losers = verified.select(F.col("r_id").alias(id_col)).distinct()
+    return losers, own_caches, bcast
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.8, num_hashes: int = 64,
+                  bands: int = 8, shingle_k: int = 5,
+                  broadcast_texts: bool | None = None,
+                  release_cache: bool = True,
+                  sigs: DataFrame | None = None) -> DataFrame:
+    losers, own_caches, bcast = _minhash_losers(
+        df, text_col, id_col, threshold, num_hashes, bands, shingle_k,
+        broadcast_texts, sigs)
     losers = _finalize_losers(losers, own_caches, release_cache)
     if release_cache and bcast is not None:
         # losers are materialized, so the executors' text dict can go too
@@ -522,14 +544,18 @@ def incremental_minhash_dedup(batch: DataFrame, corpus_sigs: DataFrame,
 
     # within-batch: ordinary min-id rule with the full exact verify,
     # reusing the already-persisted batch signatures (no second
-    # signature-UDF pass over the drop)
-    within = (batch.select(id_col)
-              .join(minhash_dedup(batch, text_col, id_col, threshold,
-                                  num_hashes, bands, shingle_k,
-                                  sigs=batch_sigs)
-                    .select(id_col), id_col, "left_anti"))
+    # signature-UDF pass over the drop). The shared _minhash_losers
+    # core returns the loser ids directly — the former
+    # batch ANTI survivors(batch ANTI losers) double inversion is the
+    # identity on the loser set, so one eager checkpoint (below)
+    # finalizes both modalities at once.
+    within, own2, bcast2 = _minhash_losers(
+        batch, text_col, id_col, threshold, num_hashes, bands,
+        shingle_k, None, batch_sigs)
     losers = cross.unionByName(within).distinct()
-    losers = _finalize_losers(losers, [batch_sigs], release_cache)
+    losers = _finalize_losers(losers, [batch_sigs] + own2, release_cache)
+    if release_cache and bcast2 is not None:
+        bcast2.unpersist()
     return batch.join(losers, id_col, "left_anti")
 
 
