@@ -17,6 +17,8 @@ Scale design (the whole point at 10^12 rows):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -334,6 +336,84 @@ def _banded16(sigs: DataFrame, cols: list[str]) -> DataFrame:
         .select(*cols, "_hc", "bb.band", "bb.bucket"))
 
 
+
+
+#: Row bound for the single-task banded-hamming candidate+verify fast
+#: path (optimization r7): at or below this many signature rows the
+#: band/bucket grouping, clique/star pair generation and the exact
+#: hamming verify run in ONE executor task on numpy arrays — the same
+#: pair multiset as the distributed plan, without its 4-5 sequential
+#: AQE stages. Larger inputs (or non-integer ids) keep the
+#: distributed plan unchanged. Env-tunable; 0 forces distributed.
+_HASH_PAIRS_LOCAL_MAX_ROWS = int(os.environ.get(
+    "TDEI_HASH_PAIRS_LOCAL_MAX_ROWS", str(200_000)))
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of an int64/uint64 array (numpy < 2 has no
+    bitwise_count): unpack to bits byte-wise and sum."""
+    b = np.unpackbits(x.astype(np.uint64).view(np.uint8))
+    return b.reshape(-1, 64).sum(axis=1)
+
+
+def _hash_pairs_local(sigs: DataFrame, id_col: str, max_hamming: int,
+                      bucket_cap: int) -> DataFrame:
+    """Single-task replica of the distributed banded-hamming pair plan:
+    per 16-bit band, bucket rows by the masked hash chunk (arithmetic
+    vs logical shift is irrelevant under the 0xFFFF mask — identical
+    to Spark's shiftright+mask), emit all-pairs (l<r) for buckets at
+    or below ``bucket_cap`` and the min-id star for larger buckets,
+    verified with the exact popcount bound. Same pair multiset as the
+    distributed plan (duplicates across shared bands included)."""
+
+    def fold(pdfs):
+        ids_l, hcs_l = [], []
+        for pdf in pdfs:
+            ids_l.append(pdf[id_col].to_numpy(dtype=np.int64))
+            hcs_l.append(pdf["_hc"].to_numpy(dtype=np.int64))
+        if not ids_l:
+            return
+        ids = np.concatenate(ids_l)
+        hcs = np.concatenate(hcs_l)
+        if ids.size == 0:
+            return
+        u = hcs.astype(np.uint64)
+        out_l, out_r = [], []
+        for b in range(4):
+            bucket = ((u >> np.uint64(16 * b))
+                      & np.uint64(0xFFFF)).astype(np.int64)
+            order = np.lexsort((ids, bucket))
+            bs, si, sh = bucket[order], ids[order], hcs[order]
+            starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+            ends = np.r_[starts[1:], bs.size]
+            sizes = ends - starts
+            for s, e, m in zip(starts[sizes > 1], ends[sizes > 1],
+                               sizes[sizes > 1]):
+                seg_ids = si[s:e]
+                seg_h = sh[s:e]
+                if m <= bucket_cap:
+                    ii, jj = np.triu_indices(m, 1)
+                    ok = _popcount64(
+                        np.bitwise_xor(seg_h[ii], seg_h[jj])
+                    ) <= max_hamming
+                    out_l.append(seg_ids[ii][ok])
+                    out_r.append(seg_ids[jj][ok])
+                else:
+                    # anchor = min id of the bucket (seg sorted by id)
+                    ok = _popcount64(
+                        np.bitwise_xor(seg_h[1:], seg_h[0])
+                    ) <= max_hamming
+                    out_l.append(np.repeat(seg_ids[0], m - 1)[ok])
+                    out_r.append(seg_ids[1:][ok])
+        if out_l:
+            l = np.concatenate(out_l)
+            r = np.concatenate(out_r)
+            if l.size:
+                yield pd.DataFrame({"l_id": l, "r_id": r})
+
+    return sigs.coalesce(1).mapInPandas(fold, "l_id long, r_id long")
+
+
 def _hash_pairs(df: DataFrame, hash_col: str, id_col: str,
                 max_hamming: int, bucket_cap: int):
     """Verified near-dup PAIRS (l_id < r_id) of a 64-bit hash column —
@@ -362,6 +442,16 @@ def _hash_pairs(df: DataFrame, hash_col: str, id_col: str,
     sigs = df.select(id_col, F.col(hash_col).alias("_hc"))
     if not already_cached:
         sigs = sigs.persist()
+    cache = None if already_cached else sigs
+    # scale-adaptive pair stage (guide §2): bounded row probe routes
+    # small signature relations through the single-task kernel above;
+    # larger relations (or non-long ids) run the distributed plan below
+    if (_HASH_PAIRS_LOCAL_MAX_ROWS > 0
+            and dict(sigs.dtypes).get(id_col) == "bigint"
+            and sigs.limit(_HASH_PAIRS_LOCAL_MAX_ROWS + 1).count()
+            <= _HASH_PAIRS_LOCAL_MAX_ROWS):
+        return (_hash_pairs_local(sigs, id_col, max_hamming, bucket_cap),
+                cache)
     banded = _banded16(sigs, [id_col])
     stats = banded.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("_n"),

@@ -369,9 +369,12 @@ def test_cross_modal_dedup_single_decode_in_plan(spark):
     # each sits under an InMemoryRelation — so the decode is a single
     # plan instance materialized once into the cache
     import re
-    sigs = set(re.findall(r"MapInPandas \S+#\d+", plan))
+    # the r7 banded-hamming fast path adds a (non-decode) single-task
+    # pair kernel node named `fold`; the decode pin applies to the
+    # decode_metadata UDF (`gen`) only
+    sigs = set(re.findall(r"MapInPandas gen\(\S+#\d+", plan))
     assert len(sigs) == 1, sigs
-    assert plan.count("MapInPandas") == plan.count("InMemoryRelation")
+    assert plan.count("MapInPandas gen(") == plan.count("InMemoryRelation")
     # min of both classes: pixel classes {1,2,3(->0 is k%3 of 3)} and
     # caption classes {0,1} -> survivors = keys minimal in both
     got = sorted(r.image_id for r in out.collect())
