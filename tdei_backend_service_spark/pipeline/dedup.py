@@ -385,26 +385,39 @@ def _hash_pairs_local(sigs: DataFrame, id_col: str, max_hamming: int,
             order = np.lexsort((ids, bucket))
             bs, si, sh = bucket[order], ids[order], hcs[order]
             starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
-            ends = np.r_[starts[1:], bs.size]
-            sizes = ends - starts
-            for s, e, m in zip(starts[sizes > 1], ends[sizes > 1],
-                               sizes[sizes > 1]):
-                seg_ids = si[s:e]
-                seg_h = sh[s:e]
-                if m <= bucket_cap:
-                    ii, jj = np.triu_indices(m, 1)
-                    ok = _popcount64(
-                        np.bitwise_xor(seg_h[ii], seg_h[jj])
-                    ) <= max_hamming
-                    out_l.append(seg_ids[ii][ok])
-                    out_r.append(seg_ids[jj][ok])
-                else:
-                    # anchor = min id of the bucket (seg sorted by id)
-                    ok = _popcount64(
-                        np.bitwise_xor(seg_h[1:], seg_h[0])
-                    ) <= max_hamming
-                    out_l.append(np.repeat(seg_ids[0], m - 1)[ok])
-                    out_r.append(seg_ids[1:][ok])
+            sizes = np.r_[starts[1:], bs.size] - starts
+            li_parts, ri_parts = [], []
+            # cliques: enumerate (k, j) offsets vectorized across ALL
+            # small segments at once — O(cap^2) vector passes instead
+            # of a Python iteration per bucket (a chain-heavy corpus
+            # has tens of thousands of tiny buckets per band)
+            small = (sizes > 1) & (sizes <= bucket_cap)
+            s_starts, s_sizes = starts[small], sizes[small]
+            if s_sizes.size:
+                for j in range(1, int(s_sizes.max())):
+                    has = s_sizes > j
+                    base = s_starts[has]
+                    for k in range(j):
+                        li_parts.append(base + k)
+                        ri_parts.append(base + j)
+            # star buckets: (anchor=min id, member) pairs, vectorized
+            big = sizes > bucket_cap
+            b_starts, b_sizes = starts[big], sizes[big]
+            if b_sizes.size:
+                reps = b_sizes - 1
+                tot = int(reps.sum())
+                base = np.repeat(b_starts, reps)
+                off = (np.arange(tot)
+                       - np.repeat(np.cumsum(reps) - reps, reps) + 1)
+                li_parts.append(base)
+                ri_parts.append(base + off)
+            if li_parts:
+                li = np.concatenate(li_parts)
+                ri = np.concatenate(ri_parts)
+                ok = _popcount64(
+                    np.bitwise_xor(sh[li], sh[ri])) <= max_hamming
+                out_l.append(si[li][ok])
+                out_r.append(si[ri][ok])
         if out_l:
             l = np.concatenate(out_l)
             r = np.concatenate(out_r)
@@ -450,6 +463,11 @@ def _hash_pairs(df: DataFrame, hash_col: str, id_col: str,
             and dict(sigs.dtypes).get(id_col) == "bigint"
             and sigs.limit(_HASH_PAIRS_LOCAL_MAX_ROWS + 1).count()
             <= _HASH_PAIRS_LOCAL_MAX_ROWS):
+        # materialize the (row-bounded) cached relation IN PARALLEL
+        # before handing it to the single-task kernel — coalesce(1) on
+        # an unmaterialized plan would otherwise drag the upstream
+        # signature/decode work onto one core
+        sigs.count()
         return (_hash_pairs_local(sigs, id_col, max_hamming, bucket_cap),
                 cache)
     banded = _banded16(sigs, [id_col])
