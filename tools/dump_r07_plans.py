@@ -27,6 +27,8 @@ QUERIES = [
     "network_distance", "graph_hops", "kcore", "pagerank",
     "service_area", "corpus_report", "langid",
     "payload_invariants", "image_phash_dedup",
+    "cross_modal_dedup", "simhash_dedup", "minhash_dedup",
+    "incremental_minhash_dedup", "incremental_phash_dedup",
 ]
 
 
