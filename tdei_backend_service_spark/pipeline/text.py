@@ -37,16 +37,23 @@ def words_col(text: Column) -> Column:
 def word_ngrams(text: Column, n: int) -> Column:
     """Array of sliding word n-grams (space-joined) over the pinned
     whitespace split; empty array for texts shorter than n words.
-    Pure Catalyst transform-over-sequence — the short-document guard is
-    explicit because Spark's sequence(1, 0) DESCENDS ([1, 0]) rather
-    than being empty."""
+
+    Built as a zip_with chain of n shifted slices (optimization r7):
+    the former transform-over-sequence re-evaluated the split array
+    inside the per-element lambda, making each document O(words^2)
+    splits; the chain evaluates the split O(n) times per row and
+    concat_ws associativity keeps every gram string identical. The
+    short-document guard stays explicit (a slice length <= 0 would
+    raise; when() branches evaluate lazily)."""
     n = int(n)
     words = words_col(text)
-    starts = F.when(F.size(words) >= n,
-                    F.sequence(F.lit(1), F.size(words) - (n - 1))) \
-              .otherwise(F.array().cast("array<int>"))
-    return F.transform(starts,
-                       lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    m = F.size(words) - (n - 1)
+    acc = F.slice(words, 1, m)
+    for i in range(1, n):
+        acc = F.zip_with(acc, F.slice(words, i + 1, m),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(words) >= n, acc) \
+            .otherwise(F.array().cast("array<string>"))
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
